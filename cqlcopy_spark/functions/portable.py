@@ -1,0 +1,65 @@
+"""Portable column expressions: deterministic across Spark and the DuckDB
+oracle regardless of row/partition order.
+
+Floating-point SUM is order-dependent, and Spark's partition-parallel
+aggregation visits rows in a different order than DuckDB's scan. The fix:
+cast each per-row DOUBLE term to DECIMAL(38,10) (deterministic rounding of
+the identical IEEE value in both engines), SUM exactly in decimal, and cast
+the exact result back to DOUBLE. Every step is order-insensitive, so the
+final double is bit-identical in both engines. Use `dsum` / `davg` for any
+aggregated float the driver will value-hash (SURVEY.md §5 oracle-parity
+hazards).
+
+At scale this costs one decimal codegen path per agg — still whole-stage
+codegen, still map-side partial aggregation; no Python involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,10)"
+
+
+# The final decimal→double conversion goes THROUGH A STRING on purpose:
+# DuckDB's direct decimal→double cast is not correctly rounded (int128 →
+# double, then ÷10^scale — two roundings), while decimal→varchar is exact
+# and varchar→double is correctly rounded in both engines. Observed at
+# sf0.01: direct cast gave 1061400897.6700001 in DuckDB vs ...897.67 in
+# Spark. Cost: one string format per OUTPUT GROUP, not per row.
+
+
+def dsum(col: Column) -> Column:
+    """Order-insensitive double SUM (exact decimal accumulation)."""
+    return F.sum(col.cast(_DEC)).cast("string").cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-insensitive double AVG = exact decimal sum / count."""
+    return F.sum(col.cast(_DEC)).cast("string").cast("double") / F.count(col)
+
+
+#: SQL fragments mirroring dsum/davg for the DuckDB oracle strings.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+# Portable 64-bit multiplicative hash (Knuth): same arithmetic is expressible
+# in DuckDB SQL, unlike Spark's xxhash64/Murmur. Used by the token-range scan
+# emulation (SURVEY.md §2A op 16) so resume/range logic is oracle-checkable.
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), classic multiplicative constant
+M32 = 4294967296  # 2^32
+
+
+def portable_token(key: Column) -> Column:
+    """Deterministic pseudo-token in [0, 2^32) from an integer key column."""
+    return (key.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+
+
+def sql_portable_token(expr: str) -> str:
+    return f"(CAST({expr} AS BIGINT) * {KNUTH}) % {M32}"

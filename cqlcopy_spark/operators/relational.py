@@ -1,0 +1,271 @@
+"""Relational operator surface (SURVEY.md §2B/§2C ops 23-28).
+
+The reference (riptl/cqlcopy) implements none of these — it is a bulk
+loader (SURVEY.md §0) — so these are the mandated extension operators,
+written declaratively so Catalyst picks the physical strategy:
+
+- filters/projections push down into the parquet scan (check
+  `PushedFilters` in .explain),
+- small dimension joins are explicitly broadcast (no shuffle of the fact
+  table for dim lookups),
+- the one large join (lineitem ⋈ orders) shuffles on the join key with
+  AQE skew handling,
+- aggregations get map-side partial aggregation for free.
+
+Scale posture at 100 TB: every query here is a scan → (broadcast-)join →
+partial-agg → shuffle-by-group-key → final-agg pipeline whose shuffle
+volume is the aggregated groups, not the fact rows, except
+`filter_predicate` (pure scan, pushdown does the work) and `window_topk`
+(single shuffle on the partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import davg, dsum, sql_davg, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# op 24: agg_pricing_summary — TPC-H Q1-style grouped aggregation
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", oracle=_Q1_ORACLE)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg→sort. Filter and the 7-column projection push
+    into the parquet scan; sums accumulate map-side before one shuffle on
+    the 2-column group key (≤ 6 groups at any scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.filter(col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(col("l_quantity")).alias("sum_qty"),
+            dsum(col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + col("l_tax"))).alias("sum_charge"),
+            davg(col("l_quantity")).alias("avg_qty"),
+            davg(col("l_extendedprice")).alias("avg_price"),
+            davg(col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 23: filter_predicate — pushdown-eligible WHERE surface
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("filter_predicate", oracle=_FILTER_ORACLE)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped predicate set. All four predicates and the 5-column
+    projection reach the parquet reader (PushedFilters + ReadSchema) — at
+    100 TB this is the difference between scanning ~2% and 100% of bytes."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_discount") >= 0.05)
+        & (col("l_discount") <= 0.07)
+        & (col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# op 25: join_star — multi-way star join with broadcast dims
+# ---------------------------------------------------------------------------
+
+_STAR_ORACLE = f"""
+SELECT
+  r.r_name,
+  n.n_name,
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@register("join_star", oracle=_STAR_ORACLE)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation. Physical shape: ONE shuffle join
+    (lineitem ⋈ orders on orderkey, both large) and three broadcast hash
+    joins for customer/nation/region — the fact table is never shuffled
+    for a dimension lookup. customer grows with SF but stays ~GB at 100 TB
+    lineitem (TPC-H ratios) — still broadcastable; if not, AQE falls back
+    to shuffle join only for that edge."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(col("l_extendedprice") * (1 - col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 26: join_semi_anti — existence / absence in one query
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register("join_semi_anti", oracle=_SEMI_ANTI_ORACLE)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (has a big order) chained with left_anti (never had an 'F'
+    order). Both sides hash-join on o_custkey; semi/anti joins never
+    materialize the probe side's payload — minimal shuffle width."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    big = orders.filter(col("o_totalprice") > 150000).select("o_custkey")
+    failed = orders.filter(col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(failed, cust.c_custkey == failed.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 27: window_topk — top-k per group via window function
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("window_topk", oracle=_TOPK_ORACLE)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer. Deterministic tiebreak on
+    o_orderkey (oracle-parity requirement: row_number over ties is
+    otherwise engine-dependent). One shuffle on o_custkey; rank filter is
+    applied before any further stage, so only k rows per key survive."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 28: set_ops — union / intersect / except over key sets
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT c_custkey FROM (
+  (SELECT o_custkey AS c_custkey FROM orders
+   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+   INTERSECT
+   SELECT o_custkey AS c_custkey FROM orders
+   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+)
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("set_ops", oracle=_SETOPS_ORACLE)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """((1995-buyers ∩ 1996-buyers) ∖ negative-balance) ∪ urgent-buyers.
+    All four legs reduce to distinct key sets before combining — each set
+    op is a shuffle on the single key column only."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def buyers(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select(col("o_custkey").alias("c_custkey"))
+
+    a = buyers("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    b = buyers("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    neg = cust.filter(col("c_acctbal") < 0).select("c_custkey")
+    urgent = orders.filter(col("o_orderpriority") == "1-URGENT").select(
+        col("o_custkey").alias("c_custkey")
+    )
+    # .intersect / .subtract are distinct-set ops (match SQL INTERSECT/EXCEPT);
+    # .union is UNION ALL, so a final .distinct() matches SQL UNION.
+    return a.intersect(b).subtract(neg).union(urgent).distinct()

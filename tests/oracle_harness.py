@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB-oracle compare (SURVEY.md §5).
+
+Runs a registered Spark query and its oracle SQL over the same sf dir,
+sorts columns by name (like the driver), sorts rows canonically, and
+compares values EXACTLY (bitwise for floats) — the strictest emulation of
+an order-insensitive value hash. Used by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from cqlcopy_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        kind = df[c].dtype.kind
+        if kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif kind == "M":
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif kind == "O" and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].apply(lambda v: tuple(np.asarray(v).tolist()))
+    # stable order-insensitive row order
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame, float_exact: bool = True) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    got = _canon(spark_df.toPandas())
+    want = _canon(oracle_pdf)
+    problems: list[str] = []
+    if list(got.columns) != list(want.columns):
+        return [f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"]
+    if len(got) != len(want):
+        problems.append(f"row count differs: spark={len(got)} oracle={len(want)}")
+        return problems
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = a.astype("float64")
+            b = b.astype("float64")
+            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+            if not float_exact:
+                eq |= np.isclose(a, b, rtol=1e-12, atol=1e-12, equal_nan=True)
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={a[i]!r} oracle={b[i]!r}"
+                )
+        else:
+            eq = pd.Series(a).eq(pd.Series(b)) | (pd.Series(a).isna() & pd.Series(b).isna())
+            if not eq.all():
+                i = int(eq.idxmin())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={a[i]!r} oracle={b[i]!r}"
+                )
+    return problems
