@@ -1,1 +1,141 @@
-"""placeholder — filled in during round 1."""
+"""COPY-surface driver queries (SURVEY.md §2A ops 1-9, 16-17, 20-22).
+
+These are the reference's actual capabilities re-expressed Spark-first
+and wired to DuckDB oracles:
+
+- `copy_roundtrip` (op 22): table → CSV (reference quoting/typing
+  conventions) → schema-first re-ingest → identical table.
+- `cast_dynamic` (ops 5-9): the per-cell precedence semantics of
+  write.go:199-223 applied to (value, quoted) pairs.
+- `scan_token_range` (ops 16-17): resumable token scan with a portable
+  ring hash, oracle-checkable arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.config import DEFAULT_CONFIG
+from cqlcopy_spark.functions.portable import sql_portable_token
+from cqlcopy_spark.plans.registry import register
+from cqlcopy_spark.sinks.csv_sink import write_csv
+from cqlcopy_spark.sources.cassandra import scan_token_range as _scan_token_range
+from cqlcopy_spark.sources.csv_source import cast_cell, read_csv
+
+# ---------------------------------------------------------------------------
+# op 22: copy_roundtrip
+# ---------------------------------------------------------------------------
+
+_LINEITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
+@register("copy_roundtrip", oracle="SELECT * FROM lineitem")
+def copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship COPY semantics: export lineitem to CSV with the
+    reference's conventions (header, RFC-4180 quoting, configurable
+    null/timestamp), re-ingest schema-first, get the identical table.
+    Doubles survive because Spark's CSV writer emits shortest-round-trip
+    representations; timestamps survive via the configured layout.
+
+    Scale: both legs are full-width scans with no shuffle at all — the
+    write fans out per partition (reference workers, write.go:130-132)
+    and the read is splittable CSV."""
+    out = os.path.join("/tmp/cqlcopy_spark/roundtrip", os.path.basename(sf_dir.rstrip("/")))
+    li = table(spark, sf_dir, "lineitem")
+    write_csv(li, out, DEFAULT_CONFIG)
+    return read_csv(spark, out, _LINEITEM_SCHEMA, DEFAULT_CONFIG)
+
+
+# ---------------------------------------------------------------------------
+# ops 5-9: cast_dynamic — reference per-cell typing precedence
+# ---------------------------------------------------------------------------
+
+_CAST_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderdate,
+  o_totalprice,
+  o_orderstatus = 'F' AS is_failed,
+  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS note
+FROM orders
+"""
+
+
+@register("cast_dynamic", oracle=_CAST_ORACLE)
+def cast_dynamic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringify orders into (value, quoted) cells exactly as they would
+    arrive from the reference's CSV reader, then resolve each cell with
+    the write.go:199-223 precedence: quoted→string; bool literals
+    (case-insensitive — the documented behavior, README.md:18); unquoted
+    null literal → SQL null (quoted "NULL" stays a string); timestamp
+    layout; int64; double (engine upgrade over README.md:11).
+
+    Every 7th note row carries the UNQUOTED null literal and must come
+    back as SQL NULL; all other notes are QUOTED and must survive as
+    strings even if they look like literals."""
+    cfg = DEFAULT_CONFIG
+    o = table(spark, sf_dir, "orders")
+    cells = o.select(
+        col("o_orderkey").cast("string").alias("k_v"),
+        F.lit(False).alias("k_q"),
+        F.date_format(col("o_orderdate"), cfg.time_format_ntz).alias("d_v"),
+        F.lit(False).alias("d_q"),
+        col("o_totalprice").cast("string").alias("p_v"),
+        F.lit(False).alias("p_q"),
+        F.when(col("o_orderstatus") == "F", "TRUE").otherwise("False").alias("b_v"),
+        F.lit(False).alias("b_q"),
+        F.when(col("o_orderkey") % 7 == 0, F.lit(cfg.null_literal))
+        .otherwise(col("o_orderpriority"))
+        .alias("n_v"),
+        (col("o_orderkey") % 7 != 0).alias("n_q"),
+    )
+    return cells.select(
+        cast_cell(col("k_v"), col("k_q"), T.LongType(), cfg).alias("o_orderkey"),
+        cast_cell(col("d_v"), col("d_q"), T.TimestampNTZType(), cfg).alias("o_orderdate"),
+        cast_cell(col("p_v"), col("p_q"), T.DoubleType(), cfg).alias("o_totalprice"),
+        cast_cell(col("b_v"), col("b_q"), T.BooleanType(), cfg).alias("is_failed"),
+        cast_cell(col("n_v"), col("n_q"), T.StringType(), cfg).alias("note"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ops 16-17: scan_token_range
+# ---------------------------------------------------------------------------
+
+_TOKEN_OFFSET = 2_147_483_648  # resume from mid-ring
+
+_TOKEN_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {sql_portable_token('o_orderkey')} AS token
+FROM orders
+WHERE {sql_portable_token('o_orderkey')} > {_TOKEN_OFFSET}
+"""
+
+
+@register("scan_token_range", oracle=_TOKEN_ORACLE)
+def scan_token_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume a full-table scan from mid-ring: token(pk) > offset with an
+    exclusive bound (read.go:107,113-119). The token is a projection over
+    the scan — no shuffle; the filter stays in codegen."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return _scan_token_range(o, "o_orderkey", offset=_TOKEN_OFFSET)

@@ -1,0 +1,86 @@
+"""Write reliability: retry with backoff + insert-error budget
+(SURVEY.md §2A ops 12, 14).
+
+The reference retries each batch up to --max-attempts with a fixed
+--backoff sleep (write.go:253-265) and counts failed batches against
+--max-insert-errors (write.go:242-248 — whose abort is logged but never
+enforced; we enforce it, per SURVEY.md §2A quirks).
+
+In Spark the batch loop lives inside `foreachPartition`, so retries are
+executor-local (no driver round-trip) and the error budget is a Spark
+accumulator — the idiomatic distributed counter.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+from cqlcopy_spark.config import DEFAULT_CONFIG, CopyConfig
+
+
+class InsertBudgetExceeded(RuntimeError):
+    pass
+
+
+def retry_call(
+    fn: Callable[[], None],
+    max_attempts: int = DEFAULT_CONFIG.max_attempts,
+    backoff_s: float = DEFAULT_CONFIG.backoff_s,
+    sleep: Callable[[float], None] = time.sleep,
+) -> bool:
+    """Run `fn` up to max_attempts times (0 = infinite, write.go:41),
+    fixed backoff between attempts (write.go:253-265). True on success."""
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            fn()
+            return True
+        except Exception:
+            if max_attempts and attempt >= max_attempts:
+                return False
+            sleep(backoff_s)
+
+
+def write_with_retries(
+    df: DataFrame,
+    write_batch: Callable[[list], None],
+    cfg: CopyConfig = DEFAULT_CONFIG,
+) -> int:
+    """Generic retrying batched sink for non-connector targets: partitions
+    ≡ workers, `chunk_size`-row batches, per-batch retry, enforced insert
+    budget. Returns the number of failed batches (0 unless budget < 0
+    allows unlimited failures).
+
+    The final partial batch is ALWAYS flushed — fixing the reference's
+    dropped-trailing-batch bug (write.go:67,155-159)."""
+    sc = df.sparkSession.sparkContext
+    failed = sc.accumulator(0)
+    chunk, attempts, backoff = cfg.chunk_size, cfg.max_attempts, cfg.backoff_s
+    budget = cfg.max_insert_errors
+
+    def run_partition(rows: Iterator) -> None:
+        batch: list = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            if not retry_call(lambda: write_batch(list(batch)), attempts, backoff):
+                failed.add(1)
+            batch.clear()
+
+        for r in rows:
+            batch.append(r)
+            if len(batch) >= chunk:
+                flush()
+        flush()
+
+    df.foreachPartition(run_partition)
+    if budget >= 0 and failed.value > budget:
+        raise InsertBudgetExceeded(
+            f"{failed.value} failed batches exceeds --max-insert-errors={budget}"
+        )
+    return failed.value

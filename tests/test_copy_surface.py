@@ -1,0 +1,187 @@
+"""Unit tests for the COPY surface: reference typing precedence
+(write.go:199-223), RFC-4180 quote-preserving parse, error budgets,
+batching, retry, identifiers (FIXTURES.md edge-case checklist)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cqlcopy_spark.config import CopyConfig, check_identifier, go_layout_to_java
+from cqlcopy_spark.sinks.retry import retry_call, write_with_retries
+from cqlcopy_spark.sources.csv_source import (
+    _split_rfc4180,
+    cast_dynamic,
+    count_malformed,
+    parse_csv_dynamic,
+    read_csv,
+)
+
+CFG = CopyConfig()
+
+
+# ---------------------------------------------------------------------------
+# RFC-4180 scanner
+# ---------------------------------------------------------------------------
+
+def test_split_plain():
+    fields, err = _split_rfc4180("a,b,c", 3)
+    assert err is None and fields == [("a", False), ("b", False), ("c", False)]
+
+
+def test_split_quoted_and_escaped():
+    fields, err = _split_rfc4180('"a,b",c,"he said ""hi"""', 3)
+    assert err is None
+    assert fields == [("a,b", True), ("c", False), ('he said "hi"', True)]
+
+
+def test_split_empty_fields():
+    fields, err = _split_rfc4180(",,", 3)
+    assert err is None and fields == [("", False), ("", False), ("", False)]
+
+
+def test_split_arity_error():
+    _, err = _split_rfc4180("a,b", 3)
+    assert err is not None
+
+
+def test_split_unterminated_quote():
+    _, err = _split_rfc4180('"abc,d', 2)
+    assert "unterminated" in err
+
+
+# ---------------------------------------------------------------------------
+# Dynamic cast precedence (FIXTURES.md edge rows)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def edge_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "edge.csv"
+    lines = [
+        "name,flag,n,x,ts,note",          # header (discarded; names from caller)
+        'alice,true,42,3.14,2024-01-02 03:04:05,"hello, world"',
+        'bob,FALSE,-7,-0.5,2024-06-30 23:59:59,plain',
+        'NULL,NULL,NULL,NULL,NULL,NULL',  # unquoted literals → SQL nulls
+        '"NULL","true","42","3.14","2024-01-02 03:04:05","NULL"',  # quoted → strings survive
+        'eve,bogus,notanint,notafloat,notadate,x',  # unparseable → null (typed cols)
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+CFG_NTZ = CopyConfig(time_format_go="2006-01-02 15:04:05")
+
+
+def test_cast_dynamic_precedence(spark, edge_csv):
+    raw = parse_csv_dynamic(spark, edge_csv, [f.name for f in SCHEMA.fields], CFG_NTZ)
+    typed = cast_dynamic(raw, SCHEMA, CFG_NTZ).orderBy("name")
+    rows = {r["name"]: r for r in typed.collect()}
+
+    a = rows["alice"]
+    assert a["flag"] is True and a["n"] == 42 and a["x"] == 3.14
+    assert a["ts"].isoformat() == "2024-01-02T03:04:05"
+    assert a["note"] == "hello, world"
+
+    b = rows["bob"]  # case-insensitive bool (README.md:18 documented behavior)
+    assert b["flag"] is False and b["n"] == -7 and b["x"] == -0.5
+
+    nulls = rows[None]  # unquoted NULL literal → SQL null in every column
+    assert all(nulls[c] is None for c in ["name", "flag", "n", "x", "ts", "note"])
+
+    q = rows["NULL"]  # QUOTED "NULL" stays the string (write.go:208-214)
+    assert q["name"] == "NULL" and q["note"] == "NULL"
+    assert q["flag"] is True and q["n"] == 42  # quoted literals still coerce to target
+
+    e = rows["eve"]  # unparseable cells → null, row survives
+    assert e["flag"] is None and e["n"] is None and e["x"] is None and e["ts"] is None
+
+
+def test_parse_error_column(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\n\"unterminated,3\nx,y\n")
+    raw = parse_csv_dynamic(spark, str(p), ["a", "b"], CopyConfig())
+    errs = raw.filter(raw["_parse_error"].isNotNull()).count()
+    assert errs == 1
+
+
+# ---------------------------------------------------------------------------
+# Schema-first reader + parse budget (op 13)
+# ---------------------------------------------------------------------------
+
+def test_parse_budget_enforced(spark, tmp_path):
+    p = tmp_path / "budget.csv"
+    p.write_text("n,x\n1,1.5\nbad,row,extra,cols\n2,2.5\n")
+    schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+    assert count_malformed(spark, str(p), schema, CopyConfig()) == 1
+    with pytest.raises(ValueError, match="budget"):
+        read_csv(spark, str(p), schema, CopyConfig(max_parse_errors=0))
+    ok = read_csv(spark, str(p), schema, CopyConfig(max_parse_errors=5))
+    assert ok.count() == 2
+    unlimited = read_csv(spark, str(p), schema, CopyConfig(max_parse_errors=-1))
+    assert unlimited.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Retry + insert budget (ops 12, 14)
+# ---------------------------------------------------------------------------
+
+def test_retry_call_succeeds_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    assert retry_call(flaky, max_attempts=5, backoff_s=0, sleep=lambda s: None)
+    assert calls["n"] == 3
+
+
+def test_retry_call_exhausts():
+    assert not retry_call(
+        lambda: (_ for _ in ()).throw(RuntimeError()), max_attempts=2, backoff_s=0,
+        sleep=lambda s: None,
+    )
+
+
+def test_write_with_retries_flushes_final_partial_batch(spark, tmp_path):
+    # 25 rows, chunk 10 → batches of 10/10/5 per partitioning; the trailing
+    # 5-row batch MUST be written (the reference drops it, SURVEY §2A quirks).
+    df = spark.range(25).repartition(1)
+    out = tmp_path / "sink.txt"
+
+    def write_batch(rows):
+        with open(out, "a") as fh:
+            fh.write(f"{len(rows)}\n")
+
+    failed = write_with_retries(df, write_batch, CopyConfig(chunk_size=10))
+    sizes = sorted(int(x) for x in out.read_text().split())
+    assert failed == 0 and sum(sizes) == 25 and sizes == [5, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# Identifiers + Go layout translation
+# ---------------------------------------------------------------------------
+
+def test_identifiers():
+    assert check_identifier("ks.table_1")
+    assert not check_identifier("bad;drop")
+    assert not check_identifier("")
+
+
+def test_go_layout():
+    assert go_layout_to_java("2006-01-02 15:04:05-0700") == "yyyy-MM-dd HH:mm:ssXX"
+    assert go_layout_to_java("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
