@@ -32,10 +32,62 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `cqlcopy_spark` importable on executor Python workers.
+
+    Python UDF / mapInPandas functions defined in this package are
+    cloudpickled BY REFERENCE (module + qualname); workers must be able
+    to import the module to unpickle them. When the driver process loads
+    __spark_entry__ from outside the repo, workers inherit a sys.path
+    without /root/repo — so ship the package once per SparkContext via
+    addPyFile (a zip, distributed through the Spark file server exactly
+    as --py-files would on a real cluster)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    import cqlcopy_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(cqlcopy_spark.__file__))
+    staging = tempfile.mkdtemp(prefix="cqlcopy_spark_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "cqlcopy_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="cqlcopy_spark",
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ship_package(spark)
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    to a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw int64
+    (legacy conf) and floor-divide to microseconds — the identical
+    truncation DuckDB applies when it loads NANOS into its µs timestamps,
+    so oracle comparisons stay exact. Integer division (`div`), not
+    float: ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exactness."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

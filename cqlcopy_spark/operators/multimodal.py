@@ -1,1 +1,157 @@
-"""placeholder — filled in during round 1."""
+"""Multimodal-column operators (SURVEY.md §2C op 33 + mandated multimodal
+extension: opaque binary payloads with typed metadata, decode / feature-
+extract as Arrow-batched UDF stages).
+
+The container has no image/audio libraries, so the DECODE step is stubbed
+exactly as the north star prescribes: a deterministic fake keyed on the
+payload bytes (real Spark plumbing — schema, batching, partitioning — with
+a clearly-marked stand-in kernel), plus an import-gated real path that
+raises NotImplementedError until PIL/librosa exist.
+
+`multimodal_props` handles the semi-structured case the fixtures actually
+ship: a JSON props column on the events stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# op 33: multimodal_props — JSON property extraction on the event stream
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+@register("multimodal_props", oracle=_PROPS_ORACLE)
+def multimodal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (not schema inference — at 100 TB
+    you declare the contract). Pure map; JSON parse stays on the JVM."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(col("props"), T.StructType([T.StructField("k", T.LongType())]))
+    return e.select("event_id", "event_type", parsed["k"].alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_meta — binary payload + typed metadata
+# ---------------------------------------------------------------------------
+
+_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+@register("multimodal_meta", oracle=_META_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model a multimodal table: payload as an opaque BINARY column with
+    typed metadata (byte length, content hash, mime). The fixture corpus
+    has no real media, so payloads are the UTF-8 document bytes — the
+    COLUMN SHAPE is the point: downstream stages treat it as bytes."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract pipeline (stubbed kernel, real plumbing)
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
+    """Real decode path — enabled when an imaging library ships.
+
+    STUB: the container deliberately has no PIL/opencv/librosa
+    (environment constraint); the Spark-side contract (binary in, typed
+    features out, Arrow batches) is exercised via _decode_fake."""
+    raise NotImplementedError("no imaging library in this environment")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in kernel: features derived arithmetically from
+    the bytes, so the full pipeline is testable end-to-end (and even
+    oracle-checkable, since the arithmetic is reproducible in SQL)."""
+    n = len(payload)
+    width = 1 + n % 1024
+    height = 1 + (n * 7) % 768
+    n_frames = 1 + n % 30
+    mean_luma = (sum(payload[:16]) % 256) / 255.0 if n else 0.0
+    return width, height, n_frames, mean_luma
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+                    use_real: bool = False) -> DataFrame:
+    """mapInPandas decode stage: binary column → typed feature rows.
+
+    Arrow moves the bytes executor-side in columnar batches; the kernel
+    is a pure per-payload function, so this is embarrassingly parallel
+    map work — the partitioning of `df` is preserved, no shuffle."""
+    kernel = _decode_real if use_real else _decode_fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [kernel(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=["width", "height", "n_frames", "mean_luma"])
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+_FEATURES_ORACLE = """
+WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+SELECT doc_id,
+       CAST(1 + octet_length(payload) % 1024 AS INT) AS width,
+       CAST(1 + (octet_length(payload) * 7) % 768 AS INT) AS height,
+       CAST(1 + octet_length(payload) % 30 AS INT) AS n_frames,
+       CAST(list_sum(list_transform(range(1, LEAST(octet_length(payload), 16) + 1),
+                     i -> ascii(substr(text, CAST(i AS INT), 1)))) % 256 AS DOUBLE)
+         / 255.0 AS mean_luma
+FROM b
+"""
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on the fixture corpus: build binary
+    payloads, run the Arrow-batched decode stage (fake kernel), return
+    typed features. The oracle reproduces the kernel arithmetic in SQL —
+    it validates the UDF PLUMBING (batching, schema, row alignment), the
+    thing that breaks in real pipelines.
+
+    NB: oracle uses ascii(substr(text,..)) ≡ payload bytes because the
+    corpus is ASCII; the Spark side operates on true bytes."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(col("text"), "UTF-8").alias("payload"))
+    return decode_features(payloads)

@@ -1,1 +1,234 @@
-"""placeholder — filled in during round 1."""
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2C op 32 +
+mandated text extensions: language-ID, quality scoring, token counting,
+document fingerprinting). Reference has no analog (it is a loader); these
+are the north-star additions (BASELINE.json:6).
+
+Everything is built-in `pyspark.sql.functions` — no Python UDFs — so the
+whole surface stays in whole-stage codegen and scales as pure map work:
+no operator here shuffles more than its final (tiny) aggregate.
+
+Oracle-parity notes: tokenization is a single-space split in BOTH engines;
+per-row double arithmetic uses identical expression shapes so results are
+bit-identical; the fingerprint is a polynomial rolling hash with
+int64-safe modular steps expressible in DuckDB's list_reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import davg, sql_davg
+from cqlcopy_spark.plans.registry import register
+
+def _tokens():
+    return F.split(col("text"), " ")
+
+# ---------------------------------------------------------------------------
+# op 32: text_stats — corpus statistics by language
+# ---------------------------------------------------------------------------
+
+_NTOK_SQL = "len(string_split(text, ' '))"
+
+_STATS_ORACLE = f"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  {sql_davg('n_chars')} AS avg_chars,
+  SUM({_NTOK_SQL}) AS total_tokens,
+  {sql_davg(_NTOK_SQL)} AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_stats", oracle=_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/token distribution per language. One scan, map-side partial
+    agg, shuffle of ≤ #languages rows."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(_tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            davg(col("n_chars")).alias("avg_chars"),
+            F.sum(ntok).alias("total_tokens"),
+            davg(ntok).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang_id — stopword-profile language identification
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ein"],
+    "es": ["el", "los", "las", "una", "que"],
+    "fr": ["le", "les", "des", "et", "dans"],
+    "zh": ["的", "是", "不", "我", "了"],
+}
+_PRIORITY = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+
+
+def _sql_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> list_contains([{words}], t)))"
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{_sql_score(lg)} AS s_{lg}' for lg in _PRIORITY)}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang
+FROM scored
+"""
+
+
+@register("lang_id", oracle=_LANGID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word scoring per language; argmax with a fixed priority
+    order so ties are deterministic. Pure map — no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    def _score(words):
+        # NB: no default-arg closure — PySpark binds a Column to EVERY
+        # parameter of a higher-order-function lambda, defaults included.
+        return F.size(F.filter(_tokens(), lambda t: t.isin(*words)))
+
+    scores = {lg: _score(_MARKERS[lg]) for lg in _PRIORITY}
+    pred = F.lit("zh")
+    # build the CASE chain from the bottom up to mirror the SQL exactly
+    pred = F.when(scores["fr"] >= scores["zh"], "fr").otherwise(pred)
+    pred = F.when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es").otherwise(pred)
+    pred = F.when(
+        (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["zh"]),
+        "de",
+    ).otherwise(pred)
+    pred = F.when(
+        (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
+        & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
+        "en",
+    ).otherwise(pred)
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# quality_score — heuristic document quality
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         CAST(n_chars AS DOUBLE) AS chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+       (chars - n_tokens + 1) / n_tokens AS avg_token_len,
+       (CAST(n_types AS DOUBLE) / n_tokens) * 0.6
+         + LEAST(n_tokens / 256.0, 1.0) * 0.4 AS quality
+FROM feats
+"""
+
+
+@register("quality_score", oracle=_QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type/token ratio + length prior → [0,1]-ish score. The components a
+    pretraining-data filter actually uses (repetition and length are the
+    two cheapest junk signals). Pure map work."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_types = F.size(F.array_distinct(_tokens()))
+    chars = col("n_chars").cast("double")
+    ttr = n_types.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        ((chars - n_tokens + 1) / n_tokens).alias("avg_token_len"),
+        (ttr * 0.6 + F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.4).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_count — whitespace + BPE-ish subword estimate
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS subword_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_COUNT_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators: whitespace, regex word-pieces, and
+    the chars/4 rule of thumb. regexp stays in codegen (JVM regex)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count(col("text"), F.lit(_BPE_RE)).alias("subword_tokens"),
+        F.ceil(col("n_chars") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — polynomial rolling hash
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+_FP_LEN = 64  # hash the first 64 chars: cost-bounded, collision-adequate for routing
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, LEAST(length(text), {_FP_LEN}) + 1),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % {_FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic polynomial rolling hash (base 31, prime modulus) over the
+    document prefix — the shard-routing / bucketing fingerprint. Each
+    modular step keeps the accumulator < 31·10^9 + 2^21, int64-safe, so
+    Spark's ANSI arithmetic never overflows. Pure map; F.aggregate is a
+    codegen fold, not a UDF."""
+    d = table(spark, sf_dir, "documents")
+    n = F.least(F.length(col("text")), F.lit(_FP_LEN))
+    codes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.ascii(col("text").substr(i, F.lit(1))).cast("long")
+    )
+    fp = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % _FP_MOD)
+    # Spark's sequence(1, 0) yields a DESCENDING sequence, not empty — guard
+    # the empty-text case explicitly (DuckDB's range(1, 1) is empty).
+    fp = F.when(n >= 1, fp).otherwise(F.lit(0).cast("long"))
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,1 +1,187 @@
-"""placeholder — filled in during round 1."""
+"""Event-time windowing (SURVEY.md §2C ops 34-35): tumbling aggregation
+and sessionization, batch-equivalent first (oracle-checkable), with true
+Structured Streaming variants built from the same logical pieces.
+
+The batch and streaming versions share the aggregation expressions —
+`window()` / `session_window()` produce identical results over a bounded
+input whether executed as a batch query or a streaming query with an
+availableNow trigger, which is exactly what tests/test_streaming.py
+asserts. Watermarks only bound state retention; they do not change
+results on ordered bounded replays.
+
+Scale: both ops shuffle once on (window/session key); streaming state is
+per-key-and-window, evicted by the watermark — the 100 TB concern is key
+cardinality × window retention, controlled by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+_GAP_MIN = 30  # session gap
+_WATERMARK = "2 hours"
+
+# ---------------------------------------------------------------------------
+# op 34: stream_tumbling_agg
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Shared logical plan for batch and streaming execution."""
+    w = F.window(col("ts"), "1 hour")
+    return (
+        events.groupBy(w.alias("w"), col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum(col("value")).alias("total_value"))
+        .select(
+            col("w.start").alias("window_start"),
+            col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("stream_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (batch form)."""
+    return tumbling_agg(table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events fixture. Watermarks require
+    TIMESTAMP (not NTZ), so ts is read as raw nanos (the fixture's
+    physical type) and converted to a UTC instant; outputs are cast back
+    to NTZ by the callers so streaming and batch schemas agree."""
+    import os
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # FileStreamSource requires a DIRECTORY; the fixture is a single file.
+    # Stage a symlink dir (cheap, idempotent) — in production the source
+    # would already be a directory of arriving files.
+    stage = os.path.join(
+        "/tmp/cqlcopy_spark/stream_src", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = spark.readStream.schema(schema).parquet(stage)
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_agg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form: file source → watermark → windowed agg.
+    Late data beyond the watermark is dropped; state for closed windows
+    is evicted. Run with trigger(availableNow=True) + complete/append
+    mode to replay the fixture as a bounded stream."""
+    out = tumbling_agg(_events_stream(spark, sf_dir).withWatermark("ts", _WATERMARK))
+    return out.select(
+        col("window_start").cast("timestamp_ntz").alias("window_start"),
+        col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 35: stream_sessionize
+# ---------------------------------------------------------------------------
+
+# Gaps-and-islands: a new session starts when the gap from the previous
+# event of the same user exceeds GAP; session id = running count of
+# session starts; session end = last event + GAP (matching Spark's
+# session_window end semantics).
+_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '{_GAP_MIN} minutes'
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '{_GAP_MIN} minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Shared logical plan: session_window with a {gap}-minute gap."""
+    sw = F.session_window(col("ts"), f"{_GAP_MIN} minutes")
+    return (
+        events.groupBy(sw.alias("sw"), col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            col("sw.start").alias("session_start"),
+            col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("stream_sessionize", oracle=_SESSION_ORACLE)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (batch form). The oracle is the classic
+    gaps-and-islands SQL — asserting the two formulations agree is the
+    strongest portable check of session semantics."""
+    return sessionize(table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
+    )
+
+
+def stream_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming sessionization: session_window state merges windows
+    as events arrive; the watermark closes sessions whose gap horizon has
+    passed, bounding state."""
+    out = sessionize(_events_stream(spark, sf_dir).withWatermark("ts", _WATERMARK))
+    return out.select(
+        "user_id",
+        col("session_start").cast("timestamp_ntz").alias("session_start"),
+        col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
