@@ -1,0 +1,257 @@
+"""Analytics surface: multi-level aggregation (rollup/cube/grouping sets),
+distinct aggregation, running/sliding window functions, global top-k, and
+the scalar function library (SURVEY.md §2B rows 2-4 and 6).
+
+The reference implements none of these (it is a loader, SURVEY.md §0);
+they are the §2B categories made concrete, all built-in Catalyst plans:
+
+- rollup/cube compile to Expand + one hash aggregate — grouping-set
+  multiplicity costs map-side rows, never an extra shuffle;
+- COUNT(DISTINCT) compiles to Expand + two-phase aggregate (partial
+  distinct per mapper, final merge) — at 100 TB swap in
+  approx_count_distinct (HyperLogLog++) when exactness isn't required;
+- window functions shuffle ONCE on the partition key and sort within
+  partitions; frames are streamed, not materialized;
+- global top-k is orderBy+limit → TakeOrderedAndProject: per-partition
+  heap of k, then a k·partitions merge on the driver — no global sort.
+
+Oracle-parity: float window sums use the dsum decimal trick per frame
+(portable.py); transcendentals (exp/ln/trig) are AVOIDED in the scalar
+library query because libm implementations differ — sqrt is IEEE-754
+correctly-rounded and therefore portable, the rest are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+_DEC = "decimal(38,10)"
+
+# ---------------------------------------------------------------------------
+# agg_rollup — hierarchical totals (status → status+priority → grand total)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): detail rows + per-status subtotals +
+    grand total in one pass. The explicit gid column disambiguates a
+    rolled-up NULL from a data NULL — portable across engines (Spark's
+    grouping_id bit order is engine-defined, 2*g(a)+g(b) is not)."""
+    orders = table(spark, sf_dir, "orders")
+    gid = 2 * F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        gid.cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+        dsum(col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cube — all 2^k grouping combinations
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all four grouping sets via one
+    Expand (4× map-side rows, ≤ ~12 output groups) — never 4 scans."""
+    li = table(spark, sf_dir, "lineitem")
+    gid = 2 * F.grouping("l_returnflag") + F.grouping("l_linestatus")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        gid.cast("int").alias("gid"),
+        F.count("*").alias("n_items"),
+        dsum(col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct — exact multi-column COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_order_days
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact COUNT(DISTINCT) columns → Catalyst Expand with one
+    row per (row, distinct-slot), partial-distinct map-side, single
+    shuffle. At 100 TB, approx_count_distinct (HLL++, fixed 2^p bytes
+    per group) replaces this when ±2% error is acceptable."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct(col("o_custkey")).alias("n_customers"),
+            F.count_distinct(F.to_date(col("o_orderdate"))).alias("n_order_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_running — lag / cumulative sum / sliding average per customer
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  LAG(o_totalprice) OVER w AS prev_price,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+       OVER (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS cum_spend,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+       OVER (w ROWS 2 PRECEDING) AS VARCHAR) AS DOUBLE)
+    / COUNT(*) OVER (w ROWS 2 PRECEDING) AS avg3,
+  ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_running", oracle=_RUNNING_ORACLE)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: previous price (lag), running total,
+    3-order moving average, sequence number. ONE shuffle on o_custkey
+    serves all four functions (same window spec); frames are streamed by
+    the window operator, nothing quadratic. Float frames use the decimal
+    dsum trick so both engines produce bit-identical doubles; ordering
+    has the unique o_orderkey tiebreak (parity requirement)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+
+    def _wsum(frame):
+        return (
+            F.sum(col("o_totalprice").cast(_DEC)).over(frame).cast("string").cast("double")
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        _wsum(cum).alias("cum_spend"),
+        (_wsum(last3) / F.count("*").over(last3)).alias("avg3"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# topk_global — global top-N without a global sort
+# ---------------------------------------------------------------------------
+
+_TOPK_GLOBAL_N = 100
+
+_TOPK_GLOBAL_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_TOPK_GLOBAL_N}
+"""
+
+
+@register("topk_global", oracle=_TOPK_GLOBAL_ORACLE)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 100 most expensive orders. orderBy+limit compiles to
+    TakeOrderedAndProject: each task keeps a k-row heap, the driver
+    merges partitions×k rows — the full table is never globally sorted
+    or shuffled. Deterministic tiebreak on o_orderkey."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(_TOPK_GLOBAL_N)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_funcs — the scalar function library surface
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT o_orderkey,
+  upper(o_orderstatus) AS status_u,
+  lower(o_orderpriority) AS prio_l,
+  substr(o_orderpriority, 1, 3) AS prio3,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+  length(o_orderpriority) AS prio_len,
+  string_split(o_orderpriority, '-')[1] AS prio_code,
+  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+  date_trunc('month', o_orderdate) AS month_start,
+  abs(o_totalprice - 150000.0) AS dist_150k,
+  floor(o_totalprice / 1000.0) AS price_k_floor,
+  ceil(o_totalprice / 1000.0) AS price_k_ceil,
+  sqrt(o_totalprice) AS price_sqrt,
+  greatest(o_totalprice, 150000.0) AS price_hi,
+  least(o_totalprice, 150000.0) AS price_lo,
+  o_orderkey % 7 AS key_mod7,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+FROM orders
+"""
+
+
+@register("scalar_funcs", oracle=_SCALAR_ORACLE)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / array / conditional scalar functions in one
+    projection — the pyspark.sql.functions library surface (§2B). Pure
+    map, single codegen stage, zero shuffles. Transcendentals beyond
+    sqrt are deliberately absent: libm results differ across engines,
+    sqrt is IEEE-correctly-rounded everywhere."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.lower("o_orderpriority").alias("prio_l"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.element_at(F.split("o_orderpriority", "-"), 1).alias("prio_code"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", col("o_orderdate")).alias("month_start"),
+        F.abs(col("o_totalprice") - 150000.0).alias("dist_150k"),
+        F.floor(col("o_totalprice") / 1000.0).alias("price_k_floor"),
+        F.ceil(col("o_totalprice") / 1000.0).alias("price_k_ceil"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.greatest(col("o_totalprice"), F.lit(150000.0)).alias("price_hi"),
+        F.least(col("o_totalprice"), F.lit(150000.0)).alias("price_lo"),
+        (col("o_orderkey") % 7).alias("key_mod7"),
+        F.coalesce(F.nullif(col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+    )

@@ -140,6 +140,56 @@ def _lsh_sig(emb):
     return sig
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_NEARDUP_COS = 0.4  # this corpus has no planted dups; threshold sits at the top tail
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= {_NEARDUP_COS}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine near-dup over embeddings (v1 < v2,
+    cosine ≥ {t}). Physical shape here: broadcast-nested-loop — one side
+    broadcast, the corpus scanned once, no shuffle; exactness requires
+    visiting every pair, so the honest 100 TB plan is blocked matrix
+    multiply (repartition both sides into B blocks, join the B² block
+    pairs, BLAS inside mapInPandas per block pair) — same output, and
+    each task is a dense GEMM. The LSH prefilter variant
+    (similarity_ann_lsh's bucketing) is the sub-quadratic option when
+    recall < 1 is acceptable. Dot products fold sequentially, so doubles
+    are bitwise-equal to the DuckDB oracle."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
+    a = n.alias("a")
+    b = broadcast(n.select(
+        col("vec_id").alias("b_vec_id"),
+        col("emb").alias("b_emb"),
+        col("nrm").alias("b_nrm"),
+    ))
+    cos = _dot(col("emb"), col("b_emb")) / (col("nrm") * col("b_nrm"))
+    return (
+        a.join(b, col("vec_id") < col("b_vec_id"))
+        .select(
+            col("vec_id").alias("v1"),
+            col("b_vec_id").alias("v2"),
+            cos.alias("cosine"),
+        )
+        .filter(col("cosine") >= _NEARDUP_COS)
+    )
+
+
 @register("similarity_ann_lsh")  # rows-only: ANN recall < 1 by design
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: query and corpus vectors hash to 256

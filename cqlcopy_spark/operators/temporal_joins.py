@@ -1,0 +1,148 @@
+"""Temporal joins (SURVEY.md §2B joins row: as-of and range/band joins).
+
+Spark has no native ASOF JOIN operator; the idiomatic distributed
+formulations are:
+
+- as-of:  UNION both sides with a tag → ONE shuffle on the entity key →
+  per-key sort → last_value(ignorenulls) carries the most recent build-
+  side attributes forward onto each probe row. Cost = sort-merge of
+  |A|+|B| rows; never a per-row subquery, never a cross join. (The
+  pandas `merge_asof`-in-applyInPandas alternative costs the same
+  shuffle but leaves the JVM — only worth it for many as-of columns.)
+
+- range/band: equi-join on (entity, coarse time bucket) with the probe
+  side exploded to the two buckets its window can touch, then the exact
+  band predicate refines. The bucket key bounds candidate volume per
+  join task even for a hot entity (a pure entity-key join would put one
+  user's whole history in one task; bucketing splits it by time).
+
+Both are exactly oracle-checkable: DuckDB has native ASOF JOIN, and the
+band join is plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# join_asof — each purchase matched to the user's most recent prior view
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH v0 AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, ts, value FROM v0 WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.value AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase gets the same user's latest view at or
+    before the purchase time (ties count: >= semantics, like DuckDB
+    ASOF). Build side is deduped to one row per (user, ts) — max
+    event_id wins — so tie resolution is deterministic in both engines.
+
+    Plan shape: union → one shuffle+sort on (user_id; ts, tag) →
+    last_value(ignorenulls) → filter probe rows. Purchases with no prior
+    view keep NULLs (left join)."""
+    e = table(spark, sf_dir, "events")
+
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc())
+    views = (
+        e.filter(col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("event_id"),
+            col("ts").alias("v_ts"),
+            col("value").alias("v_value"),
+        )
+    )
+    purchases = e.filter(col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("v_ts"),
+        F.lit(None).cast("double").alias("v_value"),
+    )
+    # Sort views BEFORE purchases at an equal timestamp so ts-ties match
+    # the oracle's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("v_value", ignorenulls=True).over(w))
+        .filter(col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "view_ts", "view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_range — ordered event pairs within a 30-minute band per user
+# ---------------------------------------------------------------------------
+
+_BAND_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+_RANGE_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT a.event_id AS e1, b.event_id AS e2, b.us - a.us AS dt_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + {_BAND_US}
+"""
+
+
+@register("join_range", oracle=_RANGE_ORACLE)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: ordered pairs of same-user events at most 30
+    minutes apart. Join key is (user_id, 30-min bucket); the left row
+    probes its own bucket and the next one (a (t, t+30m] window spans at
+    most two buckets), then the exact inequality refines. Candidate
+    volume per task is bounded by events-per-user-per-hour — a hot
+    user's history is split across time buckets rather than landing in
+    one task, which is what makes this survive 1000× skew."""
+    e = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        )
+        .withColumn("bucket", F.floor(col("us") / _BAND_US))
+    )
+    probe = e.withColumn("probe_bucket", F.explode(F.array(col("bucket"), col("bucket") + 1)))
+    a = probe.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (col("a.user_id") == col("b.user_id"))
+            & (col("a.probe_bucket") == col("b.bucket"))
+            & (col("b.us") > col("a.us"))
+            & (col("b.us") <= col("a.us") + _BAND_US),
+        )
+        .select(
+            col("a.event_id").alias("e1"),
+            col("b.event_id").alias("e2"),
+            (col("b.us") - col("a.us")).alias("dt_us"),
+        )
+    )

@@ -58,6 +58,8 @@ def _load_all() -> None:
     if _LOADED:
         return
     import cqlcopy_spark.operators.relational  # noqa: F401
+    import cqlcopy_spark.operators.analytics  # noqa: F401
+    import cqlcopy_spark.operators.temporal_joins  # noqa: F401
     import cqlcopy_spark.operators.copy_surface  # noqa: F401
     import cqlcopy_spark.operators.dedup  # noqa: F401
     import cqlcopy_spark.operators.similarity  # noqa: F401
