@@ -66,5 +66,6 @@ def _load_all() -> None:
     import cqlcopy_spark.operators.text  # noqa: F401
     import cqlcopy_spark.operators.multimodal  # noqa: F401
     import cqlcopy_spark.streaming.windows  # noqa: F401
+    import cqlcopy_spark.streaming.stateful  # noqa: F401
 
     _LOADED = True

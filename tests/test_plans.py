@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the 100 TB posture, enforced in CI.
+
+Correctness tests prove the operators compute the right answer at small
+SF; these prove the PLANS are the ones that survive a 1000× scale-up:
+filters and projections reach the parquet scan, dimensions broadcast
+instead of shuffling the fact table, candidate-generation joins never
+degenerate into cartesian products, and aggregation is map-side partial.
+A regression that flips one of these (e.g. a lost broadcast hint, a
+filter hidden behind a UDF) changes no answers at sf0.001 — only these
+tests catch it before it becomes a 100× slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cqlcopy_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan (pre-execution; AQE initial plan)."""
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan_of(QUERIES["filter_predicate"](spark, SF_SMALL))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_quantity" in m.group(1) and "l_discount" in m.group(1), p
+    # column pruning: the scan must read only the 6 referenced columns
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs and len(rs.group(1).split(",")) == 6, p
+
+
+def shuffle_exchanges(p: str) -> int:
+    """Count shuffle Exchange nodes in a formatted plan tree (excludes
+    BroadcastExchange)."""
+    return len(re.findall(r"(?<!Broadcast)Exchange \(", p))
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan_of(QUERIES["join_star"](spark, SF_SMALL))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
+    # the fact table is never shuffled for a dim lookup: at most ONE
+    # shuffle join (lineitem ⋈ orders; at tiny SF even that broadcasts)
+    shuffle_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert shuffle_joins <= 1, p
+
+
+def test_agg_is_partial_then_final(spark):
+    p = plan_of(QUERIES["agg_pricing_summary"](spark, SF_SMALL))
+    assert p.count("HashAggregate") >= 2, p  # map-side partial + final
+
+
+def test_topk_global_avoids_global_sort(spark):
+    p = plan_of(QUERIES["topk_global"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort (" not in p, p  # per-partition heaps, not a global sort
+
+
+def test_scalar_funcs_is_single_stage_map(spark):
+    p = plan_of(QUERIES["scalar_funcs"](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "codegen id" in p, p  # whole-stage codegen spans the projection
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_fuzzy_minhash", "dedup_ngram_jaccard", "dedup_simhash", "join_range"],
+)
+def test_candidate_joins_never_cartesian(spark, name):
+    """LSH/banding/bucketing exists to avoid all-pairs work; a join-key
+    regression would silently turn these into cross joins."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_semi_anti_join_shapes(spark):
+    p = plan_of(QUERIES["join_semi_anti"](spark, SF_SMALL))
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+
+
+def test_window_ops_single_exchange(spark):
+    """window_running: four window functions over one window spec must
+    share ONE shuffle on the partition key."""
+    p = plan_of(QUERIES["window_running"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p  # one Window operator serves all four
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark):
+    """The as-of join is the union+window formulation: no join node at
+    all, one hash exchange on user_id."""
+    p = plan_of(QUERIES["join_asof"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert shuffle_exchanges(p) <= 2, p  # dedup window + asof window
