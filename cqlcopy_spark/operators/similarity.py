@@ -159,35 +159,65 @@ WHERE {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= {_NEARDUP_COS}
 @register("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs cosine near-dup over embeddings (v1 < v2,
-    cosine ≥ {t}). Physical shape here: broadcast-nested-loop — one side
-    broadcast, the corpus scanned once, no shuffle; exactness requires
-    visiting every pair, so the honest 100 TB plan is blocked matrix
-    multiply (repartition both sides into B blocks, join the B² block
-    pairs, BLAS inside mapInPandas per block pair) — same output, and
-    each task is a dense GEMM. The LSH prefilter variant
-    (similarity_ann_lsh's bucketing) is the sub-quadratic option when
-    recall < 1 is acceptable. Dot products fold sequentially, so doubles
-    are bitwise-equal to the DuckDB oracle."""
+    cosine ≥ threshold). Physical shape: blocked matrix product — the
+    corpus is broadcast once (it plays the dimension-table role), the
+    row side is scanned in Arrow batches, and each task computes a
+    (batch × corpus) score block vectorized in numpy. At 100 TB the
+    broadcast side becomes the block decomposition of the corpus (join
+    the B² block pairs, same kernel per pair of blocks); the LSH
+    prefilter (similarity_ann_lsh's bucketing) is the sub-quadratic
+    option when recall < 1 is acceptable.
+
+    Bitwise oracle parity WITHOUT scalar folds: the kernel accumulates
+    over the dimension axis sequentially (`acc += x[:,k]·y[:,k]`,
+    vectorized across pairs) — per pair that is the identical
+    left-to-right IEEE-754 fold DuckDB's list_reduce performs, so the
+    doubles hash-match while the work runs as 64 vector ops per block
+    instead of 2M interpreted folds (~40× faster at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
-    a = n.alias("a")
-    b = broadcast(n.select(
-        col("vec_id").alias("b_vec_id"),
-        col("emb").alias("b_emb"),
-        col("nrm").alias("b_nrm"),
-    ))
-    cos = _dot(col("emb"), col("b_emb")) / (col("nrm") * col("b_nrm"))
-    return (
-        a.join(b, col("vec_id") < col("b_vec_id"))
-        .select(
-            col("vec_id").alias("v1"),
-            col("b_vec_id").alias("v2"),
-            cos.alias("cosine"),
-        )
-        .filter(col("cosine") >= _NEARDUP_COS)
-    )
+    corpus = e.toPandas()  # small side, same role as a broadcast dim
+    c_ids = corpus["vec_id"].to_numpy()
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["emb"]])
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _seq_dot(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+        # (n, d) × (m, d) → (n, m), accumulated dimension-by-dimension so
+        # each entry is the sequential left-to-right fold (in-place add:
+        # same additions in the same order, no realloc per step).
+        acc = np.zeros((X.shape[0], Y.shape[0]))
+        for k in range(X.shape[1]):
+            acc += X[:, k, None] * Y[None, :, k]
+        return acc
+
+    def _seq_norm(X: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(X.shape[0])
+        for k in range(X.shape[1]):
+            acc += X[:, k] * X[:, k]
+        return np.sqrt(acc)
+
+    def block(batches):
+        ids_b, mat_b = bc.value
+        nrm_b = _seq_norm(mat_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            xid = pdf["vec_id"].to_numpy()
+            cos = _seq_dot(X, mat_b) / (_seq_norm(X)[:, None] * nrm_b[None, :])
+            i, j = np.nonzero((cos >= _NEARDUP_COS) & (xid[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {"v1": xid[i], "v2": ids_b[j], "cosine": cos[i, j]}
+            )
+
+    # One small parquet file = one input partition; spread the row blocks
+    # across cores (the shuffle moves only the tiny embedding rows).
+    par = spark.sparkContext.defaultParallelism
+    return e.repartition(par).mapInPandas(block, schema="v1 long, v2 long, cosine double")
 
 
 @register("similarity_ann_lsh")  # rows-only: ANN recall < 1 by design
