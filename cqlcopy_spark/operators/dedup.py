@@ -124,9 +124,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Invert on the gram's xxhash64, not the gram string: the join key is
     # a long (cheap shuffle + fast equality); Jaccard over hashed gram
     # sets equals Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance.
+    # Persist: the inverted index feeds both self-join sides plus the
+    # per-doc sizes aggregate — three consumers of one shingle pass.
     grams = _with_grams(d).select(
         "doc_id", F.explode(F.transform(col("grams"), lambda g: F.xxhash64(g))).alias("g")
-    )
+    ).persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -202,7 +204,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic. (A pair at J ≈ 0.5 could legitimately be missed by
     LSH; that divergence-vs-oracle is the documented recall trade.)"""
     d = table(spark, sf_dir, "documents")
-    docs = _with_minhash_sig(d)
+    # Persist: both self-join sides consume the signatures; without it the
+    # 32-permutation signature chain is evaluated twice.
+    docs = _with_minhash_sig(d).persist()
     bands = docs.select(
         "doc_id",
         "hashes",
@@ -257,23 +261,39 @@ def _simhash_pdf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     Runs as Arrow-batched mapInPandas (the bit-matrix vote has no builtin
     Spark expression). Token hash = crc32 pair → 64 bits, deterministic
-    across runs/workers. CPU-bound pure map — scales horizontally."""
+    across runs/workers. Fully vectorized per batch: one flat token-hash
+    array, bit expansion as an (n_tokens × 64) matrix, per-doc vote via
+    add.reduceat on the doc boundaries (every doc has ≥ 1 token — ''.
+    split(' ') is [''] — so boundaries are strictly increasing). Integer
+    votes are order-insensitive, so results are identical to a per-token
+    loop. CPU-bound pure map — scales horizontally."""
     import numpy as np
     from zlib import crc32
 
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _tok_hash(tok: str) -> int:
+        b = tok.encode()
+        return (crc32(b) << 32) | crc32(b[::-1] + b"\x9e")
+
     for pdf in it:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in text.split(" "):
-                b = tok.encode()
-                h = np.uint64((crc32(b) << 32) | crc32(b[::-1] + b"\x9e"))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            sig = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
-        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+        tok_lists = [t.split(" ") for t in pdf["text"]]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = np.fromiter(
+            (_tok_hash(t) for toks in tok_lists for t in toks),
+            dtype=np.uint64,
+            count=int(counts.sum()),
+        )
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        bounds = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=bounds[1:])
+        votes = np.add.reduceat(2 * bits - 1, bounds, axis=0)
+        sigs = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "simhash": sigs.astype(np.int64)}
+        )
 
 
 @register("dedup_simhash")  # rows-only: crc32-based hash not expressible in DuckDB SQL
@@ -283,8 +303,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk) — bucket join on (chunk_idx, chunk_value), then exact
     bit_count(XOR) verify. Built-in bit ops for everything post-UDF."""
     d = table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", "text").mapInPandas(
-        _simhash_pdf, schema="doc_id long, simhash long"
+    # Persist the signatures: both sides of the self-join read them, and
+    # without materialization Spark re-executes the Python kernel per
+    # side (self-join exchange reuse is not guaranteed for Arrow stages).
+    # One 16-byte row per doc — trivially cacheable at any scale.
+    par = spark.sparkContext.defaultParallelism
+    sigs = (
+        d.select("doc_id", "text")
+        .repartition(par)  # one small parquet file = one partition otherwise
+        .mapInPandas(_simhash_pdf, schema="doc_id long, simhash long")
+        .persist()
     )
     chunks = sigs.select(
         "doc_id",
