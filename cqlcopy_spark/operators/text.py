@@ -198,6 +198,68 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_percentiles — grouped applyInPandas (the UDAF-shaped escape hatch)
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_percentiles", oracle=_PCTL_ORACLE)
+def text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles via grouped applyInPandas —
+    the custom-aggregate (UDAF) escape hatch for holistic aggregates
+    that don't decompose into partial+merge. One shuffle on lang; each
+    group is one Arrow batch in one task. At 100 TB with a huge single
+    group, exact percentiles need a distributed selection algorithm or
+    approx_percentile (t-digest) instead — this shape is for groups that
+    fit a task, which per-language length stats do.
+
+    The interpolation formula (h = (n-1)·q, then (1-f)·lower + f·upper)
+    is written out explicitly and matches DuckDB's quantile_cont
+    bitwise: inputs are integers (exact in double) and both engines
+    perform the identical IEEE op sequence."""
+    import numpy as np
+    import pandas as pd
+
+    def pctl(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = np.sort(pdf["n_chars"].to_numpy(dtype=np.float64))
+
+        def q(p: float) -> float:
+            h = (len(x) - 1) * p
+            lo = int(h)
+            hi = min(lo + 1, len(x) - 1)
+            f = h - lo
+            # (1-f)·a + f·b, NOT a + f·(b-a): same real value, different
+            # rounding — this is the form DuckDB's quantile_cont uses.
+            return float((1 - f) * x[lo] + f * x[hi])
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(x)],
+                "p50_chars": [q(0.5)],
+                "p90_chars": [q(0.9)],
+            }
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(pctl, schema="lang string, n_docs long, p50_chars double, p90_chars double")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc_fingerprint — polynomial rolling hash
 # ---------------------------------------------------------------------------
 
