@@ -1,0 +1,94 @@
+"""Source/sink format surface beyond CSV (SURVEY.md §2A ops 1/20
+generalized): JSONL roundtrip and partition-pruned parquet layout.
+
+The reference moves data only as CSV↔Cassandra; a Spark-native engine
+gets every columnar/semi-structured format through the same DataFrame
+reader/writer API. These queries prove the two properties that matter
+operationally:
+
+- lossless roundtrip (schema-first read back of what we wrote, exact to
+  the driver's value hash, doubles included), and
+- a partition layout the scan planner actually prunes (the difference
+  between reading one directory and reading 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.plans.registry import register
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_IDENTITY_ORACLE = (
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+)
+
+
+def _stage(sf_dir: str, leaf: str) -> str:
+    return os.path.join("/tmp/cqlcopy_spark", leaf, os.path.basename(sf_dir.rstrip("/")))
+
+
+@register("jsonl_roundtrip", oracle=_EVENTS_IDENTITY_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON Lines → schema-first read back → identical table.
+    Doubles survive (Jackson shortest-round-trip text), NTZ timestamps
+    survive via the default ISO micro format, and the embedded-JSON
+    `props` string survives as an escaped string (it is data, not
+    structure, until from_json is applied — multimodal_props does that).
+    Both legs are shuffle-free full-width scans; JSONL is splittable, so
+    the read parallelizes per block at any scale."""
+    out = _stage(sf_dir, "jsonl")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # Default NTZ JSON format truncates to milliseconds — pin micros.
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    e.write.mode("overwrite").option("timestampNTZFormat", fmt).json(out)
+    return (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .option("timestampNTZFormat", fmt)
+        .json(out)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+_PRUNE_ORACLE = """
+SELECT event_id, ts, user_id, value, event_type
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("partitioned_scan_prune", oracle=_PRUNE_ORACLE)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events hive-partitioned by event_type, read back only the
+    purchase partition. The filter binds to the DIRECTORY layout
+    (PartitionFilters in the scan, asserted by tests/test_plans.py) —
+    at 100 TB the other partitions' files are never opened, the scan
+    cost is proportional to the selected slice. This is the layout
+    decision (partition on the coarse, always-filtered key) that no
+    downstream optimizer can recover if skipped at write time."""
+    out = _stage(sf_dir, "partitioned")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value", "event_type")
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
     import cqlcopy_spark.operators.analytics  # noqa: F401
     import cqlcopy_spark.operators.temporal_joins  # noqa: F401
     import cqlcopy_spark.operators.copy_surface  # noqa: F401
+    import cqlcopy_spark.operators.formats  # noqa: F401
     import cqlcopy_spark.operators.dedup  # noqa: F401
     import cqlcopy_spark.operators.similarity  # noqa: F401
     import cqlcopy_spark.operators.text  # noqa: F401

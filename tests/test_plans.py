@@ -98,6 +98,12 @@ def test_window_ops_single_exchange(spark):
     assert p.count("Window (") == 1, p  # one Window operator serves all four
 
 
+def test_partitioned_scan_prunes_directories(spark):
+    p = plan_of(QUERIES["partitioned_scan_prune"](spark, SF_SMALL))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "purchase" in m.group(1), p
+
+
 def test_asof_join_single_shuffle_no_join_operator(spark):
     """The as-of join is the union+window formulation: no join node at
     all, one hash exchange on user_id."""
