@@ -199,6 +199,31 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_approx — sketch-based aggregation (the 100 TB substitutes)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_approx")  # rows-only: sketch results are engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) and approx_percentile
+    (quantile sketch) per order priority — the fixed-memory substitutes
+    for agg_distinct / text_percentiles at 100 TB: state per group is a
+    bounded sketch (2^p registers / sketch buffer) instead of a hash set
+    or a sorted spill. Deterministic given the data, but the register
+    layout is engine-specific, so no cross-engine oracle — accuracy vs
+    the exact operators is asserted in tests/test_approx.py."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # scalar_funcs — the scalar function library surface
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,53 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# udtf_top_ngrams — Python UDTF surface (§2B UDF/UDAF/UDTF row)
+# ---------------------------------------------------------------------------
+
+_UDTF_NGRAMS_ORACLE = """
+WITH grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+    AS gram
+  FROM documents
+)
+SELECT gram, COUNT(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+@register("udtf_top_ngrams", oracle=_UDTF_NGRAMS_ORACLE)
+def udtf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word 3-grams via a Python UDTF in a LATERAL
+    join — the table-function escape hatch (one input row → many output
+    rows with imperative logic). For THIS logic the JVM explode/
+    transform path (dedup.py's shingles) is the fast path; the UDTF
+    form exists for generators that genuinely need Python (parsers,
+    tokenizers with library dependencies). Downstream is an ordinary
+    partial+final count and a TakeOrdered top-k with a deterministic
+    gram tiebreak."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class NGrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("ngrams_udtf", NGrams)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    grams = spark.sql("SELECT t.gram FROM _docs_for_udtf, LATERAL ngrams_udtf(text) t")
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_percentiles — grouped applyInPandas (the UDAF-shaped escape hatch)
 # ---------------------------------------------------------------------------
 
