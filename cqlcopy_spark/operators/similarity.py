@@ -112,32 +112,43 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: random-hyperplane LSH buckets
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 8  # 256 buckets; tune buckets ≈ corpus/bucket_size at scale
+# (m=5, L=6) tuned for a hard corpus (near-random embeddings, top cosine
+# ≈ 0.5): per-plane agreement p ≈ 2/3 at 60° gives table hit p^5 ≈ 0.13,
+# recall ≈ 1-(1-0.13)^6 ≈ 0.57 for the best neighbor at ~19% candidate
+# volume. Easy corpora (planted near-dups at cosine ≥ 0.9) allow far
+# stingier settings.
+_N_PLANES = 5  # per table: 32 buckets
+_N_TABLES = 6  # independent tables; a neighbor need collide in only one
 
 
-def _lsh_sig(emb):
-    """8-bit hyperplane signature. Component s_{m,i} ∈ {+1, -1} is derived
-    from xxhash64(m, i): deterministic pseudo-randomness, no RNG state to
-    ship to executors."""
-    def plane_bit(m):
+def _lsh_sigs(emb):
+    """Array of one m-bit hyperplane signature per table. Component
+    s_{p,i} ∈ {+1, -1} is derived from xxhash64(p, i): deterministic
+    pseudo-randomness, no RNG state to ship to executors. Multi-table is
+    the standard recall lever for hyperplane LSH — recall ≈
+    1 - (1 - p^m)^L for per-plane agreement probability p."""
+    def plane_bit(p, weight):
         proj = F.aggregate(
             F.zip_with(
                 emb,
                 F.transform(
                     F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: F.pmod(F.xxhash64(F.lit(m), i), F.lit(2)) * 2 - 1,
+                    lambda i: F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) * 2 - 1,
                 ),
                 lambda v, s: v * s.cast("double"),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** m)
+        return F.when(proj > 0, F.lit(weight)).otherwise(F.lit(0))
 
-    sig = plane_bit(0)
-    for m in range(1, _N_PLANES):
-        sig = sig + plane_bit(m)
-    return sig
+    def table_sig(t):
+        sig = plane_bit(t * _N_PLANES, 1)
+        for i in range(1, _N_PLANES):
+            sig = sig + plane_bit(t * _N_PLANES + i, 2 ** i)
+        return sig
+
+    return F.array(*[table_sig(t) for t in range(_N_TABLES)])
 
 
 # ---------------------------------------------------------------------------
@@ -220,34 +231,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.repartition(par).mapInPandas(block, schema="v1 long, v2 long, cosine double")
 
 
-@register("similarity_ann_lsh")  # rows-only: ANN recall < 1 by design
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: query and corpus vectors hash to 256
-    hyperplane buckets; candidates are corpus vectors in the query's
-    bucket; exact cosine + top-k within candidates.
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
 
-    Scale: the bucket join shuffles on sig (a single int) — candidate
-    volume is N/256 per query instead of N. More planes / multi-probe
-    trade recall for candidate count; IVF (k-means cells) would replace
-    the hash with learned centroids, same join shape."""
+
+@register("similarity_ann_ivf")  # rows-only: ANN recall < 1 by design
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells replace the hash buckets of
+    similarity_ann_lsh — the learned-partition variant of the same join
+    shape. Corpus vectors are assigned to their nearest of {cells}
+    centroids (MLlib KMeans, fixed seed — deterministic); each query
+    probes its {nprobe} nearest cells; exact cosine + top-k runs only
+    within probed cells, so candidate volume is ~nprobe/cells of the
+    corpus.
+
+    Scale shape: training samples the corpus (KMeans on a sample is
+    standard IVF practice), assignment is a pure map, and the candidate
+    join shuffles on the integer cell id. The tiny query set's probe
+    list is computed driver-side from the (cells × dim) centroid matrix
+    — at large Q that step becomes a broadcast-join against the centroid
+    table instead."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).withColumn(
-        "sig", _lsh_sig(col("emb"))
+    vecs = e.withColumn("features", array_to_vector(col("emb")))
+    model = KMeans(k=_IVF_CELLS, seed=42, featuresCol="features").fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .select("vec_id", "emb", col("prediction").alias("cell"))
+        .withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
+        .persist()  # consumed by both the query collect and the candidate join
     )
-    q = (
-        n.filter(col("vec_id") < _N_QUERIES)
-        .select(
-            col("vec_id").alias("q_id"),
-            col("emb").alias("q_emb"),
-            col("nrm").alias("q_nrm"),
-            col("sig").alias("q_sig"),
-        )
+
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    queries = assigned.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("q_id"),
+        col("emb").alias("q_emb"),
+        col("nrm").alias("q_nrm"),
+    )
+    qrows = queries.collect()  # Q is tiny by contract; see docstring
+    probe_rows = []
+    for r in qrows:
+        d2 = ((centroids - np.asarray(r["q_emb"])) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:_IVF_NPROBE]:
+            probe_rows.append((r["q_id"], int(cell)))
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+
+    cands = assigned.join(broadcast(probes.join(queries, "q_id")), "cell").filter(
+        col("vec_id") != col("q_id")
+    )
+    sims = cands.select(
+        "q_id",
+        col("vec_id").alias("n_id"),
+        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(col("cosine").desc(), col("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+@register("similarity_ann_lsh")  # rows-only: ANN recall < 1 by design
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: every vector
+    gets L independent m-bit signatures; candidates are corpus vectors
+    sharing ANY table's bucket with the query; exact cosine + top-k runs
+    on the deduped candidates only.
+
+    Scale: the bucket join shuffles on (table, sig) ints — candidate
+    volume ≈ L·N/2^m per query instead of N. Recall rises with L (a
+    near neighbor need collide in just one table), candidate count is
+    the cost — the classic (m, L) trade. IVF (similarity_ann_ivf) is
+    the learned-partition variant of the same join shape;
+    tests/test_ann_recall.py pins both recalls against the exact top-k."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    staged = e.select(
+        "vec_id", "emb", F.sqrt(_dot(col("emb"), col("emb"))).alias("nrm")
+    )
+    n = staged.select(
+        "vec_id", "emb", "nrm", F.posexplode(_lsh_sigs(col("emb"))).alias("t", "sig")
+    )
+    q = n.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("q_id"),
+        col("emb").alias("q_emb"),
+        col("nrm").alias("q_nrm"),
+        col("t").alias("q_t"),
+        col("sig").alias("q_sig"),
     )
     cands = n.join(
-        broadcast(q), (col("sig") == col("q_sig")) & (col("vec_id") != col("q_id"))
-    )
+        broadcast(q),
+        (col("t") == col("q_t"))
+        & (col("sig") == col("q_sig"))
+        & (col("vec_id") != col("q_id")),
+    ).dropDuplicates(["q_id", "vec_id"])  # collide in ≥1 table → count once
     sims = cands.select(
         "q_id",
         col("vec_id").alias("n_id"),
