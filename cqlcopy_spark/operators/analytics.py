@@ -199,6 +199,66 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_pivot — long-to-wide reshape
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per user, one column per event type. The pivot
+    values are DECLARED (not discovered): with an explicit list the
+    reshape is a single groupBy — no extra distinct-values job, which at
+    100 TB would be a full second scan. Missing combinations coalesce
+    to 0 to match the conditional-aggregation formulation."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# sort_global — true distributed total order
+# ---------------------------------------------------------------------------
+
+_SORT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+@register("sort_global", oracle=_SORT_ORACLE)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order over the whole table (no limit — contrast with
+    topk_global). Physical plan: RANGE partitioning — Spark samples the
+    sort key, computes balanced split bounds, one shuffle routes rows to
+    ordered partitions, each sorts locally (external sort, spills).
+    Partition i's rows all precede partition i+1's: a global sort with
+    no single-machine bottleneck. Deterministic o_orderkey tiebreak."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_approx — sketch-based aggregation (the 100 TB substitutes)
 # ---------------------------------------------------------------------------
 

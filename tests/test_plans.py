@@ -67,6 +67,11 @@ def test_topk_global_avoids_global_sort(spark):
     assert "Sort (" not in p, p  # per-partition heaps, not a global sort
 
 
+def test_sort_global_uses_range_partitioning(spark):
+    p = plan_of(QUERIES["sort_global"](spark, SF_SMALL))
+    assert "rangepartitioning" in p, p  # sampled bounds, ordered partitions
+
+
 def test_scalar_funcs_is_single_stage_map(spark):
     p = plan_of(QUERIES["scalar_funcs"](spark, SF_SMALL))
     assert "Exchange" not in p, p
