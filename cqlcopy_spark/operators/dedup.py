@@ -249,6 +249,77 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_components — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE base_pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM base_pairs
+  UNION ALL
+  SELECT d2 AS u, d1 AS v FROM base_pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+"""
+
+
+@register("dedup_components", oracle=_CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-CLUSTER resolution — the step after pair detection that a
+    dedup pipeline actually ships: connected components over the
+    near-dup pair graph (J ≥ 0.5 edges), each doc labeled with the min
+    doc_id reachable from it (singletons label themselves). Keeping one
+    doc per component is then a trivial filter.
+
+    This is the repo's iterative-algorithm shape: min-label propagation
+    (join labels to neighbors → per-node min → monotone label decrease)
+    looped until a fixpoint, detected by the strictly-decreasing label
+    sum — one tiny driver-side scalar per round, no collect of data
+    rows. Rounds ≤ component diameter (near-dup clusters are shallow;
+    capped at 20). Each round persists its labels and unpersists the
+    previous — bounded lineage, no runaway plan growth. The DuckDB
+    oracle is the same fixpoint written as a recursive CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    fwd = pairs.select(col("d1").alias("u"), col("d2").alias("v"))
+    edges = fwd.union(fwd.select(col("v").alias("u"), col("u").alias("v"))).persist()
+
+    d = table(spark, sf_dir, "documents")
+    labels = d.select(col("doc_id").alias("u"), col("doc_id").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(20):
+        neigh_min = (
+            edges.join(labels.select(col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "u", "left")
+            .select(
+                "u",
+                F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = new_sum
+
+    edges.unpersist()
+    return labels.select(col("u").alias("doc_id"), col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — 64-bit SimHash + banded Hamming join
 # ---------------------------------------------------------------------------
 

@@ -174,6 +174,81 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stream-stream interval join: purchases ⋈ preceding views within 30 min
+# ---------------------------------------------------------------------------
+
+_JOIN_WINDOW_MIN = 30
+
+_INTERVAL_JOIN_ORACLE = f"""
+SELECT p.event_id AS p_event_id, p.user_id,
+       p.ts AS p_ts, v.ts AS v_ts, v.value AS v_value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL '{_JOIN_WINDOW_MIN} minutes'
+"""
+
+
+def _interval_join(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """Shared logical plan: every (purchase, view) pair of the same user
+    with the view in the 30 minutes up to the purchase."""
+    return purchases.join(
+        views,
+        (col("p_user") == col("v_user"))
+        & (col("v_ts") <= col("p_ts"))
+        & (col("v_ts") > col("p_ts") - F.expr(f"INTERVAL {_JOIN_WINDOW_MIN} MINUTES")),
+    ).select(
+        "p_event_id",
+        col("p_user").alias("user_id"),
+        "p_ts",
+        "v_ts",
+        "v_value",
+    )
+
+
+def _split_purchases_views(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+    purchases = src.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_event_id"),
+        col("user_id").alias("p_user"),
+        col("ts").alias("p_ts"),
+    )
+    views = src.filter(col("event_type") == "view").select(
+        col("user_id").alias("v_user"),
+        col("ts").alias("v_ts"),
+        col("value").alias("v_value"),
+    )
+    return purchases, views
+
+
+@register("stream_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join (the semantics
+    contract for the streaming variant below). Equi-key on user plus a
+    time band — one shuffle on user_id for each side."""
+    purchases, views = _split_purchases_views(table(spark, sf_dir, "events"))
+    return _interval_join(purchases, views)
+
+
+def stream_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream inner join: both sides are unbounded streams;
+    the watermarks plus the time-band condition let Spark EVICT buffered
+    state (a view older than watermark − 30 min can never match a future
+    purchase). Without the band the state would grow forever — the
+    condition is correctness AND liveness at 100 TB/day rates."""
+    p_src, v_src = _split_purchases_views(_events_stream(spark, sf_dir))
+    purchases = p_src.withWatermark("p_ts", _WATERMARK)
+    views = v_src.withWatermark("v_ts", _WATERMARK)
+    out = _interval_join(purchases, views)
+    return out.select(
+        "p_event_id",
+        "user_id",
+        col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+        "v_value",
+    )
+
+
 def stream_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming sessionization: session_window state merges windows
     as events arrive; the watermark closes sessions whose gap horizon has

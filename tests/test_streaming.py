@@ -45,6 +45,30 @@ def test_streaming_sessionize_matches_batch(spark):
     pd.testing.assert_frame_equal(batch, stream)
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream inner join replayed over the bounded fixture must
+    produce exactly the batch interval join (append mode: pairs are
+    emitted once both sides have passed the watermark)."""
+    from cqlcopy_spark.streaming.windows import (
+        stream_interval_join,
+        stream_interval_join_streaming,
+    )
+
+    batch = _canon(stream_interval_join(spark, SF_SMALL).toPandas())
+    q = (
+        stream_interval_join_streaming(spark, SF_SMALL)
+        .writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = _canon(spark.sql("SELECT * FROM ssj_t").toPandas())
+    q.stop()
+    pd.testing.assert_frame_equal(batch, stream)
+
+
 def test_rate_source_windowed_agg(spark):
     """Live-source smoke: the tumbling-agg shape runs on Spark's rate
     source (synthetic unbounded stream) and produces windows — proves
