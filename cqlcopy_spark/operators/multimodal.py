@@ -129,6 +129,100 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# resize / frame-sample stages (stub kernels, real plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Resize stage: binary in → binary out with the new dimensions.
+
+    STUB kernel (no imaging lib in this container): output bytes are a
+    deterministic slice/tile of the input sized w·h/64 — shape-correct
+    plumbing (binary → binary, metadata columns updated, Arrow batches,
+    partitioning preserved); swap the kernel body for PIL when present."""
+    target = max(1, width * height // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                tiled = (raw * (target // max(len(raw), 1) + 1))[:target]
+                out_rows.append((doc_id, tiled, width, height))
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "payload", "width", "height"]
+            )
+            out_rows = []
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10,
+                  id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling stage: one row in → one row per sampled frame
+    (row-explosion inside mapInPandas, the video-decode shape).
+
+    STUB kernel: frame count from the fake decoder, each frame a
+    deterministic byte slice. Real path would seek keyframes via
+    pyav/ffmpeg; the Spark contract (1→N rows, binary frames, stable
+    ordering by (doc_id, frame_idx)) is what downstream stages bind to."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                _, _, n_frames, _ = _decode_fake(raw)
+                for idx in range(0, n_frames, every_n):
+                    lo = (idx * 7) % max(len(raw), 1)
+                    rows.append((doc_id, idx, raw[lo : lo + 16]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+@register("multimodal_frames")  # rows-only: chained stub kernels, no SQL analog
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: payload build → frame sample (1→N row
+    explosion) → per-doc frame stats. Arrow-batched map stages composed
+    with no shuffle until the final (tiny) aggregate — the plumbing a
+    real media pipeline runs, with kernels stubbed per the environment
+    contract. The resize stage is exercised separately in
+    tests/test_multimodal_stages.py (its fixed output dims would make
+    this aggregate constant)."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(col("text"), "UTF-8").alias("payload"))
+    frames = sample_frames(payloads, every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.octet_length(col("frame"))).alias("frame_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _FEATURES_ORACLE = """
 WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
 SELECT doc_id,

@@ -198,6 +198,43 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_normalize — canonical cleanup before dedup/tokenization
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+    AS norm_text,
+  len(string_split(
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+    ' ')) AS n_norm_tokens
+FROM documents
+"""
+
+
+@register("text_normalize", oracle=_NORM_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass run before dedup/tokenization: lowercase →
+    strip non-alphanumerics → collapse runs of spaces → trim. Pure map
+    in whole-stage codegen (JVM regex). The character class is ASCII on
+    purpose — Java and RE2 regex agree exactly there, where unicode
+    property classes can diverge between engines; non-Latin scripts
+    (the zh docs) normalize to empty, which a real pipeline would route
+    to a script-specific branch keyed on lang_id."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # udtf_top_ngrams — Python UDTF surface (§2B UDF/UDAF/UDTF row)
 # ---------------------------------------------------------------------------
 

@@ -45,6 +45,29 @@ def test_streaming_sessionize_matches_batch(spark):
     pd.testing.assert_frame_equal(batch, stream)
 
 
+def test_foreach_batch_sink_exactly_once(spark, tmp_path):
+    """Replay + restart must not duplicate: run the stream to completion,
+    run it AGAIN from the same checkpoint (no new data → no new batches),
+    and the landed row count must equal the batch count both times."""
+    from cqlcopy_spark.catalog import table
+    from cqlcopy_spark.streaming.sinks import exactly_once_parquet_sink
+    from cqlcopy_spark.streaming.windows import _events_stream
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    expected = table(spark, SF_SMALL, "events").count()
+
+    for _ in range(2):
+        q = (
+            exactly_once_parquet_sink(_events_stream(spark, SF_SMALL), out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert spark.read.parquet(out).count() == expected
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Stream-stream inner join replayed over the bounded fixture must
     produce exactly the batch interval join (append mode: pairs are
