@@ -121,22 +121,29 @@ _N_PLANES = 5  # per table: 32 buckets
 _N_TABLES = 6  # independent tables; a neighbor need collide in only one
 
 
+_EMB_DIM = 64  # fixture embedding dimension (FIXTURES.md)
+
+
+def _plane_signs(p: int) -> list[float]:
+    """Deterministic ±1 sign vector for hyperplane p — computed ONCE on
+    the driver (md5 bits), embedded as literals. The signs are row-
+    independent constants; deriving them with runtime hash expressions
+    would cost planes×dim hash calls per row for identical output."""
+    import hashlib
+
+    digest = hashlib.md5(f"plane:{p}".encode()).digest() * ((_EMB_DIM // 128) + 2)
+    bits = int.from_bytes(digest[: _EMB_DIM // 8 + 1], "big")
+    return [1.0 if (bits >> i) & 1 else -1.0 for i in range(_EMB_DIM)]
+
+
 def _lsh_sigs(emb):
-    """Array of one m-bit hyperplane signature per table. Component
-    s_{p,i} ∈ {+1, -1} is derived from xxhash64(p, i): deterministic
-    pseudo-randomness, no RNG state to ship to executors. Multi-table is
+    """Array of one m-bit hyperplane signature per table. Multi-table is
     the standard recall lever for hyperplane LSH — recall ≈
     1 - (1 - p^m)^L for per-plane agreement probability p."""
     def plane_bit(p, weight):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(p)])
         proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) * 2 - 1,
-                ),
-                lambda v, s: v * s.cast("double"),
-            ),
+            F.zip_with(emb, signs, lambda v, s: v * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -320,7 +327,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = staged.select(
         "vec_id", "emb", "nrm", F.posexplode(_lsh_sigs(col("emb"))).alias("t", "sig")
-    )
+    ).persist()  # corpus AND query sides read this; one signature pass
     q = n.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("q_id"),
         col("emb").alias("q_emb"),

@@ -1,0 +1,43 @@
+"""Connector option assembly (the reference flag → connector config
+mapping, SURVEY.md §2A ops 10-12/18) and the progress reporter (op 15)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cqlcopy_spark.config import CopyConfig
+from cqlcopy_spark.progress import ProgressReporter
+from cqlcopy_spark.sources.cassandra import read_options, split_table, write_options
+
+
+def test_write_options_map_reference_flags():
+    cfg = CopyConfig(chunk_size=500, max_batch_kb=10, num_workers=4, max_attempts=3)
+    opts = write_options("ks.tbl", cfg)
+    assert opts["keyspace"] == "ks" and opts["table"] == "tbl"
+    assert opts["spark.cassandra.output.batch.size.rows"] == "500"
+    assert opts["spark.cassandra.output.batch.size.bytes"] == "10000"
+    assert opts["spark.cassandra.output.concurrent.writes"] == "4"
+    assert opts["spark.cassandra.query.retry.count"] == "3"
+    assert opts["spark.cassandra.output.batch.grouping.key"] == "partition"
+
+
+def test_read_options_map_reference_flags():
+    opts = read_options("ks.tbl", CopyConfig(page_size=128))
+    assert opts["spark.cassandra.input.fetch.sizeInRows"] == "128"
+
+
+def test_split_table_validates_identifiers():
+    assert split_table("ks.tbl") == ("ks", "tbl")
+    with pytest.raises(ValueError):
+        split_table("no_keyspace")
+    with pytest.raises(ValueError):
+        split_table("ks.bad;drop")
+
+
+def test_progress_reporter_counts_rows(spark):
+    lines: list[str] = []
+    with ProgressReporter(spark.sparkContext, report=lines.append, freq_s=0.1) as pr:
+        n = pr.instrument(spark.range(1000).repartition(4)).count()
+    assert n == 1000
+    assert pr.rows.value == 1000
+    assert lines and "1000 rows done" in lines[-1]
