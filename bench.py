@@ -72,6 +72,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # BASELINE.md comparable: the reference's one published number is
+    # ≥50k inserts/s; copy_roundtrip writes AND re-reads every lineitem
+    # row, so rows/copy_roundtrip_sec is a conservative analogue.
+    li_rows = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     print(
         json.dumps(
             {
@@ -81,6 +85,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
+                "copy_rows_per_sec": round(li_rows / timings["copy_roundtrip"]),
             }
         )
     )

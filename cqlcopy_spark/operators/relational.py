@@ -158,6 +158,41 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sql_shipping_priority — the spark.sql() text interface (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+# ONE SQL string, executed verbatim by BOTH engines — the engine's SQL
+# text surface demonstrated at dialect intersection (STRING casts, typed
+# TIMESTAMP literals, decimal-exact revenue). Deterministic LIMIT:
+# l_orderkey is unique per group, so (revenue DESC, l_orderkey) totally
+# orders the result.
+_Q3_SQL = """
+SELECT l_orderkey,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_shipping_priority", oracle=_Q3_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through spark.sql(): Catalyst plans the textual
+    join exactly like the DataFrame form (broadcast customer, shuffle
+    lineitem ⋈ orders, partial agg, TakeOrdered top-10). The oracle IS
+    this query string — one text, two engines, hash-identical output."""
+    from cqlcopy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# ---------------------------------------------------------------------------
 # op 26: join_semi_anti — existence / absence in one query
 # ---------------------------------------------------------------------------
 
