@@ -344,6 +344,83 @@ def text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipeline_corpus_curation — the composed pretraining-data pipeline
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, n,
+    len(string_split(n, ' ')) AS n_tokens,
+    CAST(len(list_distinct(string_split(n, ' '))) AS DOUBLE)
+      / len(string_split(n, ' ')) AS ttr
+  FROM norm
+),
+scored AS (
+  SELECT *, ttr * 0.6 + LEAST(n_tokens / 256.0, 1.0) * 0.4 AS quality
+  FROM feats WHERE n_tokens >= 10
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+dedup AS (
+  SELECT arg_min(lang, doc_id) AS lang, COUNT(*) AS dups, MIN(quality) AS quality
+  FROM kept GROUP BY n
+)
+SELECT lang, COUNT(*) AS docs_kept, SUM(dups - 1) AS dups_removed,
+       {sql_davg('quality')} AS avg_quality
+FROM dedup GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a pretraining corpus actually runs,
+    as ONE declarative plan: normalize → length gate → quality score →
+    quality gate → exact dedup on normalized text → per-language yield
+    report. Catalyst fuses the first four stages into a single codegen'd
+    map; the only shuffles are the dedup groupBy (distinct normalized
+    texts — at scale, group md5(norm) instead) and the final tiny
+    per-language aggregate. One scan of the corpus, end to end."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    toks = F.split(col("n"), " ")
+    staged = d.select("doc_id", "lang", norm.alias("n"))
+    feats = staged.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    scored = feats.filter(col("n_tokens") >= 10).withColumn(
+        "quality",
+        col("ttr") * 0.6 + F.least(col("n_tokens") / F.lit(256.0), F.lit(1.0)) * 0.4,
+    )
+    kept = scored.filter(col("quality") >= 0.5)
+    dedup = kept.groupBy("n").agg(
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.count("*").alias("dups"),
+        F.min("quality").alias("quality"),
+    )
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum(col("dups") - 1).alias("dups_removed"),
+            davg(col("quality")).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc_fingerprint — polynomial rolling hash
 # ---------------------------------------------------------------------------
 
