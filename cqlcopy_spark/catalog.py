@@ -68,6 +68,10 @@ def _ship_package(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Oracle parity requires UTC (FIXTURES.md: fixtures are TZ-naive and
+    # DuckDB evaluates in UTC); pin it here so every query is correct
+    # even on a caller-configured session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
     if name == "events":
         return _events(spark, sf_dir)
