@@ -201,7 +201,22 @@ def sample_frames(df: DataFrame, every_n: int = 10,
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
-@register("multimodal_frames")  # rows-only: chained stub kernels, no SQL analog
+# Mirrors the stub kernels exactly: n_frames = 1 + len % 30 (decode),
+# sampled idx ∈ range(0, n_frames, 4), frame = raw[lo : lo+16] with
+# lo = (idx·7) mod len ⇒ octet_length = min(16, len − lo).
+_FRAMES_ORACLE = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+f AS (
+  SELECT doc_id, len, unnest(range(0, 1 + len % 30, 4)) AS idx FROM b
+)
+SELECT doc_id,
+       COUNT(*) AS n_sampled,
+       SUM(LEAST(16, len - (idx * 7) % len)) AS frame_bytes
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_frames", oracle=_FRAMES_ORACLE)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: payload build → frame sample (1→N row
     explosion) → per-doc frame stats. Arrow-batched map stages composed
