@@ -56,6 +56,62 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_US = 30 * 60 * 1_000_000  # session gap, matches windows.py
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Custom sessionizer with EVENT-TIME TIMEOUTS — the full stateful
+    lifecycle session_window() hides: explicit per-user state carrying
+    the open session, gap-splitting inside each batch, and a watermark-
+    driven timeout that CLOSES idle sessions and evicts their state
+    (session_window semantics, hand-built where custom logic — session
+    caps, per-session payloads, fraud scores — would hook in).
+
+    input: streaming df with columns (ts TIMESTAMP watermarked, user_id,
+    us = unix micros). Emits one row per CLOSED session; a session still
+    open at the watermark stays in state, not in output. Timeout
+    timestamps are clamped above the current watermark (Spark rejects
+    timeouts at/below it)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _GAP_US
+
+    def update(key, pdfs, state: GroupState):
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            s, last, n = state.get
+            out.append((key[0], s, last + gap_us, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            if len(rows):
+                s, last, n = state.get if state.exists else (None, None, 0)
+                for us in rows.sort_values("us")["us"]:
+                    us = int(us)
+                    if s is None:
+                        s, last, n = us, us, 1
+                    elif us - last <= gap_us:
+                        last, n = us, n + 1
+                    else:
+                        out.append((key[0], s, last + gap_us, n))
+                        s, last, n = us, us, 1
+                state.update((s, last, n))
+                timeout_ms = (last + gap_us) // 1000
+                state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_user_stats_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming form: explicit per-user GroupState updated by an
     Arrow-batched pandas function. Output mode `update` — each

@@ -1,0 +1,101 @@
+"""Event-time-timeout sessionizer: replay the fixture as TWO micro-
+batches (file source, maxFilesPerTrigger=1) so the watermark advances
+between them, and check the emitted closed sessions against the exact
+rule implied by session semantics + watermark timeouts:
+
+- every NON-final session of a user closes by gap (a later event
+  arrives) and must be emitted;
+- a user's FINAL session is emitted iff its end passed the END-OF-
+  STREAM watermark (availableNow runs a closing batch that fires
+  pending event-time timeouts against max(ts) − delay); a final session
+  still inside the watermark horizon stays open in state and must NOT
+  be in the output.
+
+All timestamps are microsecond-random, so none of the boundary
+comparisons are ties — the expectation is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.streaming.stateful import _GAP_US, sessionize_stateful
+from tests.conftest import SF_SMALL
+
+_DELAY_US = 60 * 1_000_000  # 1 minute watermark delay
+
+
+def test_timeout_sessionizer_two_batch_replay(spark, tmp_path):
+    events = (
+        table(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        )
+        .persist()
+    )
+    lo, hi = events.agg(F.min("us"), F.max("us")).first()
+    split_us = lo + (hi - lo) * 2 // 3
+
+    stage = str(tmp_path / "two_phase")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    # stage integer micros only: parquet timestamps would collide with the
+    # session's nanosAsLong conf; the stream rebuilds ts from micros
+    cols = ["user_id", "us"]
+    events.filter(col("us") <= split_us).toPandas()[cols].to_parquet(f1)
+    events.filter(col("us") > split_us).toPandas()[cols].to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # file order = batch order
+    os.utime(f2, (now, now))
+
+    src = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("timeout_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM timeout_sessions").collect()
+    }
+    q.stop()
+
+    # ---- expected: replicate the rule from batch data ----
+    rows = sorted(
+        ((r["user_id"], r["us"]) for r in events.collect()), key=lambda t: (t[0], t[1])
+    )
+    sessions: dict[int, list[list[int]]] = {}
+    for uid, us in rows:
+        ss = sessions.setdefault(uid, [])
+        if ss and us - ss[-1][1] <= _GAP_US:
+            ss[-1][1] = us
+            ss[-1][2] += 1
+        else:
+            ss.append([us, us, 1])
+    wm_final_ms = (max(us for _, us in rows) - _DELAY_US) // 1000
+    expected = set()
+    for uid, ss in sessions.items():
+        for i, (s, last, n) in enumerate(ss):
+            final = i == len(ss) - 1
+            if not final or (last + _GAP_US) // 1000 < wm_final_ms:
+                expected.add((uid, s, last + _GAP_US, n))
+
+    events.unpersist()
+    assert emitted == expected
