@@ -67,6 +67,23 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("orc_roundtrip", oracle=_EVENTS_IDENTITY_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read back → identical table. The oracle reads the
+    ORIGINAL parquet fixture, so this checks cross-format losslessness
+    end-to-end (DuckDB never sees the ORC). ORC is the second columnar
+    format a lake migration typically touches; Spark's reader/writer
+    make it a one-line swap, splits and pushdown included."""
+    out = _stage(sf_dir, "orc")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 _PRUNE_ORACLE = """
 SELECT event_id, ts, user_id, value, event_type
 FROM events WHERE event_type = 'purchase'

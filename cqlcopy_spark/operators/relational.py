@@ -261,6 +261,53 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# merge_upsert — the CDC apply / MERGE INTO pattern
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 25 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+UNION ALL
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM orders b ANTI JOIN updates u ON b.o_orderkey = u.o_orderkey
+"""
+
+
+@register("merge_upsert", oracle=_MERGE_ORACLE)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) without a transactional table format: updated
+    rows win, unmatched base rows survive (left-anti), inserts append —
+    the CDC-apply pattern for plain-file lakes. One shuffle on the merge
+    key; with the base bucketed on the key (tests/test_bucketing.py)
+    even that disappears. Deltas here are synthesized deterministically
+    from orders (10% price-bumped updates, 4% new keys)."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserts = base.filter(col("o_orderkey") % 25 == 0).select(
+        (col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    deltas = updates.unionByName(inserts)
+    kept = base.join(deltas.select("o_orderkey"), "o_orderkey", "left_anti")
+    return deltas.unionByName(kept.select(*deltas.columns))
+
+
+# ---------------------------------------------------------------------------
 # op 28: set_ops — union / intersect / except over key sets
 # ---------------------------------------------------------------------------
 

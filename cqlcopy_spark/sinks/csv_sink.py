@@ -41,7 +41,11 @@ def stringify(df: DataFrame) -> DataFrame:
 
 def write_csv(df: DataFrame, path: str, cfg: CopyConfig = DEFAULT_CONFIG) -> None:
     """Op 20: header + RFC-4180 quoting; timestamps in the configured
-    layout so the write path can re-ingest its own output."""
+    layout so the write path can re-ingest its own output.
+
+    ignoreLeading/TrailingWhiteSpace default to TRUE on the writer
+    (unlike the reader) and silently trim string payloads like ' ' —
+    found by the hypothesis round-trip property test; pinned off."""
     (
         df.write.mode("overwrite")
         .options(
@@ -51,6 +55,8 @@ def write_csv(df: DataFrame, path: str, cfg: CopyConfig = DEFAULT_CONFIG) -> Non
             nullValue=cfg.null_literal,
             timestampFormat=cfg.time_format,
             timestampNTZFormat=cfg.time_format_ntz,
+            ignoreLeadingWhiteSpace="false",
+            ignoreTrailingWhiteSpace="false",
         )
         .csv(path)
     )
