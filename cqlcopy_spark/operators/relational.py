@@ -225,6 +225,31 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join_outer — full outer join with unmatched rows on both sides
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_outer", oracle=_OUTER_ORACLE)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuine unmatched rows on BOTH sides
+    (positive-balance customers vs big orders): null-extended rows in
+    each direction. Physical shape: full outer forces a shuffle join
+    (broadcast can't do full outer); one shuffle each side on the key."""
+    cust = table(spark, sf_dir, "customer").filter(col("c_acctbal") > 0)
+    orders = table(spark, sf_dir, "orders").filter(col("o_totalprice") > 200000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "full_outer"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # op 27: window_topk — top-k per group via window function
 # ---------------------------------------------------------------------------
 
@@ -257,6 +282,55 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_scalar_subquery — TPC-H Q17 shape (per-group threshold from a subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+WITH lim AS (
+  SELECT l_partkey, 0.2 * {sql_davg('l_quantity')} AS qty_lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small_orders
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN lim t ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_lim
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("agg_scalar_subquery", oracle=_Q17_ORACLE)
+def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items below 20% of their part's
+    average quantity — the correlated-scalar-subquery class, decorrelated
+    by hand into aggregate-then-join (exactly what Catalyst's subquery
+    decorrelation produces). Two scans of lineitem (threshold + probe),
+    one shuffle join on partkey, broadcast part. The 0.2·avg threshold
+    uses the decimal davg, so the < comparison binds identically in both
+    engines — no boundary flake."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    lim = li.groupBy("l_partkey").agg(
+        (0.2 * davg(col("l_quantity"))).alias("qty_lim")
+    )
+    return (
+        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        .join(lim.withColumnRenamed("l_partkey", "lim_partkey"),
+              col("lim_partkey") == col("l_partkey"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .groupBy("p_brand")
+        .agg(
+            (dsum(col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small_orders"),
+        )
+        .orderBy("p_brand")
     )
 
 

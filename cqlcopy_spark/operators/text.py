@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from cqlcopy_spark.catalog import table
-from cqlcopy_spark.functions.portable import davg, sql_davg
+from cqlcopy_spark.functions.portable import (
+    davg,
+    portable_token,
+    sql_davg,
+    sql_portable_token,
+)
 from cqlcopy_spark.plans.registry import register
 
 def _tokens():
@@ -340,6 +345,51 @@ def text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(pctl, schema="lang string, n_docs long, p50_chars double, p90_chars double")
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_train_eval — deterministic hash-bucketed corpus splits
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH bucketed AS (
+  SELECT doc_id, n_chars, {sql_portable_token('doc_id')} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("split_train_eval", oracle=_SPLIT_ORACLE)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split by a PORTABLE hash of the document id
+    — the reproducible-split primitive every training pipeline needs:
+    membership is a pure function of the id (stable across runs,
+    machines, engines, and corpus growth — adding documents never moves
+    existing ones between splits, unlike random sampling or modulo on
+    row position). Pure map + tiny aggregate; at scale the same bucket
+    expression becomes the partition key of the written splits."""
+    d = table(spark, sf_dir, "documents")
+    bucket = portable_token(col("doc_id")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
     )
 
 
