@@ -199,6 +199,45 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_collect — array aggregation (nested results)
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), '-') AS line_numbers,
+       COUNT(*) AS n_items,
+       MAX(l_linenumber) AS max_line
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+@register("agg_collect", oracle=_COLLECT_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the line numbers of each order gathered into
+    one value — collect_list is unordered by contract (partition
+    arrival order), so sort_array canonicalizes before any comparison
+    or downstream use; emitted as a joined string, the portable wire
+    form for nested results. State per group is the item list itself —
+    at 100 TB guard wide groups with a slice/limit or switch to the
+    windowed top-k shape."""
+    li = table(spark, sf_dir, "lineitem")
+    nums = F.sort_array(F.collect_list(col("l_linenumber")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws("-", F.transform(nums, lambda x: x.cast("string"))).alias(
+                "line_numbers"
+            ),
+            F.count("*").alias("n_items"),
+            F.max("l_linenumber").alias("max_line"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — long-to-wide reshape
 # ---------------------------------------------------------------------------
 
