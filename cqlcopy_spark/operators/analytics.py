@@ -298,6 +298,173 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_grouping_sets — arbitrary (non-hierarchical) grouping sets
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) — the general form that
+    rollup/cube are sugar for: two independent one-dimension breakdowns
+    plus the grand total in ONE scan (Expand emits 3 rows per input row,
+    one hash aggregate, one shuffle) instead of three scans unioned.
+    Same explicit-gid portability trick as agg_rollup."""
+    orders = table(spark, sf_dir, "orders")
+    gid = 2 * F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        gid.cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+        dsum(col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_ranks — rank family (rank/dense_rank/ntile/percent_rank/cume_dist)
+# ---------------------------------------------------------------------------
+
+_RANKS_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("window_ranks", oracle=_RANKS_ORACLE)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family per priority class. All five share
+    one window spec → one shuffle + one sort serves everything.
+    percent_rank ((rank-1)/(n-1)) and cume_dist (n_le/n) are exact
+    integer ratios, so doubles match the oracle bitwise; ntile is
+    deterministic because the ordering carries the unique o_orderkey
+    tiebreak."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        col("o_totalprice").desc(), col("o_orderkey")
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_unnest — lateral array expansion (flatten → re-aggregate)
+# ---------------------------------------------------------------------------
+
+_UNNEST_ORACLE = """
+SELECT word, pos,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT p_brand) AS n_brands
+FROM (
+  SELECT p_brand,
+         unnest(string_split(p_name, ' ')) AS word,
+         generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos
+  FROM part
+)
+GROUP BY word, pos
+ORDER BY word, pos
+"""
+
+
+@register("explode_unnest", oracle=_UNNEST_ORACLE)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST surface: posexplode(split(p_name)) flattens each name into
+    (position, token) rows, then re-aggregates token frequency and brand
+    spread. Explode is a narrow op (no shuffle — rows expand in place
+    inside the same stage as the scan); the only shuffle is the final
+    groupBy. At 100 TB the pre-aggregation still combines map-side, so
+    the shuffle carries ≤ |vocab|·partitions rows, not the exploded
+    token stream."""
+    p = table(spark, sf_dir, "part")
+    toks = p.select(
+        "p_brand", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+    return (
+        toks.groupBy("word", "pos")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("p_brand").alias("n_brands"),
+        )
+        .orderBy("word", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# array_hof — higher-order array functions over embeddings
+# ---------------------------------------------------------------------------
+
+# Sequential left-to-right fold == DuckDB list_reduce order ⇒ bitwise-equal
+# doubles (same trick as similarity.py's _dot).
+_HOF_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])), (a, b) -> a + b)"
+)
+
+_HOF_ORACLE = f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+       sqrt({_HOF_DOT_SQL}) AS l2_norm,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(embedding::DOUBLE[],
+           x -> CASE WHEN x > 0.5 THEN 0.5 WHEN x < -0.5 THEN -0.5 ELSE x END)),
+         (a, b) -> a + b) AS clipped_sum
+FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings)
+ORDER BY vec_id
+"""
+
+
+@register("array_hof", oracle=_HOF_ORACLE)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (transform / filter /
+    aggregate / size) over the embedding column: dimensionality, count
+    of positive components, L2 norm, and a clip-then-sum — all JVM-side
+    lambda expressions inside one codegen stage, zero shuffles, zero
+    Python. The fold accumulates left-to-right exactly like DuckDB's
+    list_reduce, so the doubles hash-match bitwise."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = col("embedding").cast("array<double>")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+    clip = F.transform(
+        emb,
+        lambda x: F.when(x > 0.5, F.lit(0.5)).when(x < -0.5, F.lit(-0.5)).otherwise(x),
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+            F.sqrt(fold(F.zip_with(emb, emb, lambda a, b: a * b))).alias("l2_norm"),
+            fold(clip).alias("clipped_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_approx — sketch-based aggregation (the 100 TB substitutes)
 # ---------------------------------------------------------------------------
 

@@ -425,3 +425,42 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .intersect / .subtract are distinct-set ops (match SQL INTERSECT/EXCEPT);
     # .union is UNION ALL, so a final .distinct() matches SQL UNION.
     return a.intersect(b).subtract(neg).union(urgent).distinct()
+
+
+# ---------------------------------------------------------------------------
+# agg_exists_q4 — correlated EXISTS subquery feeding an aggregate (Q4 shape)
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_late_risk
+FROM orders o
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_exists_q4", oracle=_Q4_ORACLE)
+def agg_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line item shipped >60
+    days after the order date, counted per priority. The correlated
+    EXISTS decorrelates to a LEFT SEMI join on l_orderkey with the
+    date inequality as a residual join condition — lineitem's payload
+    never crosses the shuffle (semi joins carry keys only), and the
+    aggregate afterwards is a handful of groups. At 100 TB both sides
+    shuffle once on orderkey; no second pass, no distinct needed
+    (semi join dedups matches by construction)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_risk"))
+        .orderBy("o_orderpriority")
+    )

@@ -505,3 +505,52 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the empty-text case explicitly (DuckDB's range(1, 1) is empty).
     fp = F.when(n >= 1, fp).otherwise(F.lit(0).cast("long"))
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# string_distance_pairs — blocked pairwise edit distance (entity resolution)
+# ---------------------------------------------------------------------------
+
+_LEV_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+ORDER BY key_a, key_b
+"""
+
+
+@register("string_distance_pairs", oracle=_LEV_ORACLE)
+def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic entity-resolution primitive: candidate pairs from a
+    cheap BLOCKING key (brand, size), then exact Levenshtein only
+    within blocks. The equi-join keys make this a plain shuffled hash
+    join — never a cross join — so pair volume is Σ block² over blocks,
+    not N². At 100 TB the block key is the knob: tighten it (add more
+    columns / a prefix bucket) until the largest block fits a task.
+    Levenshtein runs JVM-side inside codegen; the p_partkey < ordering
+    halves the pair count and canonicalizes output."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(*[col(c).alias(c + "_a") for c in p.columns])
+    b = p.select(*[col(c).alias(c + "_b") for c in p.columns])
+    return (
+        a.join(
+            b,
+            (col("p_brand_a") == col("p_brand_b"))
+            & (col("p_size_a") == col("p_size_b"))
+            & (col("p_partkey_a") < col("p_partkey_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein(col("p_name_a"), col("p_name_b")))
+        .filter(col("edit_dist") <= 6)
+        .select(
+            col("p_partkey_a").alias("key_a"),
+            col("p_partkey_b").alias("key_b"),
+            col("p_name_a").alias("name_a"),
+            col("p_name_b").alias("name_b"),
+            "edit_dist",
+        )
+        .orderBy("key_a", "key_b")
+    )
