@@ -546,3 +546,75 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_decoded"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — moment statistics (variance / stddev / covar / corr), portable
+# ---------------------------------------------------------------------------
+
+# Spark's var_samp/corr use streaming (Welford-style) float updates whose
+# result depends on row visit order — unusable for a cross-engine value
+# hash. Portable construction: per-row squares/products are single IEEE
+# double multiplications (correctly rounded, deterministic in both
+# engines), accumulated EXACTLY in decimal(38,10), converted to double
+# via the varchar trick (portable.py), and combined with the identical
+# double expression on both sides: var = (s2 - s1*s1/n)/(n-1).
+
+_STATS_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum('l_extendedprice')} AS sx,
+         {sql_dsum('l_quantity')} AS sy,
+         {sql_dsum('l_extendedprice * l_extendedprice')} AS sxx,
+         {sql_dsum('l_quantity * l_quantity')} AS syy,
+         {sql_dsum('l_extendedprice * l_quantity')} AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_price,
+       (sxx - sx * sx / n) / (n - 1) AS var_price,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_pq,
+       (sxy - sx * sy / n)
+         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_pq
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of price, covariance and correlation of
+    (price, quantity) per return flag — moment sums in one pass, one
+    shuffle, map-side partial aggregation intact (decimal SUMs combine
+    associatively, unlike order-sensitive Welford states). At 100 TB
+    this shape beats built-in var_samp/corr for oracle-parity AND costs
+    the same: 5 decimal sums per group."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = col("l_extendedprice"), col("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = col("n"), col("sx"), col("sy")
+    sxx, syy, sxy = col("sxx"), col("syy"), col("sxy")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_price"),
+        var_x.alias("var_price"),
+        F.sqrt(var_x).alias("std_price"),
+        covar.alias("covar_pq"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_pq"),
+    ).orderBy("l_returnflag")

@@ -260,3 +260,52 @@ def stream_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup — streaming exact deduplication (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, event_type) — the deterministic batch form
+    of streaming dedup: min-by-(ts, event_id) via one windowed pass,
+    one shuffle on the dedup key. Contrast with dropDuplicates, whose
+    surviving row is arrival-order-dependent — fine for at-most-once
+    semantics, unusable for a value hash."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def stream_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming dedup: dropDuplicatesWithinWatermark keeps the
+    FIRST ARRIVAL per key and evicts key state once the watermark passes
+    the key's last-seen timestamp — bounded state at 100 TB, unlike
+    unwindowed dropDuplicates whose key set grows forever. The surviving
+    row is arrival-order-dependent, so parity with the batch form is on
+    the KEY SET (tests/test_streaming.py), not row payloads."""
+    src = _events_stream(spark, sf_dir).withWatermark("ts", _WATERMARK)
+    return src.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type", "event_id"
+    )

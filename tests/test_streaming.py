@@ -152,3 +152,28 @@ def test_stateful_user_stats_matches_batch(spark):
         out.sort_values("n_events").groupby("user_id", as_index=False).last()
     )
     pd.testing.assert_frame_equal(batch, final, check_exact=False, rtol=1e-9)
+
+
+def test_streaming_dedup_keys_match_batch(spark):
+    from cqlcopy_spark.streaming.windows import stream_dedup, stream_dedup_streaming
+
+    # dropDuplicatesWithinWatermark is not an aggregation → append mode.
+    df = stream_dedup_streaming(spark, SF_SMALL)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_t").toPandas()
+    q.stop()
+    got = got[["user_id", "event_type"]]
+    want = (
+        stream_dedup(spark, SF_SMALL).select("user_id", "event_type").toPandas()
+    )
+    got = _canon(got)
+    want = _canon(want)
+    assert len(got) == len(want)
+    assert got.equals(want)
