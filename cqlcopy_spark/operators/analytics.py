@@ -618,3 +618,88 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
         ).alias("corr_pq"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# window_frames — value-navigation window functions (first/last/nth/lead)
+# ---------------------------------------------------------------------------
+
+_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER
+    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  NTH_VALUE(o_totalprice, 2) OVER
+    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+  LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_frames", oracle=_FRAMES_ORACLE)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value navigation along each customer's order timeline: first /
+    last / 2nd order price and the next order's price. last/nth use an
+    explicit full-partition frame (the default frame stops at the
+    current row — a classic silent-wrong-answer trap in both engines).
+    One shuffle + sort serves all four; the unique o_orderkey tiebreak
+    makes every value deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — fixed-width histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 50_000.0
+
+_HIST_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       {_HIST_WIDTH} * CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HIST_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals — the single-pass
+    distribution profile a pipeline runs before choosing partition
+    bounds or spotting skew. Fixed bucket width keeps it one scan + one
+    tiny shuffle (bucket count is data-range/width, independent of row
+    count); a quantile-based equi-height histogram would need the
+    percentile machinery (text_percentiles) instead. floor() on an IEEE
+    division is deterministic in both engines."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(col("o_totalprice") / _HIST_WIDTH).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_HIST_WIDTH) * col("bucket")).alias("bucket_lo"),
+            "n",
+            "lo",
+            "hi",
+        )
+        .orderBy("bucket")
+    )

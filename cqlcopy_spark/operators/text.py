@@ -597,3 +597,38 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_rebalance — deterministic per-class downsampling (class rebalance)
+# ---------------------------------------------------------------------------
+
+# Keep 25% of the dominant class, 100% of the rest — membership is a pure
+# function of doc_id (same portable hash as split_train_eval), so the
+# sample is reproducible across runs/engines and stable under corpus
+# growth. Threshold on the hash, never on row position or RNG state.
+_REBALANCE_CAP = 25  # % of 'en' documents kept
+
+_REBALANCE_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE lang != 'en'
+   OR (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
+        < {_REBALANCE_CAP} * 42949672.96
+ORDER BY doc_id
+"""
+
+
+@register("sample_rebalance", oracle=_REBALANCE_ORACLE)
+def sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing sampler: the over-represented language is
+    hash-downsampled to {CAP}% while minority classes pass through —
+    the deterministic analogue of sampleBy(), whose RNG-seeded sample
+    differs between engines and between runs with different partition
+    layouts. Pure map stage: the predicate pushes to the scan, no
+    shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    keep = (col("lang") != "en") | (
+        portable_token(col("doc_id")) < F.lit(int(_REBALANCE_CAP * 42949672.96))
+    )
+    return d.filter(keep).select("doc_id", "lang", "source").orderBy("doc_id")

@@ -1,0 +1,98 @@
+"""Time-series resampling: hypertable-style rollup to a regular grid with
+gap filling (zero-fill for additive measures, forward-fill for carried
+state) — the operator a metrics/training-data pipeline runs over event
+streams before any model sees them.
+
+The reference has no time-series surface (it is a loader, SURVEY.md §0);
+this extends §2C's event ops. Pure DataFrame composition:
+
+  1. rollup:  groupBy(user, date_trunc(hour, ts))       — one shuffle
+  2. spine:   per-user [min_hour, max_hour] → sequence() → explode
+              (narrow after the tiny span aggregate)
+  3. align:   spine LEFT JOIN rollup on (user, hour)    — same key as 1
+  4. fill:    coalesce(measure, 0) + last(value, ignorenulls) window
+
+At 100 TB the spine size is users × hours-of-activity — dense but
+predictable; the join and window share the (user) hash/ordering, and AQE
+coalesces the mostly-empty tail partitions. Nothing here is iterative or
+Python-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+_GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         {sql_dsum('value')} AS hour_value
+  FROM events
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+  GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT s.user_id, s.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.hour_value, 0.0) AS hour_value,
+       LAST_VALUE(h.hour_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour
+               ROWS UNBOUNDED PRECEDING) AS carry_value
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+ORDER BY s.user_id, s.hour
+"""
+
+
+@register("timeseries_gapfill", oracle=_GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user rollup on a GAPLESS grid: every hour between a
+    user's first and last event appears exactly once; silent hours get
+    n_events=0 / hour_value=0 and carry the last observed hourly value
+    forward (LOCF). The spine hour is unique per user, so ordering is
+    deterministic without an extra tiebreak; the first spine hour always
+    has data (it contains min(ts)), so the forward fill never sees a
+    leading null."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hour = F.date_trunc("hour", col("ts"))
+    hourly = e.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        dsum(col("value")).alias("hour_value"),
+    )
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence(col("h0"), col("h1"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    ff = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
+        F.last("hour_value", ignorenulls=True).over(ff).alias("carry_value"),
+    ).orderBy("user_id", "hour")
