@@ -282,14 +282,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — one tiny driver-side scalar per round, no collect of data
     rows. Rounds ≤ component diameter (near-dup clusters are shallow;
     capped at 20). Each round persists its labels and unpersists the
-    previous — bounded lineage, no runaway plan growth. The DuckDB
-    oracle is the same fixpoint written as a recursive CTE."""
+    previous — bounded lineage, no runaway plan growth.
+
+    Scale posture: the loop runs ONLY on the edge-induced subgraph.
+    At corpus scale the docs that have any near-dup edge are a small
+    fraction of N, so iterating over all N labels (the naive shape)
+    would shuffle the whole corpus once per round for nothing —
+    singletons can't change label. They get their identity label from
+    one final left join after the fixpoint. The DuckDB oracle is the
+    same fixpoint written as a recursive CTE."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     fwd = pairs.select(col("d1").alias("u"), col("d2").alias("v"))
     edges = fwd.union(fwd.select(col("v").alias("u"), col("u").alias("v"))).persist()
 
-    d = table(spark, sf_dir, "documents")
-    labels = d.select(col("doc_id").alias("u"), col("doc_id").alias("label")).persist()
+    # Labels for edge endpoints only; edges are symmetric, so every node
+    # here has ≥ 1 neighbor and the per-round join can be inner.
+    labels = edges.select("u").distinct().withColumn("label", col("u")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(20):
@@ -299,13 +307,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = (
-            labels.join(neigh_min, "u", "left")
-            .select(
-                "u",
-                F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias(
-                    "label"
-                ),
-            )
+            labels.join(neigh_min, "u")
+            .select("u", F.least(col("label"), col("nmin")).alias("label"))
             .persist()
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
@@ -316,7 +319,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = new_sum
 
     edges.unpersist()
-    return labels.select(col("u").alias("doc_id"), col("label").alias("component"))
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(col("label"), col("doc_id")).alias("component")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
