@@ -703,3 +703,85 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_range_time — time-based RANGE frame (trailing 1-hour per user)
+# ---------------------------------------------------------------------------
+
+_RANGE_MS = 3_600_000  # trailing 1 hour, in epoch milliseconds
+
+_RANGE_TIME_ORACLE = f"""
+SELECT event_id, user_id, ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h,
+  COUNT(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN {_RANGE_MS} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_range_time", oracle=_RANGE_TIME_ORACLE)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour sum/count per user at every event — the
+    time-based RANGE frame (vs the ROWS frames of window_running). The
+    frame is defined by the ORDER BY *value* (epoch millis), so ties
+    are all-in — frame membership is deterministic without a tiebreak,
+    which is exactly why the float sum inside can use the decimal dsum
+    trick and still hash-match. One shuffle on user_id; the window
+    operator streams each partition with a sliding two-pointer frame,
+    nothing quadratic. At scale this is the fraud/rate-limit feature
+    shape: state is bounded by the hour span per user."""
+    e = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the NTZ→TIMESTAMP cast is exact because
+    # catalog.table() pins the session timezone to UTC.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(col("ts").cast("timestamp")))
+        .rangeBetween(-_RANGE_MS, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(col("value").cast(_DEC)).over(w).cast("string").cast("double").alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bool_bitwise — boolean and bitwise aggregates
+# ---------------------------------------------------------------------------
+
+_BOOLBIT_ORACLE = """
+SELECT l_returnflag,
+  bool_and(l_quantity > 1)   AS all_multi,
+  bool_or(l_discount > 0.09) AS any_deep_disc,
+  bit_and(l_linenumber) AS band_line,
+  bit_or(l_linenumber)  AS bor_line,
+  bit_xor(l_orderkey)   AS bxor_order
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_bool_bitwise", oracle=_BOOLBIT_ORACLE)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — the
+    flag-consolidation surface. All are commutative+associative, so
+    they partial-aggregate map-side and merge exactly like SUM: one
+    tiny shuffle of per-group accumulators, order-insensitive by
+    algebra (no float caveats — these are exact integer/boolean ops)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(col("l_quantity") > 1).alias("all_multi"),
+            F.bool_or(col("l_discount") > 0.09).alias("any_deep_disc"),
+            F.bit_and(col("l_linenumber")).alias("band_line"),
+            F.bit_or(col("l_linenumber")).alias("bor_line"),
+            F.bit_xor(col("l_orderkey")).alias("bxor_order"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -464,3 +464,251 @@ def agg_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_late_risk"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_promo_ratio — conditional aggregation ratio (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("agg_promo_ratio", oracle=_Q14_ORACLE)
+def agg_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of promo parts in one ship month —
+    conditional (CASE-gated) aggregation feeding a ratio. The month
+    filter pushes into the lineitem scan; part plays the dim role and is
+    broadcast, so the fact table never shuffles; both sums accumulate in
+    one pass. Numerator and denominator use the decimal dsum path, and
+    the final 100*x/y is the same IEEE op sequence in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-09-01"))
+        & (col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    promo = F.when(col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(broadcast(p), col("l_partkey") == col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_q5_local — 6-way join with a cross-dimension equality (TPC-H Q5)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("join_q5_local", oracle=_Q5_ORACLE)
+def join_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier revenue per nation. Six tables, and the
+    defining constraint c_nationkey = s_nationkey links two DIFFERENT
+    dimension branches of the star — it can't push into either scan and
+    survives as a join filter. Physical shape at scale: the one big
+    shuffle is lineitem ⋈ orders on orderkey; customer, supplier,
+    nation, region are broadcast (region's filter prunes nations before
+    the broadcast), so the fact rows cross the network exactly once."""
+    o = table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01"))
+        & (col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(
+            broadcast(s),
+            (col("l_suppkey") == col("s_suppkey"))
+            & (col("c_nationkey") == col("s_nationkey")),
+        )
+        .join(broadcast(n), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") == col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(col("revenue").desc(), col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_disjunctive — OR-of-ANDs predicate pushdown (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+@register("filter_disjunctive", oracle=_Q19_ORACLE)
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of AND-clauses mixing columns from both
+    join sides. Catalyst factors the single-side conjuncts out of the
+    disjunction: the p_brand/p_size OR pushes into the part scan and the
+    l_quantity range union into the lineitem scan, leaving only the
+    cross-table residual on the (broadcast) join — the classic test that
+    disjunctive predicates still prune scans instead of riding the
+    join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = col("l_quantity")
+    sz = col("p_size")
+    pred = (
+        ((col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.join(broadcast(p), col("l_partkey") == col("p_partkey"))
+        .filter(pred)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_anti_subquery — scalar subquery + NOT EXISTS (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_anti_subquery", oracle=_Q22_ORACLE)
+def agg_anti_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted to the fixture schema): well-funded
+    customers with no finished order, counted per market segment. Two
+    decorrelations in one query: the scalar AVG subquery becomes a
+    1-row broadcast crossed against the customer scan, and NOT EXISTS
+    becomes a LEFT ANTI join against the filtered orders — keys only
+    cross the shuffle, and the 'F' filter prunes orders before the
+    join. The threshold avg uses the decimal davg path so the
+    comparison boundary is bit-identical in both engines."""
+    c = table(spark, sf_dir, "customer")
+    avg_df = c.filter(col("c_acctbal") > 0.0).agg(
+        davg(col("c_acctbal")).alias("avg_bal")
+    )
+    o = table(spark, sf_dir, "orders").filter(col("o_orderstatus") == "F").select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(broadcast(avg_df))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") == col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), dsum(col("c_acctbal")).alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_cross — explicit Cartesian product (dimension grid)
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@register("join_cross", oracle=_CROSS_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product of two dimensions — the grid-building
+    primitive (every region × every nation, flagged with membership).
+    Compiles to BroadcastNestedLoopJoin with the smaller side broadcast:
+    legitimate ONLY when one side is tiny; the engine's big-big pairing
+    ops (dedup, similarity) all pre-bucket instead of crossing. Output
+    is |R|×|N| rows by construction."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(broadcast(n))
+        .select(
+            "r_name",
+            "n_name",
+            F.when(col("n_regionkey") == col("r_regionkey"), 1)
+            .otherwise(0)
+            .alias("is_home"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# null_handling — NULL-production and NULL-consumption semantics
+# ---------------------------------------------------------------------------
+
+_NULL_ORACLE = f"""
+SELECT o_orderpriority,
+  COUNT(*) AS n_total,
+  COUNT(NULLIF(o_orderstatus, 'O')) AS n_closed,
+  COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS n_open,
+  {sql_dsum("COALESCE(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 0.0)")} AS finished_value,
+  MIN(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS min_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("null_handling", oracle=_NULL_ORACLE)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL semantics surface in one query: NULLIF produces nulls,
+    COUNT(expr) skips them (vs COUNT(*)), COALESCE re-defaults them
+    inside an aggregate, and MIN over an all-NULL group yields NULL
+    (three-valued logic end-to-end, identical in both engines). Stays
+    one scan + one small aggregate; no shuffle beyond the group key."""
+    o = table(spark, sf_dir, "orders")
+    status = col("o_orderstatus")
+    closed = F.nullif(status, F.lit("O"))
+    finished = F.when(status == "F", col("o_totalprice"))
+    pending = F.when(status == "P", col("o_totalprice"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(closed).alias("n_closed"),
+            (F.count("*") - F.count(closed)).alias("n_open"),
+            dsum(F.coalesce(finished, F.lit(0.0))).alias("finished_value"),
+            F.min(pending).alias("min_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
