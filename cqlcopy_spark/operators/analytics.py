@@ -785,3 +785,129 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot_melt — wide→long reshaping (the inverse of agg_pivot)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH a AS (
+  SELECT l_returnflag,
+         {sql_dsum('l_quantity')} AS sum_qty,
+         {sql_dsum('l_extendedprice')} AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_lines
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+UNION ALL SELECT l_returnflag, 'n_lines', n_lines FROM a
+"""
+
+
+@register("unpivot_melt", oracle=_UNPIVOT_ORACLE)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): a per-flag metrics row becomes one
+    (metric, value) row per measure — the inverse of agg_pivot and the
+    standard shape for feeding generic downstream consumers (plotting,
+    metric stores). Spark's unpivot compiles to Expand — a map-side row
+    multiplication, NO extra shuffle beyond the one aggregation; the
+    oracle spells the same reshape as a UNION ALL, which is what Expand
+    is. Measures are pre-cast to one common double type (unpivot
+    requires it, exactly like UNION column typing)."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(col("l_quantity")).alias("sum_qty"),
+        dsum(col("l_extendedprice")).alias("sum_price"),
+        F.count("*").cast("double").alias("n_lines"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_lines"], "metric", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# map_funcs — MapType construction, lookup, and higher-order filtering
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH pc AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS INT) AS n_priorities,
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS urgent_n,
+       array_to_string(list_sort(list(o_orderpriority)), ',') AS prio_keys,
+       CAST(COUNT(*) FILTER (n > 40) AS INT) AS big_prios
+FROM pc GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("map_funcs", oracle=_MAP_ORACLE)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType surface: per-status priority→count maps built with
+    map_from_entries, then consumed four ways — size, point lookup
+    (element_at returns NULL on a missing key, mirrored by MAX(CASE)
+    in the oracle), sorted key extraction, and a higher-order
+    map_filter. The map lives entirely inside one aggregation pipeline
+    (two keyed shuffles: (status,priority) counts, then status) — maps
+    here are a row-local container, never a shuffle key, which is the
+    rule that keeps MapType viable at scale."""
+    o = table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct(col("o_orderpriority"), col("n"))))
+    )
+    mapped = pc.groupBy("o_orderstatus").agg(m.alias("m"))
+    return (
+        mapped.select(
+            "o_orderstatus",
+            F.size(col("m")).alias("n_priorities"),
+            F.element_at(col("m"), "1-URGENT").alias("urgent_n"),
+            F.array_join(F.array_sort(F.map_keys(col("m"))), ",").alias("prio_keys"),
+            F.size(F.map_filter(col("m"), lambda k, v: v > 40)).alias("big_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# date_funcs — calendar arithmetic beyond the scalar_funcs basics
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+  quarter(o_orderdate) AS q,
+  weekofyear(o_orderdate) AS iso_week,
+  isodow(o_orderdate) - 1 AS weekday0,
+  dayofyear(o_orderdate) AS doy,
+  last_day(o_orderdate) AS eom,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch95
+FROM orders
+"""
+
+
+@register("date_funcs", oracle=_DATE_ORACLE)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: quarter, ISO week, Monday-based
+    weekday, day-of-year, end-of-month, month addition (end-of-month
+    clamped identically in both engines), and day deltas. Weekday
+    numbering is the classic cross-engine trap — Spark weekday() is
+    Monday=0 while DuckDB dow() is Sunday=0 — so the oracle uses
+    isodow-1 to meet Spark's convention. Pure codegen maps; nothing
+    here shuffles."""
+    o = table(spark, sf_dir, "orders")
+    d = col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.weekday(d).alias("weekday0"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).alias("eom"),
+        F.add_months(d, 3).alias("plus3mo"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch95"),
+    )

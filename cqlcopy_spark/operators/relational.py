@@ -712,3 +712,36 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_lateral — correlated LATERAL subquery (top-N per row, SQL text)
+# ---------------------------------------------------------------------------
+
+# ONE SQL string, executed verbatim by BOTH engines (same trick as
+# sql_shipping_priority): each BUILDING customer pulls its own two most
+# expensive orders through a correlated LATERAL derived table.
+_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) t
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: a per-row dependent subquery with ORDER
+    BY + LIMIT — the top-N-per-key idiom written relationally instead of
+    via window_topk. Catalyst decorrelates it into a join + per-key
+    ranked filter, so the physical plan is the window_topk shape (one
+    shuffle on the correlation key), not N subquery executions — which
+    is why it survives at scale. Deterministic by the o_orderkey
+    tiebreak inside LIMIT; oracle is the same SQL text on DuckDB."""
+    from cqlcopy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -13,11 +13,13 @@ Two paths, mirroring how a production vector pipeline is built:
 - `similarity_ann_lsh` — the scale path for large Q or all-pairs:
   random-hyperplane (SimHash-for-cosine) signatures bucket the corpus;
   candidates only join within a bucket. Hyperplane components are
-  derived from xxhash64 — deterministic, no runtime randomness — but not
+  derived from md5 bits — deterministic, no runtime randomness — but not
   expressible in DuckDB, and ANN recall < 1 by design ⇒ rows-only check.
 
-Everything is higher-order array functions on the JVM: no Python UDF in
-either path.
+The exact path is pure JVM higher-order array functions; the LSH
+signature stage is an Arrow-batched matmul kernel (one BLAS call per
+batch — the interpreted-lambda formulation was ~100× slower per row;
+see _lsh_banded).
 """
 
 from __future__ import annotations
@@ -136,26 +138,55 @@ def _plane_signs(p: int) -> list[float]:
     return [1.0 if (bits >> i) & 1 else -1.0 for i in range(_EMB_DIM)]
 
 
-def _lsh_sigs(emb):
-    """Array of one m-bit hyperplane signature per table. Multi-table is
-    the standard recall lever for hyperplane LSH — recall ≈
-    1 - (1 - p^m)^L for per-plane agreement probability p."""
-    def plane_bit(p, weight):
-        signs = F.array(*[F.lit(s) for s in _plane_signs(p)])
-        proj = F.aggregate(
-            F.zip_with(emb, signs, lambda v, s: v * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj > 0, F.lit(weight)).otherwise(F.lit(0))
+def _lsh_banded(e: DataFrame) -> DataFrame:
+    """(vec_id, emb, nrm, t, sig): one m-bit hyperplane signature per
+    table, already exploded to one row per (vector, table). Multi-table
+    is the standard recall lever for hyperplane LSH — recall ≈
+    1 - (1 - p^m)^L for per-plane agreement probability p.
 
-    def table_sig(t):
-        sig = plane_bit(t * _N_PLANES, 1)
-        for i in range(1, _N_PLANES):
-            sig = sig + plane_bit(t * _N_PLANES + i, 2 ** i)
-        return sig
+    Computed as ONE Arrow-batched matmul: (batch × dim) @ (dim ×
+    planes·tables), sign-threshold, bit-pack per table. The earlier
+    all-builtin formulation (30 aggregate(zip_with) folds per row) was
+    ~1.8 ms/row because higher-order lambdas are interpreted per
+    element — the vectorized kernel is the same math at BLAS speed,
+    and signature determinism is unchanged run-to-run (fixed plane
+    matrix, fixed batch math). The norm rides along with the SAME
+    sequential per-dimension accumulation as the JVM fold, so the
+    exact-cosine verify downstream is bit-identical to _dot."""
+    import numpy as np
+    import pandas as pd
 
-    return F.array(*[table_sig(t) for t in range(_N_TABLES)])
+    S = np.stack(
+        [_plane_signs(p) for p in range(_N_PLANES * _N_TABLES)], axis=1
+    )  # (dim, planes·tables)
+    weights = 2 ** np.arange(_N_PLANES, dtype=np.int64)
+    n_tables, n_planes = _N_TABLES, _N_PLANES
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            nrm = np.zeros(X.shape[0])
+            for k in range(X.shape[1]):  # sequential fold == JVM _dot order
+                nrm += X[:, k] * X[:, k]
+            nrm = np.sqrt(nrm)
+            bits = (X @ S > 0).astype(np.int64).reshape(len(pdf), n_tables, n_planes)
+            sigs = (bits * weights[None, None, :]).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "emb": np.repeat(pdf["emb"].to_numpy(), n_tables),
+                    "nrm": np.repeat(nrm, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    par = e.sparkSession.sparkContext.defaultParallelism
+    return e.repartition(par).mapInPandas(
+        kernel, schema="vec_id long, emb array<double>, nrm double, t int, sig long"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -322,12 +353,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    staged = e.select(
-        "vec_id", "emb", F.sqrt(_dot(col("emb"), col("emb"))).alias("nrm")
-    )
-    n = staged.select(
-        "vec_id", "emb", "nrm", F.posexplode(_lsh_sigs(col("emb"))).alias("t", "sig")
-    ).persist()  # corpus AND query sides read this; one signature pass
+    n = _lsh_banded(e).persist()  # corpus AND query sides read this; one signature pass
     q = n.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("q_id"),
         col("emb").alias("q_emb"),
