@@ -959,6 +959,17 @@ def cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge(pdf_p, pdf_v):
         import pandas as pd
 
+        # Column access is defensive: when NO output column of the
+        # cogroup is consumed downstream (e.g. a bare count()), Catalyst
+        # prunes the children to the grouping key only and the value
+        # column never reaches the kernel. That pruning is semantically
+        # safe here (row count per key is constant), but a hard
+        # pdf["value"] would crash the pruned plan.
+        def _max(pdf):
+            if len(pdf) and "value" in pdf.columns:
+                return float(pdf["value"].max())
+            return None
+
         uid = (
             pdf_p["user_id"].iloc[0]
             if len(pdf_p)
@@ -969,8 +980,8 @@ def cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [int(uid)],
                 "n_purchase": [len(pdf_p)],
                 "n_view": [len(pdf_v)],
-                "max_purchase": [float(pdf_p["value"].max()) if len(pdf_p) else None],
-                "max_view": [float(pdf_v["value"].max()) if len(pdf_v) else None],
+                "max_purchase": [_max(pdf_p)],
+                "max_view": [_max(pdf_v)],
             }
         )
 

@@ -273,41 +273,85 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 2
 
 
+_IVF_TRAIN_CAP = 20_000  # max sample rows for driver-side centroid training
+_IVF_ITERS = 8
+
+
+def _train_centroids(sample: "list", cells: int) -> "object":
+    """Deterministic Lloyd's k-means on a driver-side sample — the
+    standard IVF training recipe (FAISS trains coarse quantizers on an
+    in-memory sample too; distributing the fit buys nothing because the
+    sample is capped). Init = evenly-strided sample rows (seedless,
+    reproducible); empty cells keep their previous centroid."""
+    import numpy as np
+
+    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
+    idx = (np.arange(cells) * len(X)) // cells
+    C = X[idx].copy()
+    for _ in range(_IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(cells):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
 @register("similarity_ann_ivf")  # rows-only: ANN recall < 1 by design
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells replace the hash buckets of
     similarity_ann_lsh — the learned-partition variant of the same join
     shape. Corpus vectors are assigned to their nearest of {cells}
-    centroids (MLlib KMeans, fixed seed — deterministic); each query
-    probes its {nprobe} nearest cells; exact cosine + top-k runs only
-    within probed cells, so candidate volume is ~nprobe/cells of the
-    corpus.
+    centroids; each query probes its {nprobe} nearest cells; exact
+    cosine + top-k runs only within probed cells, so candidate volume
+    is ~nprobe/cells of the corpus.
 
-    Scale shape: training samples the corpus (KMeans on a sample is
-    standard IVF practice), assignment is a pure map, and the candidate
-    join shuffles on the integer cell id. The tiny query set's probe
-    list is computed driver-side from the (cells × dim) centroid matrix
-    — at large Q that step becomes a broadcast-join against the centroid
-    table instead."""
+    Scale shape: training runs driver-side on a capped strided sample
+    (KMeans on a sample is standard IVF practice — the earlier MLlib
+    fit spent ~2s of distributed-job overhead to cluster the same
+    sample); assignment is one Arrow-batched matmul map over the
+    corpus; the candidate join shuffles on the integer cell id. The
+    tiny query set's probe list is computed driver-side from the
+    (cells × dim) centroid matrix — at large Q that step becomes a
+    broadcast-join against the centroid table instead."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    vecs = e.withColumn("features", array_to_vector(col("emb")))
-    # maxIter=8: IVF cells need balanced-ish partitions, not converged
-    # centroids — half the default iterations, same recall in practice.
-    model = KMeans(k=_IVF_CELLS, seed=42, maxIter=8, featuresCol="features").fit(vecs)
+    n_corpus = e.count()
+    stride = max(1, n_corpus // _IVF_TRAIN_CAP)
+    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    centroids = _train_centroids(sample, _IVF_CELLS)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            nrm = np.zeros(X.shape[0])
+            for k in range(X.shape[1]):  # sequential fold == JVM _dot order
+                nrm += X[:, k] * X[:, k]
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"].to_numpy(),
+                    "nrm": np.sqrt(nrm),
+                    "cell": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
     assigned = (
-        model.transform(vecs)
-        .select("vec_id", "emb", col("prediction").alias("cell"))
-        .withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
+        e.repartition(par)
+        .mapInPandas(assign, schema="vec_id long, emb array<double>, nrm double, cell int")
         .persist()  # consumed by both the query collect and the candidate join
     )
-
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
     queries = assigned.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("q_id"),
         col("emb").alias("q_emb"),

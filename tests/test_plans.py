@@ -115,3 +115,11 @@ def test_asof_join_single_shuffle_no_join_operator(spark):
     p = plan_of(QUERIES["join_asof"](spark, SF_SMALL))
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert shuffle_exchanges(p) <= 2, p  # dedup window + asof window
+
+
+def test_cogroup_survives_full_output_pruning(spark):
+    """Regression: a bare count() on the cogroup consumes NO output
+    column, so Catalyst prunes the cogroup children to the grouping key
+    and the pandas kernel receives key-only frames. The kernel must not
+    crash on the pruned plan (bench counts every query)."""
+    assert QUERIES["cogroup_user_join"](spark, SF_SMALL).count() > 0
