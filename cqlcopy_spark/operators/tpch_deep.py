@@ -1,0 +1,374 @@
+"""Deeper TPC-H query shapes (Q7, Q10, Q13, Q15, Q18, Q21 adapted to the
+driver fixtures' schema — no partsupp / commitdate / receiptdate columns,
+so Q2/Q9/Q11/Q12/Q16/Q20 are unexpressible here; see TESTDATA.md).
+
+The reference (riptl/cqlcopy, a bulk loader — SURVEY.md §0) has no query
+engine; these extend the §2B relational surface with the remaining
+*distinct* relational shapes the first batch (relational.py) didn't cover:
+
+- Q7  — double-dimension self-aliased join (nation used twice) with a
+        disjunctive cross-dimension predicate,
+- Q10 — group-by over a high-cardinality composite key + global top-k,
+- Q13 — LEFT OUTER JOIN preserving empty groups, then a histogram of
+        group sizes (aggregate-of-aggregate),
+- Q15 — aggregate view joined against its own global MAX (scalar
+        subquery over a derived table),
+- Q18 — HAVING-filtered aggregate driving a multi-join row lookup,
+- Q21 — doubly-correlated EXISTS / NOT EXISTS over the same fact table,
+        decorrelated into one pass with window functions.
+
+Scale posture: every query keeps the big shuffles on integer keys
+(orderkey/custkey/suppkey), filters and projections push into the scans,
+dimensions broadcast, and group-size histograms / top-k cuts move only
+aggregated rows. Floats that the driver value-hashes go through
+`dsum` (portable.py) so Spark and DuckDB agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and year
+# ---------------------------------------------------------------------------
+
+_N1, _N2 = "NATION_1", "NATION_2"
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+      OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("join_q7_nation_volume", oracle=_Q7_ORACLE)
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by direction and
+    year. The nation dim is aliased twice (supplier side / customer side)
+    — both broadcast. Each side's nation filter is applied BEFORE the big
+    joins, so lineitem meets orders already reduced to the ~2/25 of
+    suppliers and customers in scope; the only large shuffles are
+    lineitem⋈orders (orderkey) and ⋈customer (custkey). The disjunctive
+    direction predicate runs on the reduced rows; the final aggregate is
+    ≤ 2 directions × years groups."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    in_scope = col("n_name").isin(_N1, _N2)
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(n.filter(in_scope)), col("s_nationkey") == col("n_nationkey"))
+        .select("s_suppkey", col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(broadcast(n.filter(in_scope)), col("c_nationkey") == col("n_nationkey"))
+        .select("c_custkey", col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") == col("o_orderkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
+        .filter(
+            ((col("supp_nation") == _N1) & (col("cust_nation") == _N2))
+            | ((col("supp_nation") == _N2) & (col("cust_nation") == _N1))
+        )
+        .withColumn("l_year", F.year(col("l_shipdate")))
+        .withColumn("volume", col("l_extendedprice") * (1 - col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(col("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item revenue per customer, global top 20
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("join_q10_returned", oracle=_Q10_ORACLE)
+def join_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter. Orders carries its quarter filter into the scan (one quarter
+    of ~80 → ~1% of orders survive), lineitem its returnflag filter; the
+    orderkey shuffle then moves only the filtered rows. The customer join
+    shuffles on custkey (customer scales with SF — not broadcastable at
+    100 TB); nation broadcasts. Global top-20 compiles to
+    TakeOrderedAndProject — per-partition heaps, no extra shuffle.
+    c_custkey (unique per group) breaks revenue ties so the cut is
+    engine-stable."""
+    o = table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R").select(
+        "l_orderkey", (col("l_extendedprice") * (1 - col("l_discount"))).alias("volume")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("volume")).alias("revenue"))
+        .orderBy(col("revenue").desc(), col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — distribution of customers by order count (empty groups preserved)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("agg_q13_custdist", oracle=_Q13_ORACLE)
+def agg_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by how many (non-urgent)
+    orders they placed, INCLUDING zero-order customers — the
+    outer-join-preserving-empty-groups class. Declared as
+    aggregate-before-join: orders pre-aggregates to one count per custkey
+    (map-side partial, shuffle ∝ customers not orders), then a left join
+    from the customer key list fills the zero groups via coalesce —
+    cheaper at 100 TB than the textbook join-then-count, which shuffles
+    every order row. Second aggregate shuffles ≤ max-orders-per-customer
+    rows."""
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .filter(col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(per_cust, col("c_custkey") == col("o_custkey"), "left")
+        .select(F.coalesce(col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(col("custdist").desc(), col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — supplier(s) with the maximum quarterly revenue
+# ---------------------------------------------------------------------------
+
+_Q15_REV = f"""
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+"""
+
+_Q15_ORACLE = f"""
+WITH revenue AS ({_Q15_REV})
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("agg_q15_top_supplier", oracle=_Q15_ORACLE)
+def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    global maximum — an aggregate view compared against its own scalar
+    MAX. The revenue view is computed once and persisted (both the MAX
+    and the probe consume it — self-joins re-execute lineage otherwise);
+    the 1-row MAX broadcasts, so no single-partition window is needed.
+    Revenue goes through dsum, so the equality comparison binds to
+    bit-identical doubles in both engines — ties (several suppliers at
+    the max) all surface, exactly as in SQL."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(col("l_extendedprice") * (1 - col("l_discount"))).alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(broadcast(mx), col("total_revenue") == col("max_revenue"))
+        .join(broadcast(supp), col("s_suppkey") == col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING-filtered aggregate drives the lookup)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE b.sum_qty > 300
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("join_q18_big_orders", oracle=_Q18_ORACLE)
+def join_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 300,
+    with customer attribution, top 100 by price. The quantity aggregate
+    reduces lineitem to one row per orderkey (map-side partial combine)
+    BEFORE any join, and the >300 cut drops ~99% of those — AQE then
+    broadcasts the surviving handful into the orders and customer joins
+    at runtime, so at 100 TB the only full shuffle is the orderkey
+    aggregation itself. sum_qty uses dsum so the 300 threshold binds
+    identically in both engines; o_orderkey breaks price ties for a
+    stable top-100 cut."""
+    qty = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).alias("sum_qty"))
+        .filter(col("sum_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(o, col("o_orderkey") == col("l_orderkey"))
+        .join(cust, col("c_custkey") == col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who alone delayed multi-supplier orders
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("join_q21_late_supplier", oracle=_Q21_ORACLE)
+def join_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >90 days after the
+    order date — the fixtures carry no commit/receipt dates): count, per
+    supplier, the late line items on finished multi-supplier orders where
+    NO other supplier was late. The doubly-correlated EXISTS / NOT EXISTS
+    decorrelates into one pass: aggregate lines to (order, supplier)
+    grain, then two window aggregates over orderkey compute the supplier
+    count and the late-supplier count per order — replacing two
+    self-joins of lineitem with one narrow window stage over rows already
+    reduced ~4× (lines → order-supplier pairs). Late-line counts are
+    integer sums, so no float-portability hazard anywhere."""
+    o = table(spark, sf_dir, "orders").filter(col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_supp = (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .withColumn(
+            "late",
+            (col("l_shipdate") > F.date_add(col("o_orderdate"), 90)).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_lines",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((col("n_late_lines") > 0).cast("int")).over(w).alias("n_late_supp"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (col("n_late_lines") > 0) & (col("n_supp") > 1) & (col("n_late_supp") == 1)
+        )
+        .join(broadcast(supp), col("s_suppkey") == col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(col("numwait").desc(), col("s_name"))
+    )
