@@ -121,14 +121,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop grams with df > K); for web scale put dedup_fuzzy_minhash in
     front and use this as the verify stage."""
     d = table(spark, sf_dir, "documents")
-    # Invert on the gram's xxhash64, not the gram string: the join key is
+    # Invert on a 64-bit gram hash, not the gram string: the join key is
     # a long (cheap shuffle + fast equality); Jaccard over hashed gram
     # sets equals Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance.
+    # The shingle+hash step runs as an Arrow-batched pandas kernel — the
+    # all-builtin formulation (transform/element_at/concat_ws/xxhash64
+    # lambdas, interpreted per element) spent ~4s at sf0.1 on what the
+    # kernel does in ~0.3s; the hash (crc32 pair → 64 bits, same recipe
+    # as dedup_simhash) is deterministic across runs and workers.
     # Persist: the inverted index feeds both self-join sides plus the
     # per-doc sizes aggregate — three consumers of one shingle pass.
-    grams = _with_grams(d).select(
-        "doc_id", F.explode(F.transform(col("grams"), lambda g: F.xxhash64(g))).alias("g")
-    ).persist()
+    def _gram_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import crc32
+
+        def _gh(g: str) -> int:
+            b = g.encode()
+            h = (crc32(b) << 32) | crc32(b[::-1] + b"\x9e")
+            return h - (h & 0x8000000000000000) * 2  # wrap to signed int64
+
+        for pdf in it:
+            ids: list[int] = []
+            gs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                seen = {
+                    " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+                }
+                ids.extend([doc_id] * len(seen))
+                gs.extend(_gh(g) for g in seen)
+            yield pd.DataFrame({"doc_id": ids, "g": gs})
+
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        d.select("doc_id", "text")
+        .repartition(par)  # one small parquet file = one partition otherwise
+        .mapInPandas(_gram_kernel, schema="doc_id long, g long")
+        .persist()
+    )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -291,7 +320,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons can't change label. They get their identity label from
     one final left join after the fixpoint. The DuckDB oracle is the
     same fixpoint written as a recursive CTE."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    # Persist the pair set BEFORE symmetrizing: both union legs reference
+    # it, and without materialization each leg re-executes the whole
+    # inverted-index pipeline (self-joins don't guarantee exchange
+    # reuse). The pair set is the operator's OUTPUT-sized data — tiny.
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
     fwd = pairs.select(col("d1").alias("u"), col("d2").alias("v"))
     edges = fwd.union(fwd.select(col("v").alias("u"), col("u").alias("v"))).persist()
 
@@ -319,6 +352,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = new_sum
 
     edges.unpersist()
+    pairs.unpersist()
     d = table(spark, sf_dir, "documents")
     return (
         d.select("doc_id")
