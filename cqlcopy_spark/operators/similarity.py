@@ -433,3 +433,55 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rank") <= _TOP_K)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 symmetric quantization (vector compression)
+# ---------------------------------------------------------------------------
+
+# Training-data pipelines store embeddings quantized (4× smaller than
+# float32, 8× smaller than float64); scale-per-vector symmetric int8 is
+# the standard first rung (FAISS SQ8, many vector DBs' default).
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         greatest(list_max(list_transform(emb, v -> abs(v))), 1e-30) / 127
+           AS scale
+  FROM e
+)
+SELECT vec_id, scale,
+       list_transform(emb, v -> CAST(round(v / scale) AS TINYINT)) AS qvec
+FROM s
+"""
+
+
+@register("embedding_quantize", oracle=_QUANT_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127, qᵢ =
+    round(xᵢ/scale) ∈ [−127, 127]. Pure map — no shuffle, no Python;
+    whole-stage codegen end to end, so at 100 TB this is scan-bound.
+    Rounding parity: Spark's round() and DuckDB's round() both round
+    half away from zero, and the scale division is the same IEEE double
+    op, so the int8 codes hash-match exactly. The 1e-30 floor guards
+    all-zero vectors (scale 0 → div-by-zero) identically in both
+    engines. Dequantization is q·scale — one list_transform away; the
+    complementary error analysis lives in tests/test_ann_recall.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(col("emb"), lambda v: F.abs(v))), F.lit(1e-30)
+        )
+        / 127
+    )
+    s = e.select("vec_id", "emb", scale.alias("scale"))
+    return s.select(
+        "vec_id",
+        "scale",
+        F.transform(col("emb"), lambda v: F.round(v / col("scale")).cast("tinyint")).alias(
+            "qvec"
+        ),
+    )

@@ -378,3 +378,58 @@ def stream_sliding_agg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_static_join — stream enriched by a static dimension table
+# ---------------------------------------------------------------------------
+
+_STATIC_JOIN_ORACLE = f"""
+SELECT e.event_type, c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type, c.c_mktsegment
+ORDER BY e.event_type, c.c_mktsegment
+"""
+
+
+def _static_join_agg(events: DataFrame, cust: DataFrame) -> DataFrame:
+    """Shared logical plan: enrich the event stream with the customer
+    dimension, then aggregate per (event_type, segment)."""
+    from pyspark.sql.functions import broadcast
+
+    return (
+        events.join(
+            broadcast(cust.select("c_custkey", "c_mktsegment")),
+            col("user_id") == col("c_custkey"),
+        )
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum(col("value")).alias("total_value"))
+    )
+
+
+@register("stream_static_join", oracle=_STATIC_JOIN_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch form): events keyed by
+    user_id pick up the customer dimension, aggregated per (event_type,
+    market segment). The streaming class this demonstrates needs no
+    watermark — a static side is re-broadcast per micro-batch, holds no
+    join state, and never delays output. At 100 TB the static side is
+    the usual broadcast-threshold question; past it, pre-bucket both
+    sides on the key."""
+    return _static_join_agg(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    ).orderBy("event_type", "c_mktsegment")
+
+
+def stream_static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form: readStream events ⋈ static customer dim →
+    running aggregate (complete mode). The dimension is a plain batch
+    DataFrame — Structured Streaming broadcasts it into every
+    micro-batch; only the aggregation keeps state (per-group sums),
+    bounded by group cardinality, not stream length."""
+    return _static_join_agg(
+        _events_stream(spark, sf_dir), table(spark, sf_dir, "customer")
+    )

@@ -177,3 +177,19 @@ def test_streaming_dedup_keys_match_batch(spark):
     want = _canon(want)
     assert len(got) == len(want)
     assert got.equals(want)
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static join replayed over the bounded fixture must equal
+    the batch join+agg (the static side is re-broadcast per micro-batch
+    and holds no state)."""
+    from cqlcopy_spark.streaming.windows import (
+        stream_static_join,
+        stream_static_join_streaming,
+    )
+
+    batch = _canon(stream_static_join(spark, SF_SMALL).toPandas())
+    stream = _canon(
+        _run_stream(stream_static_join_streaming(spark, SF_SMALL), "static_join_t")
+    )
+    pd.testing.assert_frame_equal(batch, stream)
