@@ -139,3 +139,43 @@ def scan_token_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan — no shuffle; the filter stays in codegen."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     return _scan_token_range(o, "o_orderkey", offset=_TOKEN_OFFSET)
+
+
+# ---------------------------------------------------------------------------
+# ops 16-19 as a REAL Spark source: custom Python DataSource
+# ---------------------------------------------------------------------------
+
+_PAGED_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, {sql_portable_token('o_orderkey')} AS token
+FROM orders
+WHERE {sql_portable_token('o_orderkey')} > {_TOKEN_OFFSET}
+"""
+
+
+@register("source_paged_scan", oracle=_PAGED_ORACLE)
+def source_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-range read path as a first-class Spark source
+    (sources/paged_source.py): ring slices are InputPartitions planned
+    driver-side from metadata, each task pages through its slice in
+    Arrow batches, resume_after fast-forwards past completed ranges
+    (read.go:107,113-119; page size read.go:28). Same resume semantics
+    as scan_token_range, but the split/page/resume logic lives INSIDE
+    the source — Spark schedules ring slices like any other partitioned
+    scan."""
+    import os
+
+    from cqlcopy_spark.catalog import _ship_package
+    from cqlcopy_spark.sources.paged_source import register_paged_source
+
+    _ship_package(spark)
+    register_paged_source(spark)
+    return (
+        spark.read.format("cql_paged")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("key_col", "o_orderkey")
+        .option("n_ranges", "8")
+        .option("page_size", "128")
+        .option("resume_after", str(_TOKEN_OFFSET))
+        .load()
+    )

@@ -41,3 +41,27 @@ def test_progress_reporter_counts_rows(spark):
     assert n == 1000
     assert pr.rows.value == 1000
     assert lines and "1000 rows done" in lines[-1]
+
+
+def test_paged_source_partition_planning_skips_completed_ranges():
+    """Ring slicing is metadata-only and resume_after fast-forwards past
+    fully-scanned slices (read.go:107): with the resume token in slice 4
+    of 8, slices 0-3 must not be planned at all."""
+    from cqlcopy_spark.sources.paged_source import (
+        RING_MAX,
+        PagedTokenRangeReader,
+    )
+
+    mid = RING_MAX // 2 + 123  # inside slice 4 of 8
+    r = PagedTokenRangeReader(
+        None,
+        {"path": "unused", "key_col": "k", "n_ranges": "8",
+         "resume_after": str(mid)},
+    )
+    parts = r.partitions()
+    assert len(parts) == 4  # slices 4..7 survive
+    assert all(p.hi > mid + 1 for p in parts)
+    full = PagedTokenRangeReader(None, {"path": "unused", "key_col": "k"})
+    bounds = [(p.lo, p.hi) for p in full.partitions()]
+    assert bounds[0][0] == 0 and bounds[-1][1] == RING_MAX
+    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))  # no gaps
