@@ -1,0 +1,134 @@
+"""Custom PySpark DataSource WRITER reproducing the reference's write
+path (SURVEY.md §2A ops 10-12, 14, 20) with two-phase commit:
+
+- write.go:37-38 — batches flush at `chunk_size` rows OR `max_batch_kb`
+  (Σ field bytes), whichever trips first → same dual threshold here.
+- write.go:97-101 — the reference NEVER flushes a worker's final partial
+  batch (its `rows` channel closes without a drain; SURVEY.md §2A
+  quirks); this writer flushes it, which is the behavior users expect.
+- write.go:253-265 — per-batch retry with fixed backoff → retry_call.
+
+Two-phase commit is the part Spark adds over the reference: each task
+writes its batches to a UUID-staged file and returns a commit message;
+the driver's commit() atomically renames every staged file into the
+destination, and abort() removes strays — a failed/retried task can
+never leave half-written output visible. That is exactly the contract
+`DataFrameWriter.save()` gives parquet, re-implemented for a custom
+batched-CSV sink via the Python DataSource API.
+
+Scale posture: tasks write independently (no coordination until the
+driver-side commit); commit cost ∝ #files = #partitions, not bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+from cqlcopy_spark.sinks.retry import retry_call
+
+
+@dataclass
+class StagedFile(WriterCommitMessage):
+    staged_path: str
+    final_name: str
+    n_rows: int
+    n_batches: int
+
+
+class BatchedCsvWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.chunk_size = int(options.get("chunk_size", "1000"))
+        self.max_batch_bytes = int(options.get("max_batch_kb", "20")) * 1000
+        self.max_attempts = int(options.get("max_attempts", "5"))
+        self.backoff_s = float(options.get("backoff_s", "0.0"))
+
+    def write(self, iterator):
+        """Task-side: accumulate rows into batches, flush each batch
+        (with retry) to a staging file unique to this task attempt.
+        The FINAL PARTIAL BATCH IS FLUSHED — the reference's documented
+        drop (write.go:97-101) is a bug, not a contract."""
+        import uuid
+
+        attempt_id = uuid.uuid4().hex
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        staged = os.path.join(self.path, "_staging", f"part-{attempt_id}.csv")
+        n_rows = n_batches = 0
+        batch: list[str] = []
+        batch_bytes = 0
+
+        def flush() -> None:
+            nonlocal batch, batch_bytes, n_batches
+            if not batch:
+                return
+            lines = "".join(batch)
+
+            def _append() -> None:
+                with open(staged, "a", encoding="utf-8") as f:
+                    f.write(lines)
+
+            if not retry_call(
+                _append, max_attempts=self.max_attempts, backoff_s=self.backoff_s
+            ):
+                # Exhausted retries must FAIL the task (Spark then retries
+                # the task or aborts the job → abort() cleans staging).
+                raise IOError(f"batch flush failed after {self.max_attempts} attempts")
+            n_batches += 1
+            batch, batch_bytes = [], 0
+
+        for row in iterator:
+            fields = ["" if v is None else str(v) for v in row]
+            batch.append(",".join(fields) + "\n")
+            batch_bytes += sum(len(f) for f in fields)
+            n_rows += 1
+            if len(batch) >= self.chunk_size or batch_bytes >= self.max_batch_bytes:
+                flush()
+        flush()  # the final partial batch — flushed, not dropped
+        if n_rows == 0:
+            # No file staged for an empty partition; commit skips it.
+            return StagedFile("", f"part-{attempt_id}.csv", 0, 0)
+        return StagedFile(staged, f"part-{attempt_id}.csv", n_rows, n_batches)
+
+    def commit(self, messages):
+        """Driver-side: atomically publish every staged file. Until this
+        rename loop runs, readers of `path` see nothing."""
+        for m in messages:
+            if m.n_rows:
+                os.replace(m.staged_path, os.path.join(self.path, m.final_name))
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def abort(self, messages):
+        for m in messages:
+            if m.staged_path and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+class BatchedCsvSinkDataSource(DataSource):
+    """df.write.format("cql_batched").option("path", dir)
+    .mode("append").save() — Python DataSources support only
+    append/overwrite save modes; append matches the reference's
+    INSERT-only semantics."""
+
+    @classmethod
+    def name(cls):
+        return "cql_batched"
+
+    def writer(self, schema, overwrite):
+        return BatchedCsvWriter(self.options)
+
+
+def register_batched_sink(spark) -> None:
+    key = "cqlcopy_spark._batched_sink_registered"
+    if spark.conf.get(key, None) == "1":
+        return
+    spark.dataSource.register(BatchedCsvSinkDataSource)
+    spark.conf.set(key, "1")

@@ -65,3 +65,37 @@ def test_paged_source_partition_planning_skips_completed_ranges():
     bounds = [(p.lo, p.hi) for p in full.partitions()]
     assert bounds[0][0] == 0 and bounds[-1][1] == RING_MAX
     assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))  # no gaps
+
+
+def test_batched_sink_two_phase_commit_roundtrip(spark, tmp_path):
+    """Custom DataSource writer: batched flush (final partial batch
+    INCLUDED — the reference drops it, write.go:97-101), staging made
+    invisible until the driver-side commit renames, and no stray files
+    afterwards."""
+    import os
+
+    from cqlcopy_spark.catalog import _ship_package, table
+    from cqlcopy_spark.sinks.batched_sink import register_batched_sink
+    from tests.conftest import SF_SMALL
+
+    _ship_package(spark)
+    register_batched_sink(spark)
+    out = str(tmp_path / "landed")
+    src = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderstatus")
+    n = src.count()
+    (
+        src.repartition(4)
+        .write.format("cql_batched")
+        .option("path", out)
+        .option("chunk_size", "100")
+        .mode("append")
+        .save()
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files and not os.path.exists(os.path.join(out, "_staging"))
+    landed = sum(
+        1
+        for f in files
+        for _ in open(os.path.join(out, f), encoding="utf-8")
+    )
+    assert landed == n  # every row, including final partial batches
