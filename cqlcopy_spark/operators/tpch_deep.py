@@ -1,6 +1,7 @@
 """Deeper TPC-H query shapes (Q7, Q10, Q13, Q15, Q18, Q21 adapted to the
-driver fixtures' schema — no partsupp / commitdate / receiptdate columns,
-so Q2/Q9/Q11/Q12/Q16/Q20 are unexpressible here; see TESTDATA.md).
+driver fixtures' schema — no partsupp / commitdate / receiptdate columns;
+the shapes that touch those are adapted in tpch_full.py, which completes
+all 22 TPC-H queries; see TESTDATA.md).
 
 The reference (riptl/cqlcopy, a bulk loader — SURVEY.md §0) has no query
 engine; these extend the §2B relational surface with the remaining

@@ -1,0 +1,602 @@
+"""The remaining TPC-H query shapes (Q2, Q6, Q8, Q9, Q11, Q12, Q16, Q20),
+adapted to the driver fixtures' schema — together with relational.py and
+tpch_deep.py this completes all 22 TPC-H shapes.
+
+The fixtures carry no partsupp table and no l_shipmode / l_commitdate /
+l_receiptdate columns (FIXTURES.md), so the queries that touch those are
+adapted while keeping the *relational shape* that makes each query a
+distinct test:
+
+- Q2  — min-cost supplier per part within a region (correlated MIN per
+        group, decorrelated to a window MIN); the supply relation is
+        derived from lineitem (min observed unit price per part+supplier)
+        since partsupp does not exist,
+- Q6  — filter-only global aggregate (no GROUP BY — the scan+predicate
+        benchmark),
+- Q8  — national market share: conditional-sum ÷ total-sum per year over
+        a 7-table join (nation aliased twice, region-filtered customers),
+- Q9  — profit by supplier nation and year; supply cost proxied by
+        p_retailprice (no ps_supplycost in fixtures),
+- Q11 — group value vs a fraction of the global total (HAVING against a
+        scalar subquery over the same derived table),
+- Q12 — conditional priority counts by ship-latency bucket (the CASE-in-
+        aggregate two-way count; latency bucket stands in for l_shipmode),
+- Q16 — COUNT(DISTINCT) per attribute group with a NOT-IN exclusion
+        (anti-join against a filtered dimension),
+- Q20 — suppliers exceeding a fractional share of a part's shipped
+        volume (nested IN subqueries, flattened to two aggregations of
+        the same base joined on the group key).
+
+The reference (riptl/cqlcopy — SURVEY.md §0) is a bulk loader with no
+query engine; these rows extend §2B per the north star (BASELINE.json:6).
+
+Float policy (CLAUDE.md): every value-hashed float aggregate goes through
+`dsum` / `sql_dsum`; Q2 uses MIN (order-insensitive, no accumulation —
+per-row IEEE division is bit-identical in both engines); Q8's market
+share divides two dsum results (one deterministic IEEE divide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: filter-only global aggregate
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("agg_q6_forecast", oracle=_Q6_ORACLE)
+def agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discounted small-quantity lines
+    in one year — the pure scan benchmark. No GROUP BY: partial aggregates
+    collapse to one row per partition, then a single-row final merge —
+    shuffle traffic is O(partitions), independent of data size. All three
+    predicates and the 3-column projection push into the parquet scan
+    (ReadSchema carries only shipdate/discount/quantity/extendedprice), so
+    at 100 TB this is I/O-bound on row groups that survive min/max
+    pruning."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & col("l_discount").between(0.03, 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(col("l_extendedprice") * col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part within a region
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+
+_Q2_ORACLE = f"""
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  GROUP BY l.l_partkey, l.l_suppkey
+), regional AS (
+  SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+         s.s_name, n.n_name
+  FROM cost c
+  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+), ranked AS (
+  SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM regional
+)
+SELECT p.p_partkey, p.p_name, ranked.s_name, ranked.n_name,
+       ranked.unit_cost AS min_unit_cost
+FROM ranked
+JOIN part p ON p.p_partkey = ranked.l_partkey
+WHERE ranked.unit_cost = ranked.min_cost AND p.p_size = 25
+ORDER BY p.p_partkey, ranked.s_name
+"""
+
+
+@register("join_q2_min_cost", oracle=_Q2_ORACLE)
+def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-25 part, the EUROPE supplier(s)
+    offering the minimum unit cost — the correlated-MIN-per-group class.
+    The supply relation is derived from lineitem (min observed
+    extendedprice/quantity per part+supplier — no partsupp in fixtures);
+    the correlated subquery decorrelates to a window MIN over partkey, so
+    lineitem is read ONCE: one shuffle to (part,supp) grain, one window
+    over the already-aggregated (and region-pruned) rows. Supplier⋈nation
+    ⋈region broadcasts as one small prefilter; the part join applies its
+    size predicate before the probe. MIN of per-row IEEE divisions is
+    order-insensitive and bit-identical across engines — no dsum needed.
+    Ties (several suppliers at the min) all surface; p_partkey+s_name
+    orders the output deterministically."""
+    cost = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_cost"))
+    )
+    regional_supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    table(spark, sf_dir, "region").filter(col("r_name") == _Q2_REGION),
+                    col("n_regionkey") == col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(col("p_size") == 25)
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.join(broadcast(regional_supp), col("l_suppkey") == col("s_suppkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(col("unit_cost") == col("min_cost"))
+        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            col("unit_cost").alias("min_unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region's customers
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_9"
+_Q8_REGION = "ASIA"
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")}
+         / {sql_dsum('volume')} AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{_Q8_REGION}'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("join_q8_market_share", oracle=_Q8_ORACLE)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_9's share of ECONOMY-part volume sold to
+    ASIA customers, per year — conditional-sum ÷ total-sum over a 7-table
+    join with nation aliased twice. All four dimension legs (part filtered
+    to 1/6 of types, supplier+nation on the supply side, nation⋈region
+    pruning customers to one region) broadcast; the only big shuffles are
+    lineitem⋈orders (orderkey) and ⋈customer (custkey), both on rows
+    already cut by the part-type and two-year date filters. The share is
+    a ratio of two dsum results — each bit-identical across engines, and
+    one IEEE divide is deterministic — so the driver's value hash binds
+    exactly. Groups ∝ years, so the final aggregate is tiny."""
+    part = table(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY").select("p_partkey")
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", col("n_name").alias("supp_nation"))
+    )
+    asia_cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    table(spark, sf_dir, "region").filter(col("r_name") == _Q8_REGION),
+                    col("n_regionkey") == col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            col("c_nationkey") == col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        .join(o, col("l_orderkey") == col("o_orderkey"))
+        .join(asia_cust, col("o_custkey") == col("c_custkey"), "left_semi")
+        .withColumn("o_year", F.year(col("o_orderdate")))
+        .withColumn("volume", col("l_extendedprice") * (1 - col("l_discount")))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(col("supp_nation") == _Q8_NATION, col("volume")).otherwise(0.0))
+                / dsum(col("volume"))
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("agg_q9_profit", oracle=_Q9_ORACLE)
+def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget parts by supplier nation and
+    order year. Supply cost is proxied by p_retailprice × quantity (the
+    fixtures have no partsupp — FIXTURES.md); the shape is unchanged: a
+    fact table joined to four dimensions with a LIKE-filtered part leg.
+    The part filter (~1/8 of parts) broadcasts and prunes lineitem before
+    the one big shuffle (orderkey, to fetch the year); supplier⋈nation
+    broadcasts. Group count ≤ nations × years — the aggregate is map-side
+    partial then tiny. The amount mixes products and a subtraction, all
+    per-row IEEE (deterministic); only the SUM needs dsum."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", col("n_name").alias("nation"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        .join(o, col("l_orderkey") == col("o_orderkey"))
+        .withColumn("o_year", F.year(col("o_orderdate")))
+        .withColumn(
+            "amount",
+            col("l_extendedprice") * (1 - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(col("amount")).alias("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values (group value vs fraction of global total)
+# ---------------------------------------------------------------------------
+
+_Q11_REGION = "AMERICA"
+_Q11_FRACTION = "0.001"
+
+_Q11_ORACLE = f"""
+WITH base AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{_Q11_REGION}'
+)
+SELECT l_partkey, {sql_dsum('l_extendedprice')} AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING {sql_dsum('l_extendedprice')} >
+       (SELECT {sql_dsum('l_extendedprice')} FROM base) * {_Q11_FRACTION}
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("agg_q11_important", oracle=_Q11_ORACLE)
+def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose AMERICA-supplied value exceeds a
+    fraction of the global total — a grouped aggregate HAVING-compared
+    against a scalar subquery over the same base. The region-pruned base
+    is persisted (both the per-part aggregate and the global total
+    consume it — self-referencing lineage re-executes otherwise,
+    CLAUDE.md); the 1-row total then broadcasts into the filter, so the
+    only real shuffle is the partkey aggregation. Both sides of the
+    comparison are dsum outputs (bit-identical across engines) and the
+    fraction multiply is one IEEE op — the cut binds identically.
+    part_value DESC with partkey tiebreak orders deterministically."""
+    region_supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    table(spark, sf_dir, "region").filter(col("r_name") == _Q11_REGION),
+                    col("n_regionkey") == col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(region_supp), col("l_suppkey") == col("s_suppkey"), "left_semi")
+        .select("l_partkey", "l_extendedprice")
+        .persist()
+    )
+    total = base.agg(dsum(col("l_extendedprice")).alias("total_value"))
+    return (
+        base.groupBy("l_partkey")
+        .agg(dsum(col("l_extendedprice")).alias("part_value"))
+        .join(broadcast(total))
+        .filter(col("part_value") > col("total_value") * float(_Q11_FRACTION))
+        .select("l_partkey", "part_value")
+        .orderBy(col("part_value").desc(), col("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — priority counts by ship-latency bucket
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM (
+  SELECT o.o_orderpriority,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)) > 90
+              THEN 'SLOW' ELSE 'FAST' END AS ship_bucket
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+@register("agg_q12_latency", oracle=_Q12_ORACLE)
+def agg_q12_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per shipping
+    bucket — the CASE-inside-aggregate two-way conditional count. The
+    fixtures have no l_shipmode, so the bucket is derived: lines shipped
+    more than 90 days after their order date are 'SLOW' (same adaptation
+    basis as Q21's late test). One orderkey shuffle joins the year of
+    lineitem to orders; counts are integers (no float hazard) and the
+    final aggregate has 2 groups. datediff on DATE-truncated values
+    matches DuckDB's date_diff('day') boundary-count semantics."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate",
+                                              "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, col("l_orderkey") == col("o_orderkey"))
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 90,
+                "SLOW",
+            ).otherwise("FAST"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts per part attribute group, with exclusions
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 7, 13, 19, 25, 31, 37, 43)
+  AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("agg_q16_supplier_cnt", oracle=_Q16_ORACLE)
+def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers stock each surviving
+    (brand, type, size) combination, excluding a blacklisted supplier set
+    — COUNT(DISTINCT) per group plus a NOT IN. The supplier relation is
+    derived from lineitem (no partsupp in fixtures). The triple part
+    filter broadcasts into the lineitem probe; the NOT IN becomes a
+    broadcast LEFT ANTI join (s_suppkey is non-null, so NOT IN ≡ anti —
+    no NULL trap). countDistinct expands to a two-phase aggregate:
+    partial distinct on (group, suppkey), then count — both shuffles key
+    on the group columns, no row explosion. Integer counts, no float
+    hazard; supplier_cnt DESC + full group tiebreak is deterministic."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (col("p_brand") != "Brand#3")
+            & ~col("p_type").like("PROMO%")
+            & col("p_size").isin(1, 7, 13, 19, 25, 31, 37, 43)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = table(spark, sf_dir, "supplier").filter(
+        col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") == col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers shipping an outsized share of a part's volume
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH base AS (
+  SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%bolt%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS supp_qty
+  FROM base GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey AS t_partkey, {sql_dsum('l_quantity')} AS part_qty
+  FROM base GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_name, n.n_name
+FROM per_supp ps
+JOIN per_part pp ON pp.t_partkey = ps.l_partkey
+JOIN supplier s  ON s.s_suppkey = ps.l_suppkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+WHERE ps.supp_qty > pp.part_qty * 0.3
+ORDER BY s.s_name, n.n_name
+"""
+
+
+@register("join_q20_excess_share", oracle=_Q20_ORACLE)
+def join_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of some bolt
+    part's 1996 volume — nested IN subqueries (supplier IN … partkey IN …
+    qty > fraction of shipped) flattened into two aggregations of one
+    shared base joined on the part key. The part-name filter broadcasts
+    and prunes lineitem before any shuffle; the base is persisted because
+    both grains consume it (CLAUDE.md self-join rule). Both the
+    per-supplier and per-part totals aggregate the BASE rows directly —
+    each a dsum over raw rows, bit-identical across engines — rather
+    than re-summing the other grain's doubles; the 0.3 multiply is one
+    IEEE op, so the share cut binds identically in both engines.
+    The final DISTINCT moves only qualifying (supplier, nation) pairs."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(part), col("l_partkey") == col("p_partkey"), "left_semi")
+        .persist()
+    )
+    per_supp = base.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(col("l_quantity")).alias("supp_qty")
+    )
+    per_part = base.groupBy(col("l_partkey").alias("t_partkey")).agg(
+        dsum(col("l_quantity")).alias("part_qty")
+    )
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        per_supp.join(per_part, col("l_partkey") == col("t_partkey"))
+        .filter(col("supp_qty") > col("part_qty") * 0.3)
+        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )

@@ -59,6 +59,7 @@ def _load_all() -> None:
         return
     import cqlcopy_spark.operators.relational  # noqa: F401
     import cqlcopy_spark.operators.tpch_deep  # noqa: F401
+    import cqlcopy_spark.operators.tpch_full  # noqa: F401
     import cqlcopy_spark.operators.analytics  # noqa: F401
     import cqlcopy_spark.operators.temporal_joins  # noqa: F401
     import cqlcopy_spark.operators.copy_surface  # noqa: F401

@@ -117,6 +117,37 @@ def test_asof_join_single_shuffle_no_join_operator(spark):
     assert shuffle_exchanges(p) <= 2, p  # dedup window + asof window
 
 
+def test_q6_is_scan_plus_partial_aggregate(spark):
+    """Q6 is the pure-scan benchmark: every predicate must reach the
+    parquet scan and the global aggregate must be partial-then-final
+    (shuffle ∝ partitions, not rows). No join node anywhere."""
+    p = plan_of(QUERIES["agg_q6_forecast"](spark, SF_SMALL))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1) and "l_quantity" in m.group(1), p
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name", ["join_q2_min_cost", "join_q8_market_share", "agg_q9_profit",
+             "join_q20_excess_share"]
+)
+def test_tpch_full_dims_broadcast_no_cartesian(spark, name):
+    """The deep-join shapes: dimension legs broadcast (≥2 hinted per
+    query) and nothing degenerates into a cartesian product."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    """The NOT IN supplier blacklist must compile to a broadcast LEFT
+    ANTI join, not a shuffle."""
+    p = plan_of(QUERIES["agg_q16_supplier_cnt"](spark, SF_SMALL))
+    assert "LeftAnti" in p, p
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
+
+
 def test_cogroup_survives_full_output_pruning(spark):
     """Regression: a bare count() on the cogroup consumes NO output
     column, so Catalyst prunes the cogroup children to the grouping key
