@@ -364,41 +364,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash — 64-bit SimHash + banded Hamming join
+# dedup_simhash — 60-bit SimHash + banded Hamming join
 # ---------------------------------------------------------------------------
 
 _HAMMING_MAX = 3  # near-dup threshold in bits
-_SIMHASH_CHUNKS = 4  # 4 × 16-bit chunks: d ≤ 3 ⇒ ≥ 1 chunk identical
+_SIMHASH_BITS = 60  # 4 × 15-bit chunks: d ≤ 3 ⇒ ≥ 1 chunk identical
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+_TOK_PREFIX = 8  # hash the first 8 codepoints of each token
+_MIX = 11400714819323198485  # 2^64 / golden ratio, odd — Fibonacci mix constant
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+# Token hash, portable between numpy and DuckDB SQL (CLAUDE.md: new hash
+# recipes must be DuckDB-expressible or the query drops to a rows-only
+# check): fold the first 8 codepoints as acc*31 + code (exact — max value
+# < 2^21 * 31^8 / 30 < 2^61, no modulus anywhere), then diffuse with one
+# Fibonacci multiply mod 2^63 (numpy: uint64 wraparound + mask; DuckDB:
+# HUGEINT multiply % 2^63). Truncation to 8 codepoints costs hash quality
+# only for tokens sharing an 8-char prefix — acceptable for a vote-based
+# signature; the diffusion step is what keeps high signature bits usable
+# (an undiffused polynomial leaves short tokens' high bits all-zero, every
+# doc agreeing on the top chunk — the band join would degenerate to N²).
 
 
 def _simhash_pdf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """SimHash per doc: sign of the per-bit vote of token hashes.
 
     Runs as Arrow-batched mapInPandas (the bit-matrix vote has no builtin
-    Spark expression). Token hash = crc32 pair → 64 bits, deterministic
-    across runs/workers. Fully vectorized per batch: one flat token-hash
-    array, bit expansion as an (n_tokens × 64) matrix, per-doc vote via
-    add.reduceat on the doc boundaries (every doc has ≥ 1 token — ''.
-    split(' ') is [''] — so boundaries are strictly increasing). Integer
-    votes are order-insensitive, so results are identical to a per-token
-    loop. CPU-bound pure map — scales horizontally."""
+    Spark expression, and Spark's HOF lambdas are interpreted per element
+    — the n-gram kernel above measured ~13× slower all-builtin). Fully
+    vectorized per batch: tokens flatten to one (n_tokens × 8) codepoint
+    matrix (one C-level utf-32 encode), the polynomial fold and mix are
+    eight uint64 vector ops, bit expansion is an (n_tokens × 60) matrix,
+    and the per-doc vote is add.reduceat on doc boundaries (every doc has
+    ≥ 1 token — ''.split(' ') is [''] — so boundaries are strictly
+    increasing). Integer votes are order-insensitive, so results are
+    identical to a per-token loop. CPU-bound pure map — scales
+    horizontally."""
     import numpy as np
-    from zlib import crc32
 
-    shifts = np.arange(64, dtype=np.uint64)
-
-    def _tok_hash(tok: str) -> int:
-        b = tok.encode()
-        return (crc32(b) << 32) | crc32(b[::-1] + b"\x9e")
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
 
     for pdf in it:
         tok_lists = [t.split(" ") for t in pdf["text"]]
         counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        flat = np.fromiter(
-            (_tok_hash(t) for toks in tok_lists for t in toks),
-            dtype=np.uint64,
-            count=int(counts.sum()),
+        joined = "".join(
+            t[:_TOK_PREFIX].ljust(_TOK_PREFIX, "\0") for toks in tok_lists for t in toks
         )
+        codes = (
+            np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            .reshape(-1, _TOK_PREFIX)
+            .astype(np.uint64)
+        )
+        acc = np.zeros(len(codes), dtype=np.uint64)
+        for k in range(_TOK_PREFIX):
+            acc = acc * np.uint64(31) + codes[:, k]
+        flat = (acc * np.uint64(_MIX)) & np.uint64(_MASK63)
         bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         bounds = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=bounds[1:])
@@ -411,12 +432,59 @@ def _simhash_pdf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("dedup_simhash")  # rows-only: crc32-based hash not expressible in DuckDB SQL
+def _sql_tok_hash(tok: str) -> str:
+    """DuckDB expression mirroring the kernel's token hash exactly."""
+    terms = " + ".join(
+        f"(CASE WHEN {k} < length({tok}) "
+        f"THEN CAST(ascii(substr({tok}, {k + 1}, 1)) AS BIGINT) ELSE 0 END) "
+        f"* {31 ** (_TOK_PREFIX - 1 - k)}"
+        for k in range(_TOK_PREFIX)
+    )
+    return f"CAST((CAST(({terms}) AS HUGEINT) * {_MIX}) % {_MASK63 + 1} AS BIGINT)"
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, ' '),
+                               tok -> {_sql_tok_hash('tok')})) AS h
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig} AS simhash FROM votes
+), chunks AS (
+  SELECT doc_id, simhash, i AS chunk_idx,
+         (simhash >> (CAST(i AS INT) * {_CHUNK_BITS})) & {(1 << _CHUNK_BITS) - 1} AS chunk_val
+  FROM sigs, range({_SIMHASH_CHUNKS}) t(i)
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ 3, banded by four
-    16-bit chunks (pigeonhole: any pair within distance 3 agrees on ≥ 1
+    15-bit chunks (pigeonhole: any pair within distance 3 agrees on ≥ 1
     chunk) — bucket join on (chunk_idx, chunk_value), then exact
-    bit_count(XOR) verify. Built-in bit ops for everything post-UDF."""
+    bit_count(XOR) verify. Built-in bit ops for everything post-UDF; the
+    token hash is the portable fold above, so the full pair set
+    value-hash-matches the DuckDB oracle."""
     d = table(spark, sf_dir, "documents")
     # Persist the signatures: both sides of the self-join read them, and
     # without materialization Spark re-executes the Python kernel per
@@ -435,7 +503,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(F.lit(65535))
+                    F.shiftrightunsigned(col("simhash"), j * _CHUNK_BITS).bitwiseAND(
+                        F.lit((1 << _CHUNK_BITS) - 1)
+                    )
                     for j in range(_SIMHASH_CHUNKS)
                 ]
             )
