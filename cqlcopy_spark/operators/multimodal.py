@@ -46,6 +46,51 @@ def multimodal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_variant — schema-on-read semi-structured props (VariantType)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("multimodal_variant", oracle=_VARIANT_ORACLE)
+def multimodal_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of multimodal_props: Spark 4 VariantType for props
+    whose schema you do NOT declare. parse_json keeps the whole document
+    as a binary-encoded variant (open schema — new keys need no DDL);
+    variant_get extracts typed paths at use-sites, and try_variant_get
+    probes paths that may not exist without failing the row. At 100 TB
+    variant beats raw JSON strings because the binary encoding skips
+    re-tokenizing on every access; here each row is parsed once and two
+    paths are extracted. Integer aggregates only — no float hazard. The
+    DuckDB oracle reads the same paths with its JSON functions."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_meta — binary payload + typed metadata
 # ---------------------------------------------------------------------------
 

@@ -56,6 +56,110 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stream_type_counts — transformWithStateInPandas (Spark 4 stateful API)
+# ---------------------------------------------------------------------------
+
+_TYPE_COUNTS_ORACLE = """
+SELECT user_id, event_type, COUNT(*) AS n,
+       SUM(COUNT(*)) OVER (PARTITION BY user_id) AS user_total
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_type_counts", oracle=_TYPE_COUNTS_ORACLE)
+def stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user, per-event-type counts plus the user's lifetime total —
+    batch form (the semantics contract for the transformWithStateInPandas
+    variant below). One shuffle of integer partial aggregates on
+    (user_id, event_type); the per-user total reuses the same clustering
+    (partkey subset), so the window adds no second exchange of raw
+    rows."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return (
+        per.withColumn("user_total", F.sum("n").over(Window.partitionBy("user_id")))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def stream_type_counts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form on the arbitrary-state API that SUPERSEDES
+    applyInPandasWithState in Spark 4: transformWithStateInPandas with a
+    StatefulProcessor holding two typed state variables — a MapState
+    (event_type → count; per-key point updates, no read-modify-write of
+    a whole blob) and a ValueState (lifetime event total). Each
+    micro-batch emits the user's FULL current per-type breakdown (state
+    iteration), so the latest emission per (user, type) is always
+    consistent with the latest total — that's what the replay-parity
+    test keys on.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) — the caller/test
+    sets it; HDFS-backed state does not support the new API. Also
+    requires the `protobuf` Python package at runtime (the Python
+    worker speaks protobuf to the JVM state server) — absent in this
+    container, so the replay test import-skips while this code path
+    stays exercised only where protobuf exists. Scale:
+    state is ≤ |event types| map entries + one long per user, shuffled
+    on user_id only; RocksDB keeps it off-heap and point-updatable.
+
+    The processor class is defined NESTED so cloudpickle serializes it
+    by value (CLAUDE.md UDF shipping rule)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from cqlcopy_spark.streaming.windows import _events_stream
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "event_type string", "n bigint")
+            self._total = handle.getValueState("total", "user_total bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            fresh: dict[str, int] = {}
+            n_new = 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                for et, c in pdf["event_type"].value_counts().items():
+                    fresh[et] = fresh.get(et, 0) + int(c)
+                    n_new += int(c)
+            total = (self._total.get()[0] if self._total.exists() else 0) + n_new
+            self._total.update((total,))
+            for et, c in fresh.items():
+                cur = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                self._counts.updateValue((et,), (cur + c,))
+            out = [
+                (key[0], k[0], v[0], total) for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n", "user_total"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    return src.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType="user_id long, event_type string, n long, user_total long",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 _GAP_US = 30 * 60 * 1_000_000  # session gap, matches windows.py
 
 

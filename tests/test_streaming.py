@@ -154,6 +154,57 @@ def test_stateful_user_stats_matches_batch(spark):
     pd.testing.assert_frame_equal(batch, final, check_exact=False, rtol=1e-9)
 
 
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas replay: after the bounded replay, the
+    latest emission per (user, event_type) must equal the batch
+    per-type counts and lifetime totals. Each micro-batch re-emits the
+    user's full state, so 'latest' is well-defined by the monotone
+    (user_total, n) pair. Needs the RocksDB state store provider — the
+    new API rejects HDFS-backed state; restore the conf afterwards so
+    other streaming tests keep their default provider."""
+    import pytest
+
+    # The transformWithState Python runner speaks protobuf to the JVM
+    # state server; without the package the driver worker crashes at
+    # init. Not installable in this container (no pip) — gate, don't
+    # fake. The batch contract (stream_type_counts) stays oracle-checked
+    # unconditionally via the driver harness.
+    pytest.importorskip("google.protobuf")
+
+    from cqlcopy_spark.streaming.stateful import (
+        stream_type_counts,
+        stream_type_counts_streaming,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = _canon(stream_type_counts(spark, SF_SMALL).toPandas())
+        q = (
+            stream_type_counts_streaming(spark, SF_SMALL)
+            .writeStream.format("memory")
+            .queryName("tws_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM tws_t").toPandas()
+        q.stop()
+    finally:
+        spark.conf.set(key, prev)
+    final = _canon(
+        out.sort_values(["user_total", "n"])
+        .groupby(["user_id", "event_type"], as_index=False)
+        .last()
+    )
+    pd.testing.assert_frame_equal(batch, final)
+
+
 def test_streaming_dedup_keys_match_batch(spark):
     from cqlcopy_spark.streaming.windows import stream_dedup, stream_dedup_streaming
 
