@@ -1,0 +1,152 @@
+"""CLI surface tests: the reference's two commands (`write`, `read` —
+main.go:13-50) reproduced over the parquet stand-in backend, including
+the COPY round-trip, the resume offset, stdout quoting semantics, and
+flag validation."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from cqlcopy_spark.cli import main
+from tests.conftest import SF_SMALL
+
+_CSV = """\
+"id","name","price","ok","when"
+1,widget,9.5,true,2024-01-02 03:04:05+0000
+2,"quoted,name",0.25,false,2024-01-02 03:04:06+0000
+3,"NULL",NULL,true,2024-01-02 03:04:07+0000
+"""
+
+
+def _write_input(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(_CSV, encoding="utf-8")
+    return str(p)
+
+
+def test_cli_write_schema_first_roundtrip(spark, tmp_path):
+    """write: CSV → parquet with declared types; quoted "NULL" stays a
+    string while unquoted NULL is null (write.go:208-215) — on the
+    --dynamic path below; the schema-first path maps both to null for
+    string columns only when unquoted (Spark nullValue semantics)."""
+    out = str(tmp_path / "t.parquet")
+    rc = main(
+        [
+            "write", "items", "id", "name", "price", "ok", "when",
+            "--input", _write_input(tmp_path),
+            "--types", "long,string,double,bool,timestamp",
+            "--path", out,
+            "--num-processes", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["name"] == "widget" and abs(got[1]["price"] - 9.5) < 1e-12
+    assert got[2]["name"] == "quoted,name" and got[2]["ok"] is False
+    assert got[3]["price"] is None  # unquoted NULL literal → SQL null
+    assert got[1]["when"] is not None
+
+
+def test_cli_write_dynamic_preserves_quoted_null(spark, tmp_path):
+    """--dynamic: the cell-typing fidelity path keeps quoted "NULL" as
+    the string it is (write.go:208-209 vs 214-215)."""
+    out = str(tmp_path / "t2.parquet")
+    rc = main(
+        [
+            "write", "items", "id", "name", "price", "ok", "when",
+            "--input", _write_input(tmp_path),
+            "--types", "long,string,double,bool,timestamp",
+            "--dynamic",
+            "--path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[3]["name"] == "NULL"  # quoted → stays a string
+    assert got[3]["price"] is None   # unquoted → null
+
+
+def test_cli_read_stdout_quotes_strings_only(spark, tmp_path):
+    """read --output -: header quoted, string values quoted, numerics
+    bare (read.go:181-190 type-preserving convention)."""
+    src = str(tmp_path / "t3.parquet")
+    main(
+        [
+            "write", "items", "id", "name", "price", "ok", "when",
+            "--input", _write_input(tmp_path),
+            "--types", "long,string,double,bool,timestamp",
+            "--path", src,
+        ],
+        spark=spark,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["read", "items", "id", "name", "--path", src, "--output", "-"],
+            spark=spark,
+        )
+    assert rc == 0
+    lines = buf.getvalue().strip().split("\n")
+    assert lines[0] == '"id","name"'
+    body = sorted(lines[1:])
+    assert body[0] == '1,"widget"'
+    assert '2,"quoted,name"' in body  # embedded comma survives quoting
+
+
+def test_cli_read_resume_offset_matches_token_scan(spark, tmp_path):
+    """--offset replays only the ring after the last token, exactly like
+    scan_token_range (read.go:100-119)."""
+    from cqlcopy_spark.functions.portable import KNUTH, M32
+
+    src = f"{SF_SMALL}/orders.parquet"
+    full = spark.read.parquet(src).select("o_orderkey")
+    offset = 2 ** 31  # mid-ring
+    expected = full.filter(
+        (full.o_orderkey * KNUTH) % M32 > offset
+    ).count()
+    out = str(tmp_path / "resumed")
+    rc = main(
+        [
+            "read", "orders", "o_orderkey",
+            "--path", src, "--output", out, "--offset", str(offset),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.options(header="true").csv(out).count()
+    assert got == expected > 0
+
+
+def test_cli_rejects_bad_identifiers(spark, tmp_path):
+    with pytest.raises(ValueError, match="invalid identifier"):
+        main(
+            ["read", "orders; DROP", "o_orderkey",
+             "--path", "x", "--output", "-"],
+            spark=spark,
+        )
+
+
+def test_cli_write_parse_budget_enforced(spark, tmp_path):
+    """--max-parse-errors 0 with a malformed line must abort the load
+    (write.go:140-147; the engine enforces what the reference logs)."""
+    bad = tmp_path / "bad.csv"
+    bad.write_text('"id","name"\n1,ok\n"unterminated,oops\n', encoding="utf-8")
+    with pytest.raises(ValueError, match="budget"):
+        main(
+            [
+                "write", "items", "id", "name",
+                "--input", str(bad),
+                "--types", "long,string",
+                "--dynamic",
+                "--max-parse-errors", "0",
+                "--path", str(tmp_path / "never.parquet"),
+            ],
+            spark=spark,
+        )
