@@ -79,19 +79,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    to a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw int64
-    (legacy conf) and floor-divide to microseconds — the identical
-    truncation DuckDB applies when it loads NANOS into its µs timestamps,
-    so oracle comparisons stay exact. Integer division (`div`), not
-    float: ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exactness."""
-    from pyspark.sql import functions as F
+    """events.ts is parquet TIMESTAMP(NANOS). Depending on the session's
+    conf state Spark 4 either refuses to map it to a timestamp
+    ([PARQUET_TYPE_ILLEGAL]), reads it as raw int64 (when
+    spark.sql.legacy.parquet.nanosAsLong is honored), or maps it to
+    TIMESTAMP_NTZ natively (some driver environments). Be robust to ALL
+    of these: request the legacy long mapping, then branch on the dtype
+    that actually came back.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    - int64 path: floor-divide ns→µs with integer `div` (ns-since-epoch
+      ≈ 1.7e18 exceeds double's 2^53 exactness, so never float-divide).
+      This is the identical truncation DuckDB applies loading NANOS into
+      its µs timestamps, so oracle comparisons stay exact.
+    - timestamp path: Spark already truncated to µs during the scan;
+      just normalize the type to timestamp_ntz."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed/renamed: fall through to the dtype branch
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
