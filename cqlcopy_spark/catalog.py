@@ -92,7 +92,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       This is the identical truncation DuckDB applies loading NANOS into
       its µs timestamps, so oracle comparisons stay exact.
     - timestamp path: Spark already truncated to µs during the scan;
-      just normalize the type to timestamp_ntz."""
+      just normalize the type to timestamp_ntz.
+
+    Post-epoch assumption: both branches rely on ns→µs truncation being a
+    floor. For pre-1970 (negative) nanos an engine truncating toward zero
+    would diverge by 1µs on non-whole values; the fixtures are all
+    post-epoch (2024+), so this is unexercised."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 

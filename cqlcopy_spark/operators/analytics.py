@@ -506,8 +506,8 @@ SELECT o_orderkey,
   year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
   date_trunc('month', o_orderdate) AS month_start,
   abs(o_totalprice - 150000.0) AS dist_150k,
-  floor(o_totalprice / 1000.0) AS price_k_floor,
-  ceil(o_totalprice / 1000.0) AS price_k_ceil,
+  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+  CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
   sqrt(o_totalprice) AS price_sqrt,
   greatest(o_totalprice, 150000.0) AS price_hi,
   least(o_totalprice, 150000.0) AS price_lo,
@@ -885,8 +885,8 @@ SELECT o_orderkey,
   weekofyear(o_orderdate) AS iso_week,
   isodow(o_orderdate) - 1 AS weekday0,
   dayofyear(o_orderdate) AS doy,
-  last_day(o_orderdate) AS eom,
-  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+  CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+  CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3mo,
   datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch95
 FROM orders
 """
@@ -909,8 +909,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("iso_week"),
         F.weekday(d).alias("weekday0"),
         F.dayofyear(d).alias("doy"),
-        F.last_day(d).alias("eom"),
-        F.add_months(d, 3).alias("plus3mo"),
+        F.last_day(d).cast("timestamp").alias("eom"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3mo"),
         F.datediff(d, F.lit("1995-01-01")).alias("days_since_epoch95"),
     )
 

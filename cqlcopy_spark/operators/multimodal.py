@@ -52,10 +52,10 @@ def multimodal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
-                THEN 1 ELSE 0 END) AS n_missing
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -256,7 +256,7 @@ f AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_sampled,
-       SUM(LEAST(16, len - (idx * 7) % len)) AS frame_bytes
+       CAST(SUM(LEAST(16, len - (idx * 7) % len)) AS BIGINT) AS frame_bytes
 FROM f GROUP BY doc_id ORDER BY doc_id
 """
 

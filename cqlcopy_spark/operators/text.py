@@ -41,9 +41,9 @@ _STATS_ORACLE = f"""
 SELECT
   lang,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   {sql_davg('n_chars')} AS avg_chars,
-  SUM({_NTOK_SQL}) AS total_tokens,
+  CAST(SUM({_NTOK_SQL}) AS BIGINT) AS total_tokens,
   {sql_davg(_NTOK_SQL)} AS avg_tokens
 FROM documents
 GROUP BY lang
@@ -361,7 +361,7 @@ SELECT CASE WHEN bucket < 90 THEN 'train'
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id
 FROM bucketed GROUP BY 1 ORDER BY 1
 """
@@ -419,7 +419,7 @@ dedup AS (
   SELECT arg_min(lang, doc_id) AS lang, COUNT(*) AS dups, MIN(quality) AS quality
   FROM kept GROUP BY n
 )
-SELECT lang, COUNT(*) AS docs_kept, SUM(dups - 1) AS dups_removed,
+SELECT lang, COUNT(*) AS docs_kept, CAST(SUM(dups - 1) AS BIGINT) AS dups_removed,
        {sql_davg('quality')} AS avg_quality
 FROM dedup GROUP BY lang ORDER BY lang
 """

@@ -62,7 +62,7 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TYPE_COUNTS_ORACLE = """
 SELECT user_id, event_type, COUNT(*) AS n,
-       SUM(COUNT(*)) OVER (PARTITION BY user_id) AS user_total
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type

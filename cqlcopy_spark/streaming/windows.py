@@ -70,18 +70,28 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events fixture. Watermarks require
-    TIMESTAMP (not NTZ), so ts is read as raw nanos (the fixture's
-    physical type) and converted to a UTC instant; outputs are cast back
-    to NTZ by the callers so streaming and batch schemas agree."""
+    TIMESTAMP (not NTZ). events.ts is parquet TIMESTAMP(NANOS), and how
+    that surfaces varies by environment (see catalog._events): raw int64
+    nanos when spark.sql.legacy.parquet.nanosAsLong is honored, or a µs
+    timestamp when the environment maps NANOS natively and ignores the
+    conf. FileStreamSource takes the schema as given with no probing, so
+    declare whichever dtype a batch read of the same file reports —
+    guessing wrong silently misreads ts (a long schema over a native
+    mapping yields µs that a ns→µs division then wrecks)."""
     import os
 
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -97,9 +107,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(path, link)
     src = spark.readStream.schema(schema).parquet(stage)
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        # int64 nanos: floor-divide ns→µs in integer space (catalog._events)
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # native µs mapping (TIMESTAMP or TIMESTAMP_NTZ): session TZ is UTC, so
+    # the cast re-tags the same instant for watermark eligibility
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_agg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

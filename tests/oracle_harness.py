@@ -41,11 +41,42 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind_class(s: pd.Series) -> str:
+    """Coarse dtype class for driver-hash parity. The driver's value hash is
+    dtype-sensitive across the int/float and date/datetime boundaries (round-2
+    evidence: DuckDB SUM(int)->HUGEINT->float64 and floor()->DOUBLE hash-
+    mismatched Spark's int64 despite equal values), while integer *widths*
+    (int32 vs int64) hash the same. Classes: int-like, float, datetime,
+    other."""
+    k = s.dtype.kind
+    if k in "iub":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "O" and len(s):
+        v = s.dropna()
+        if len(v) and type(v.iloc[0]).__name__ == "date":
+            return "datetime?"  # datetime.date objects vs datetime64 — asymmetric
+    return "other"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, float_exact: bool = True) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
-    got = _canon(spark_df.toPandas())
-    want = _canon(oracle_pdf)
+    raw_got, raw_want = spark_df.toPandas(), oracle_pdf
     problems: list[str] = []
+    for c in sorted(set(raw_got.columns) & set(raw_want.columns)):
+        a, b = _kind_class(raw_got[c]), _kind_class(raw_want[c])
+        if a != b:
+            problems.append(
+                f"col {c}: dtype-class asymmetry spark={raw_got[c].dtype}({a}) "
+                f"oracle={raw_want[c].dtype}({b}) — driver hash is dtype-sensitive"
+            )
+    if problems:
+        return problems
+    got = _canon(raw_got)
+    want = _canon(raw_want)
     if list(got.columns) != list(want.columns):
         return [f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"]
     if len(got) != len(want):
