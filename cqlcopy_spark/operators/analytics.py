@@ -944,14 +944,25 @@ def cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment, model scoring over both sides, merge_asof variants).
     Here the kernel computes per-user counts and maxima from both sides
     so the DuckDB oracle can state the same result as two aggregates +
-    outer join. Physical shape: BOTH sides shuffle once on user_id and
-    arrive co-partitioned — at scale this is exactly a shuffle join
-    whose probe logic happens to run in Arrow batches; keys present on
-    only one side still fire (the other frame arrives empty), which the
-    oracle's full outer spine mirrors."""
+    outer join. Physical shape: BOTH sides shuffle once on the cogroup
+    key and arrive co-partitioned — at scale this is exactly a shuffle
+    join whose probe logic happens to run in Arrow batches.
+
+    The cogroup key is a HASH BUCKET of user_id, not user_id itself:
+    applyInPandas fires the Python kernel once per key, so keying on the
+    user would pay per-key interpreter + DataFrame-construction overhead
+    for millions of keys. Bucketing amortizes that to ~par×4 calls while
+    the kernel stays a vectorized pandas groupby within each bucket —
+    the same rows meet (bucket is a function of user_id), only batched.
+    Keys present on only one side still fire (the other frame arrives
+    empty), which the oracle's full outer spine mirrors."""
     e = table(spark, sf_dir, "events")
-    purchases = e.filter(col("event_type") == "purchase").select("user_id", "value")
-    views = e.filter(col("event_type") == "view").select("user_id", "value")
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket")
+    purchases = e.filter(col("event_type") == "purchase").select(
+        bucket, "user_id", "value"
+    )
+    views = e.filter(col("event_type") == "view").select(bucket, "user_id", "value")
     # All-users spine so users with neither purchases nor views — absent
     # from both cogroup sides — still appear, matching the oracle's u CTE.
     spine = e.select("user_id").distinct()
@@ -962,32 +973,31 @@ def cogroup_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Column access is defensive: when NO output column of the
         # cogroup is consumed downstream (e.g. a bare count()), Catalyst
         # prunes the children to the grouping key only and the value
-        # column never reaches the kernel. That pruning is semantically
-        # safe here (row count per key is constant), but a hard
-        # pdf["value"] would crash the pruned plan.
-        def _max(pdf):
-            if len(pdf) and "value" in pdf.columns:
-                return float(pdf["value"].max())
-            return None
+        # column never reaches the kernel. That pruning is NOT harmless
+        # here (the per-user breakdown needs user_id), so fall back to a
+        # schema-shaped empty frame rather than crashing — the pruned
+        # plan only ever feeds a count-style consumer.
+        def _agg(pdf):
+            if len(pdf) and {"user_id", "value"} <= set(pdf.columns):
+                g = pdf.groupby("user_id")["value"]
+                return pd.DataFrame({"n": g.size(), "mx": g.max()})
+            return pd.DataFrame({"n": [], "mx": []})
 
-        uid = (
-            pdf_p["user_id"].iloc[0]
-            if len(pdf_p)
-            else pdf_v["user_id"].iloc[0]
-        )
+        ap, av = _agg(pdf_p), _agg(pdf_v)
+        out = ap.join(av, how="outer", lsuffix="_p", rsuffix="_v")
         return pd.DataFrame(
             {
-                "user_id": [int(uid)],
-                "n_purchase": [len(pdf_p)],
-                "n_view": [len(pdf_v)],
-                "max_purchase": [_max(pdf_p)],
-                "max_view": [_max(pdf_v)],
+                "user_id": out.index.to_numpy(dtype="int64"),
+                "n_purchase": out["n_p"].fillna(0).to_numpy(dtype="int64"),
+                "n_view": out["n_v"].fillna(0).to_numpy(dtype="int64"),
+                "max_purchase": out["mx_p"].to_numpy(dtype="float64"),
+                "max_view": out["mx_v"].to_numpy(dtype="float64"),
             }
         )
 
     merged = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(views.groupBy("bucket"))
         .applyInPandas(
             merge,
             schema="user_id long, n_purchase long, n_view long, "

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import broadcast, col
 
 from cqlcopy_spark.catalog import table
 from cqlcopy_spark.plans.registry import register
@@ -319,12 +319,81 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     would shuffle the whole corpus once per round for nothing —
     singletons can't change label. They get their identity label from
     one final left join after the fixpoint. The DuckDB oracle is the
-    same fixpoint written as a recursive CTE."""
+    same fixpoint written as a recursive CTE.
+
+    Adaptive execution: the pair set is output-sized — usually orders of
+    magnitude smaller than the corpus. When it fits on the driver
+    (≤ _CC_DRIVER_CAP edges) a single collect + union-find replaces the
+    whole multi-round loop, the same small-side cutover a join makes
+    when it broadcasts. The distributed loop remains the big-graph path
+    and is unit-tested directly (tests/test_plans.py)."""
     # Persist the pair set BEFORE symmetrizing: both union legs reference
     # it, and without materialization each leg re-executes the whole
     # inverted-index pipeline (self-joins don't guarantee exchange
     # reuse). The pair set is the operator's OUTPUT-sized data — tiny.
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
+    n_pairs = pairs.count()  # materializes the persist either way
+    d = table(spark, sf_dir, "documents")
+    if n_pairs <= _CC_DRIVER_CAP:
+        rows = pairs.collect()
+        pairs.unpersist()
+        labels_df = spark.createDataFrame(
+            _union_find_min_labels([(r["d1"], r["d2"]) for r in rows]),
+            "doc_id long, label long",
+        )
+        return (
+            d.select("doc_id")
+            .join(broadcast(labels_df), "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(col("label"), col("doc_id")).alias("component")
+            )
+        )
+    labels = _cc_min_label_loop(pairs)
+    pairs.unpersist()
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(col("label"), col("doc_id")).alias("component")
+        )
+    )
+
+
+_CC_DRIVER_CAP = 2_000_000  # edges; ~32 MB of (long, long) rows on the driver
+
+
+def _union_find_min_labels(edges: "list[tuple[int, int]]") -> "list[tuple[int, int]]":
+    """Driver-side connected components: (node, min-reachable-node) for
+    every node that appears in an edge. Path-compressed union-find, then
+    one pass to re-label each root with its component's minimum member —
+    identical output to the distributed min-label fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
+def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation over an (already materialized)
+    undirected pair set; returns (u, label). The big-graph path of
+    dedup_components."""
     fwd = pairs.select(col("d1").alias("u"), col("d2").alias("v"))
     edges = fwd.union(fwd.select(col("v").alias("u"), col("u").alias("v"))).persist()
 
@@ -352,15 +421,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = new_sum
 
     edges.unpersist()
-    pairs.unpersist()
-    d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id")
-        .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(col("label"), col("doc_id")).alias("component")
-        )
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

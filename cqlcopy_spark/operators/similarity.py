@@ -299,8 +299,11 @@ def _train_centroids(sample: "list", cells: int) -> "object":
     X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
     idx = (np.arange(cells) * len(X)) // cells
     C = X[idx].copy()
+    xx = (X * X).sum(axis=1)
     for _ in range(_IVF_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin of |x-c|² == argmin of |c|² - 2x·c  (matmul form: O(N·C·D)
+        # flops through BLAS instead of materializing an N×C×D broadcast)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T) + xx[:, None]
         a = d2.argmin(axis=1)
         for c in range(cells):
             m = a == c
@@ -340,6 +343,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(batches):
         C = bc.value
+        cc = (C * C).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -347,7 +351,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = np.zeros(X.shape[0])
             for k in range(X.shape[1]):  # sequential fold == JVM _dot order
                 nrm += X[:, k] * X[:, k]
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin |x-c|² == argmin |c|² - 2x·c: BLAS matmul, no N×C×D blow-up
+            d2 = cc[None, :] - 2.0 * (X @ C.T)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -357,23 +362,29 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
-    assigned = (
-        e.repartition(par)
-        .mapInPandas(assign, schema="vec_id long, emb array<double>, nrm double, cell int")
-        .persist()  # consumed by both the query collect and the candidate join
+    # Size partitions to the corpus: one Arrow batch handles ~20k vectors
+    # fine, so a tiny bench corpus stays on one Python worker while a
+    # cluster-scale corpus fans out to every core.
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
+    assigned = e.repartition(par).mapInPandas(
+        assign, schema="vec_id long, emb array<double>, nrm double, cell int"
     )
-    queries = assigned.filter(col("vec_id") < _N_QUERIES).select(
-        col("vec_id").alias("q_id"),
-        col("emb").alias("q_emb"),
-        col("nrm").alias("q_nrm"),
-    )
-    qrows = queries.collect()  # Q is tiny by contract; see docstring
-    probe_rows = []
+
+    # Queries are tiny by contract (_N_QUERIES): collect them straight from
+    # the source (a JVM-only filter) and assign/probe driver-side — going
+    # through `assigned` would force a full corpus pass just to pluck 8 rows.
+    qrows = e.filter(col("vec_id") < _N_QUERIES).collect()
+    q_data, probe_rows = [], []
     for r in qrows:
-        d2 = ((centroids - np.asarray(r["q_emb"])) ** 2).sum(axis=1)
+        x = np.asarray(r["emb"], dtype=np.float64)
+        nrm = 0.0
+        for k in range(len(x)):  # same sequential fold as assign()
+            nrm += x[k] * x[k]
+        q_data.append((r["vec_id"], x.tolist(), float(np.sqrt(nrm))))
+        d2 = ((centroids - x) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:_IVF_NPROBE]:
-            probe_rows.append((r["q_id"], int(cell)))
+            probe_rows.append((r["vec_id"], int(cell)))
+    queries = spark.createDataFrame(q_data, "q_id long, q_emb array<double>, q_nrm double")
     probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
 
     cands = assigned.join(broadcast(probes.join(queries, "q_id")), "cell").filter(

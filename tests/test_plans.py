@@ -154,3 +154,15 @@ def test_cogroup_survives_full_output_pruning(spark):
     and the pandas kernel receives key-only frames. The kernel must not
     crash on the pruned plan (bench counts every query)."""
     assert QUERIES["cogroup_user_join"](spark, SF_SMALL).count() > 0
+
+
+def test_cc_distributed_loop_matches_union_find(spark):
+    """dedup_components takes the driver union-find path on small pair
+    sets; pin the distributed min-label loop (the big-graph path) to the
+    same fixpoint on a multi-component graph with a 2-hop chain."""
+    from cqlcopy_spark.operators.dedup import _cc_min_label_loop, _union_find_min_labels
+
+    edge_list = [(5, 2), (2, 9), (10, 11), (20, 21), (21, 22), (7, 7)]
+    pairs = spark.createDataFrame(edge_list, "d1 long, d2 long")
+    got = {(r["u"], r["label"]) for r in _cc_min_label_loop(pairs).collect()}
+    assert got == set(_union_find_min_labels(edge_list))
