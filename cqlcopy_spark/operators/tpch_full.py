@@ -126,18 +126,14 @@ def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     The supply relation is derived from lineitem (min observed
     extendedprice/quantity per part+supplier — no partsupp in fixtures);
     the correlated subquery decorrelates to a window MIN over partkey, so
-    lineitem is read ONCE: one shuffle to (part,supp) grain, one window
-    over the already-aggregated (and region-pruned) rows. Supplier⋈nation
-    ⋈region broadcasts as one small prefilter; the part join applies its
-    size predicate before the probe. MIN of per-row IEEE divisions is
-    order-insensitive and bit-identical across engines — no dsum needed.
-    Ties (several suppliers at the min) all surface; p_partkey+s_name
-    orders the output deterministically."""
-    cost = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_cost"))
-    )
+    lineitem is read ONCE. Both dimension predicates are applied BEFORE
+    the (part,supp) aggregation as broadcast semi joins: grouping is per
+    (part,supp), so pruning either key commutes with the MIN — the
+    shuffle then carries only size-25-part × EUROPE-supplier groups
+    (~1/50 × ~1/5 of the grain) instead of the whole fact table. MIN of
+    per-row IEEE divisions is order-insensitive and bit-identical across
+    engines — no dsum needed. Ties (several suppliers at the min) all
+    surface; p_partkey+s_name orders the output deterministically."""
     regional_supp = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -157,6 +153,15 @@ def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "part")
         .filter(col("p_size") == 25)
         .select("p_partkey", "p_name")
+    )
+    cost = (
+        table(spark, sf_dir, "lineitem")
+        .join(broadcast(part.select("p_partkey")),
+              col("l_partkey") == col("p_partkey"), "left_semi")
+        .join(broadcast(regional_supp.select("s_suppkey")),
+              col("l_suppkey") == col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_cost"))
     )
     w = Window.partitionBy("l_partkey")
     return (
