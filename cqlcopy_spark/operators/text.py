@@ -632,3 +632,175 @@ def sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_token(col("doc_id")) < F.lit(int(_REBALANCE_CAP * 42949672.96))
     )
     return d.filter(keep).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality_gopher_rules — rule-based pretraining quality gate
+# ---------------------------------------------------------------------------
+
+# Stopword list drawn from the fixture vocabulary so both branches of the
+# rule actually fire on the synthetic corpus.
+_GOPHER_STOPS = ("the", "data", "value", "table")
+
+_GOPHER_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         n_chars,
+         {" + ".join(f"CASE WHEN list_contains(string_split(text,' '), '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)} AS n_stops
+  FROM documents
+)
+SELECT doc_id, source, n_words,
+       (CAST(n_chars AS DOUBLE) - n_words + 1) / n_words AS mean_word_len,
+       CAST(n_types AS DOUBLE) / n_words AS ttr,
+       n_stops >= 2 AS has_stops,
+       (n_words BETWEEN 10 AND 1000)
+         AND ((CAST(n_chars AS DOUBLE) - n_words + 1) / n_words BETWEEN 2.0 AND 12.0)
+         AND (CAST(n_types AS DOUBLE) / n_words >= 0.2)
+         AND (n_stops >= 2) AS pass
+FROM feats
+"""
+
+
+@register("quality_gopher_rules", oracle=_GOPHER_ORACLE)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate in the style pretraining pipelines ship
+    (word-count bounds, mean-word-length bounds, type/token floor,
+    stopword-presence): every rule is a pure map over precomputable
+    features, so the whole gate is one codegen stage with zero shuffles
+    at any scale. Ratios are single IEEE divisions of integer counts —
+    bit-identical across engines, so the rule BOOLEANS (not just the
+    floats) hash-match the oracle."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens())
+    n_types = F.size(F.array_distinct(_tokens()))
+    n_stops = sum(
+        F.when(F.array_contains(_tokens(), s), 1).otherwise(0) for s in _GOPHER_STOPS
+    )
+    mwl = (col("n_chars").cast("double") - n_words + 1) / n_words
+    ttr = n_types.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        ttr.alias("ttr"),
+        (n_stops >= 2).alias("has_stops"),
+        (
+            n_words.between(10, 1000)
+            & mwl.between(2.0, 12.0)
+            & (ttr >= 0.2)
+            & (n_stops >= 2)
+        ).alias("pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition_score — duplicate-ngram fraction (intra-doc repetition)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         greatest(len(string_split(text, ' ')) - 2, 0) AS total_grams,
+         len(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2]))) AS distinct_grams
+  FROM documents
+)
+SELECT doc_id, total_grams, distinct_grams,
+       CASE WHEN total_grams > 0
+            THEN CAST(total_grams - distinct_grams AS DOUBLE) / total_grams
+            ELSE 0.0 END AS dup_gram_fraction
+FROM g
+"""
+
+
+@register("repetition_score", oracle=_REPETITION_ORACLE)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of word 3-grams that are
+    duplicates of an earlier gram in the same doc — the cheap signal
+    quality filters use to kill boilerplate/spam. Entirely map-side
+    (gram arrays never leave their row, nothing shuffles); the staged
+    token projection mirrors dedup._with_grams so split(text) runs once
+    per row, not once per gram."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
+    t = col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    staged = toks.select(
+        "doc_id",
+        F.greatest(F.size(t) - 2, F.lit(0)).alias("total_grams"),
+        F.size(F.array_distinct(grams)).alias("distinct_grams"),
+    )
+    return staged.select(
+        "doc_id",
+        col("total_grams").cast("long").alias("total_grams"),
+        col("distinct_grams").cast("long").alias("distinct_grams"),
+        F.when(
+            col("total_grams") > 0,
+            (col("total_grams") - col("distinct_grams")).cast("double")
+            / col("total_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination_overlap — eval-set n-gram contamination check
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+from cqlcopy_spark.operators.dedup import _GRAMS_SQL as _DEDUP_GRAMS_SQL  # noqa: E402
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_DEDUP_GRAMS_SQL}) AS g FROM documents
+),
+bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       MIN(b.bench_id) AS first_bench_id
+FROM corpus c JOIN bench b USING (g)
+GROUP BY c.doc_id
+""",
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan — the pre-training hygiene step that
+    flags training docs sharing any word 3-gram with a held-out eval set
+    (here: doc_id ≡ 0 mod 50 plays the benchmark). Same inverted-index
+    shape as dedup_ngram_jaccard: the benchmark side is tiny by contract
+    (an eval set, not a corpus), so it BROADCASTS — the training corpus
+    never shuffles, a hard requirement when the corpus is the 100 TB
+    side. Output: contaminated doc → distinct benchmark docs hit and the
+    first (min) benchmark id, for reporting/excision."""
+    from cqlcopy_spark.operators.dedup import _with_grams
+
+    g = _with_grams(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(col("grams")).alias("g")
+    )
+    bench = g.filter(col("doc_id") % _BENCH_MOD == 0).select(
+        col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = g.filter(col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(col("bench_id")).alias("n_bench_docs"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )

@@ -166,3 +166,19 @@ def test_cc_distributed_loop_matches_union_find(spark):
     pairs = spark.createDataFrame(edge_list, "d1 long, d2 long")
     got = {(r["u"], r["label"]) for r in _cc_min_label_loop(pairs).collect()}
     assert got == set(_union_find_min_labels(edge_list))
+
+
+@pytest.mark.parametrize("name", ["quality_gopher_rules", "repetition_score"])
+def test_curation_map_ops_never_shuffle(spark, name):
+    """The rule-gate and repetition ops are pure per-row feature maps —
+    any Exchange appearing here means a regression re-introduced a
+    shuffle into what must stay scan→map at 100 TB."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The eval set is the small side by contract: the corpus must probe
+    a broadcast, never shuffle for the join."""
+    p = plan_of(QUERIES["contamination_overlap"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
