@@ -114,7 +114,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql() use."""
+    """Register every fixture table as a temp view for spark.sql() use.
+
+    Memoized per (session, sf_dir): re-registration is pure overhead (10
+    parquet footer probes) and views are name-keyed, so only a CHANGE of
+    sf_dir in the same session needs a re-register (it overwrites the
+    same view names)."""
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[id(spark)] = sf_dir
