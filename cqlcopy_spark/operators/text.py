@@ -759,15 +759,23 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+_CONTAM_N = 8  # 8-gram window: standard for contamination (3-grams of a
+#                small vocabulary collide on nearly every doc pair —
+#                long windows make the index selective, which is also
+#                what bounds the join's candidate volume)
 
-from cqlcopy_spark.operators.dedup import _GRAMS_SQL as _DEDUP_GRAMS_SQL  # noqa: E402
+_CONTAM_GRAMS_SQL = f"""
+list_distinct(list_transform(
+  range(1, greatest(len(string_split(text,' ')) - {_CONTAM_N - 1}, 0) + 1),
+  i -> {" || ' ' || ".join(f"string_split(text,' ')[i+{k}]" for k in range(_CONTAM_N))}))
+"""
 
 
 @register(
     "contamination_overlap",
     oracle=f"""
 WITH grams AS (
-  SELECT doc_id, unnest({_DEDUP_GRAMS_SQL}) AS g FROM documents
+  SELECT doc_id, unnest({_CONTAM_GRAMS_SQL}) AS g FROM documents
 ),
 bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
 corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {_BENCH_MOD} <> 0)
@@ -780,22 +788,42 @@ GROUP BY c.doc_id
 )
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination scan — the pre-training hygiene step that
-    flags training docs sharing any word 3-gram with a held-out eval set
+    flags training docs sharing any word 8-gram with a held-out eval set
     (here: doc_id ≡ 0 mod 50 plays the benchmark). Same inverted-index
-    shape as dedup_ngram_jaccard: the benchmark side is tiny by contract
-    (an eval set, not a corpus), so it BROADCASTS — the training corpus
-    never shuffles, a hard requirement when the corpus is the 100 TB
-    side. Output: contaminated doc → distinct benchmark docs hit and the
-    first (min) benchmark id, for reporting/excision."""
-    from cqlcopy_spark.operators.dedup import _with_grams
+    shape as dedup_ngram_jaccard but with the long gram window
+    contamination checks actually use: selectivity of the gram IS the
+    bound on join candidate volume. The benchmark side is tiny by
+    contract (an eval set, not a corpus), so it BROADCASTS — the
+    training corpus never shuffles, a hard requirement when the corpus
+    is the 100 TB side. Output: contaminated doc → distinct benchmark
+    docs hit and the first (min) benchmark id, for reporting/excision."""
+    d = table(spark, sf_dir, "documents")
 
-    g = _with_grams(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode(col("grams")).alias("g")
-    )
-    bench = g.filter(col("doc_id") % _BENCH_MOD == 0).select(
+    def _grams(side):
+        # stage tokens separately (dedup._with_grams pattern: split once
+        # per row, not once per gram); filter BEFORE gram construction so
+        # each side grams only its own docs
+        toks = side.select("doc_id", F.split(col("text"), " ").alias("toks"))
+        # drop docs shorter than the window BEFORE sequence(): Spark's
+        # sequence(1, 0) infers step -1 and yields [1, 0] instead of the
+        # empty list DuckDB's range(1, 1) gives — short docs contribute
+        # no grams either way, so a filter keeps the engines aligned
+        toks = toks.filter(F.size(col("toks")) >= _CONTAM_N)
+        t = col("toks")
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (_CONTAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + k) for k in range(_CONTAM_N)]
+                ),
+            )
+        )
+        return toks.select("doc_id", F.explode(grams).alias("g"))
+
+    bench = _grams(d.filter(col("doc_id") % _BENCH_MOD == 0)).select(
         col("doc_id").alias("bench_id"), "g"
     )
-    corpus = g.filter(col("doc_id") % _BENCH_MOD != 0)
+    corpus = _grams(d.filter(col("doc_id") % _BENCH_MOD != 0))
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

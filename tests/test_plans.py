@@ -17,7 +17,7 @@ import re
 import pytest
 
 from cqlcopy_spark.plans.registry import all_queries
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 QUERIES = all_queries()
 
@@ -182,3 +182,18 @@ def test_contamination_benchmark_broadcasts(spark):
     a broadcast, never shuffle for the join."""
     p = plan_of(QUERIES["contamination_overlap"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_register_views_memo_follows_sf_switch(spark):
+    """register_views memoizes per (session, sf_dir); switching sf_dir in
+    the same session must re-register (serving the previous directory's
+    views would silently corrupt every spark.sql()-path query)."""
+    from cqlcopy_spark.catalog import register_views
+
+    register_views(spark, SF_SMALL)
+    n_small = spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"]
+    register_views(spark, SF_MEDIUM)
+    n_medium = spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"]
+    assert n_medium > n_small
+    register_views(spark, SF_SMALL)
+    assert spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"] == n_small
