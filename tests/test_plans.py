@@ -197,3 +197,11 @@ def test_register_views_memo_follows_sf_switch(spark):
     assert n_medium > n_small
     register_views(spark, SF_SMALL)
     assert spark.sql("SELECT COUNT(*) c FROM lineitem").first()["c"] == n_small
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The pack aggregation groups on (shard, pack_id) with shard a
+    prefix, so it must reuse the window's hash(shard) partitioning —
+    exactly one shuffle for window + agg combined."""
+    p = plan_of(QUERIES["pack_sequences"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
