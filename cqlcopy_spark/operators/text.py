@@ -906,3 +906,65 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_weights — per-source sampling weights for a token budget
+# ---------------------------------------------------------------------------
+
+# Per-source token budgets (the mixing recipe a pretraining run fixes up
+# front). Sources beyond the recipe get the default budget.
+_MIX_BUDGETS = {"src0": 800, "src1": 400, "src2": 100_000}
+_MIX_DEFAULT_BUDGET = 1_000
+
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+budgeted AS (
+  SELECT source, n_docs, tokens,
+         CAST({ " ".join(f"CASE WHEN source = '{s}' THEN {b} ELSE" for s, b in _MIX_BUDGETS.items()) } {_MIX_DEFAULT_BUDGET} {"END " * len(_MIX_BUDGETS)} AS BIGINT) AS budget
+  FROM per_source
+)
+SELECT source, n_docs, tokens, budget,
+       LEAST(1.0, CAST(budget AS DOUBLE) / tokens) AS sample_weight,
+       CAST(floor(tokens * LEAST(1.0, CAST(budget AS DOUBLE) / tokens)) AS BIGINT)
+         AS expected_tokens
+FROM budgeted
+ORDER BY source
+""",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given per-source token budgets, compute each
+    source's down-sampling weight (min(1, budget/tokens)) and the token
+    count the mix will actually contribute — the recipe a weighted
+    sampler or per-source LIMIT then executes. One scan, map-side
+    partial agg, #sources rows shuffled; the weight is a single IEEE
+    division of integer-derived values, bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("tokens"),
+    )
+    budget = F.lit(_MIX_DEFAULT_BUDGET)
+    for s, b in reversed(_MIX_BUDGETS.items()):
+        budget = F.when(col("source") == s, F.lit(b)).otherwise(budget)
+    weight = F.least(F.lit(1.0), budget.cast("double") / col("tokens"))
+    return (
+        per_source.withColumn("budget", budget.cast("long"))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "budget",
+            weight.alias("sample_weight"),
+            F.floor(col("tokens") * weight).cast("long").alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

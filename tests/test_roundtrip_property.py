@@ -62,3 +62,39 @@ def test_csv_roundtrip_lossless(spark, tmp_path_factory, rows):
         )
 
     assert canon(back) == canon(df)
+
+
+# ---------------------------------------------------------------------------
+# union-find (dedup_components driver path) vs brute-force reachability
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=0, max_size=40
+    )
+)
+def test_union_find_matches_bruteforce_reachability(edges):
+    """The driver-side fast path of dedup_components must label every
+    edge endpoint with the minimum node reachable from it — checked
+    against an O(V·E) brute-force closure on small random graphs."""
+    from cqlcopy_spark.operators.dedup import _union_find_min_labels
+
+    got = dict(_union_find_min_labels(edges))
+    nodes = {n for e in edges for n in e}
+    assert set(got) == nodes
+    # brute force: iterate min-label propagation to fixpoint
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in edges:
+            m = min(label[u], label[v])
+            if label[u] != m or label[v] != m:
+                label[u] = label[v] = m
+                changed = True
+    assert got == label
