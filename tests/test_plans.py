@@ -205,3 +205,30 @@ def test_pack_sequences_single_shuffle(spark):
     exactly one shuffle for window + agg combined."""
     p = plan_of(QUERIES["pack_sequences"](spark, SF_SMALL))
     assert shuffle_exchanges(p) == 1, p
+
+
+def test_driver_query_rotation_orders_unchecked_first(tmp_path, monkeypatch):
+    """The grading driver correctness-checks only the first 50 queries()
+    entries per round. queries() must rank previously-FAILED names
+    first, never-checked names next, and green names last, so successive
+    rounds cover the whole registry."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = list(mod.queries())
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({names[0]: ok, names[1]: bad})
+    )
+    monkeypatch.setattr(mod, "_REPO", str(tmp_path))
+    order = list(mod.queries())
+    assert order[0] == names[1]  # failed outranks everything
+    assert order[-1] == names[0]  # green sinks to the back
+    assert set(order) == set(names)
