@@ -264,12 +264,15 @@ def udtf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows with imperative logic). For THIS logic the JVM explode/
     transform path (dedup.py's shingles) is the fast path; the UDTF
     form exists for generators that genuinely need Python (parsers,
-    tokenizers with library dependencies). Downstream is an ordinary
-    partial+final count and a TakeOrdered top-k with a deterministic
-    gram tiebreak."""
+    tokenizers with library dependencies). useArrow=True keeps the
+    Python boundary Arrow-batched — without it a UDTF plans as
+    BatchEvalPython, the row-at-a-time path the whole repo bans
+    (pinned by tests/test_plans.py's hygiene sweep). Downstream is an
+    ordinary partial+final count and a TakeOrdered top-k with a
+    deterministic gram tiebreak."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="gram: string")
+    @udtf(returnType="gram: string", useArrow=True)
     class NGrams:
         def eval(self, text: str):
             toks = text.split(" ")

@@ -232,3 +232,21 @@ def test_driver_query_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     assert order[0] == names[1]  # failed outranks everything
     assert order[-1] == names[0]  # green sinks to the back
     assert set(order) == set(names)
+
+
+def test_every_query_plan_is_hygienic(spark):
+    """Blanket sweep over the whole registry: no query may plan a
+    cartesian product (except join_cross, which demonstrates one on a
+    deliberately tiny pair of dims) and none may fall back to
+    row-at-a-time Python evaluation (BatchEvalPython) — Python touches
+    data only through Arrow (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas and friends)."""
+    allowed_cartesian = {"join_cross"}
+    bad = []
+    for name, fn in QUERIES.items():
+        p = plan_of(fn(spark, SF_SMALL))
+        if "CartesianProduct" in p and name not in allowed_cartesian:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            bad.append((name, "BatchEvalPython"))
+    assert not bad, bad
