@@ -971,3 +971,67 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-language salient terms (rational tf/df weighting)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = f"""
+WITH tokens AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY lang, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT lang) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT lang, term, tf, df, score, rnk FROM ranked WHERE rnk <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language salient terms: term frequency weighted by inverse
+    document (language) frequency. The weighting is the RATIONAL form
+    tf/df rather than tf·ln(N/df) — identical ranking within a corpus,
+    and rational arithmetic on integer counts is bit-identical across
+    engines where ln() is not (CLAUDE.md: transcendentals beyond sqrt
+    diverge).
+
+    Shape: explode shuffles vocabulary-sized partial (lang, term)
+    counts — never raw token rows (map-side combine does the crush);
+    the df table is vocabulary-sized so it BROADCASTS back onto tf;
+    top-k per language is one window over the tiny scored relation. A
+    unique term tiebreak keeps row_number engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("lang").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", col("tf").cast("double") / col("df")
+    )
+    w = Window.partitionBy("lang").orderBy(col("score").desc(), col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= _TFIDF_K)
+        .select("lang", "term", "tf", "df", "score", "rnk")
+    )
