@@ -43,17 +43,24 @@ def _checked_status() -> dict[str, bool]:
 
     status: dict[str, bool] = {}
     for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        # a malformed round file (valid JSON but not dict-of-dicts, a
+        # truncated write, etc.) must degrade to "ignore that file", not
+        # crash queries() and take the whole verification round with it
         try:
             data = json.loads(p.read_text())
-        except (OSError, ValueError):
+            for name, r in data.items():
+                green = bool(
+                    r.get("err") == "no_oracle"
+                    or (
+                        r.get("rows_match")
+                        and r.get("schema_match")
+                        and r.get("hash_match")
+                    )
+                )
+                # later rounds override earlier verdicts
+                status[name] = green
+        except Exception:
             continue
-        for name, r in data.items():
-            green = bool(
-                r.get("err") == "no_oracle"
-                or (r.get("rows_match") and r.get("schema_match") and r.get("hash_match"))
-            )
-            # later rounds override earlier verdicts
-            status[name] = green
     return status
 
 

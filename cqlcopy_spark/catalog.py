@@ -114,7 +114,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-_REGISTERED: dict[int, str] = {}
+_REGISTERED_CONF = "spark.cqlcopy.registeredSfDir"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -123,9 +123,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Memoized per (session, sf_dir): re-registration is pure overhead (10
     parquet footer probes) and views are name-keyed, so only a CHANGE of
     sf_dir in the same session needs a re-register (it overwrites the
-    same view names)."""
-    if _REGISTERED.get(id(spark)) == sf_dir:
+    same view names). The memo lives in a session conf, not a dict keyed
+    by id(spark) — CPython reuses object addresses, so an id-keyed memo
+    could silently skip registration on a brand-new session."""
+    if spark.conf.get(_REGISTERED_CONF, None) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[id(spark)] = sf_dir
+    spark.conf.set(_REGISTERED_CONF, sf_dir)

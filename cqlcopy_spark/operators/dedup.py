@@ -69,16 +69,26 @@ def _with_grams(d: DataFrame) -> DataFrame:
     cheap expressions, and higher-order lambdas aren't."""
     toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
     t = col("toks")
+    # <3-token guard: sequence(1, 0) would infer step -1 and yield [1, 0],
+    # whose element_at(t, 0) throws — DuckDB's range(1, 1) is empty
     return toks.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-                ),
-            )
-        ).alias("grams"),
+        F.when(
+            F.size(t) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
     )
 
 
@@ -359,7 +369,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_DRIVER_CAP = 2_000_000  # edges; ~32 MB of (long, long) rows on the driver
+# Driver cutover cap in EDGES. The real driver-side cost is CPython
+# objects, not raw bytes: collect() materializes one Row per edge plus
+# the tuple list (~300-500 bytes/edge all-in), so 500k edges ≈ a few
+# hundred MB transient — comfortable on a normal driver, and the
+# distributed loop takes over well before collect becomes the risk.
+_CC_DRIVER_CAP = 500_000
 
 
 def _union_find_min_labels(edges: "list[tuple[int, int]]") -> "list[tuple[int, int]]":

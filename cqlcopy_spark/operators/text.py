@@ -677,14 +677,19 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, so the rule BOOLEANS (not just the
     floats) hash-match the oracle."""
     d = table(spark, sf_dir, "documents")
-    n_words = F.size(_tokens())
-    n_types = F.size(F.array_distinct(_tokens()))
+    # stage the split once (the adjacent curation ops' pattern): six
+    # _tokens() occurrences in one projection would otherwise lean on
+    # codegen CSE to avoid re-splitting text up to 6x per row
+    staged = d.select("doc_id", "source", "n_chars", _tokens().alias("toks"))
+    t = col("toks")
+    n_words = F.size(t)
+    n_types = F.size(F.array_distinct(t))
     n_stops = sum(
-        F.when(F.array_contains(_tokens(), s), 1).otherwise(0) for s in _GOPHER_STOPS
+        F.when(F.array_contains(t, s), 1).otherwise(0) for s in _GOPHER_STOPS
     )
     mwl = (col("n_chars").cast("double") - n_words + 1) / n_words
     ttr = n_types.cast("double") / n_words
-    return d.select(
+    return staged.select(
         "doc_id",
         "source",
         n_words.alias("n_words"),
@@ -733,12 +738,18 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
     t = col("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+    # guard the <3-token case: Spark's sequence(1, 0) infers step -1 and
+    # yields [1, 0], whose element_at(t, 0) then throws — where DuckDB's
+    # range(1, 1) is simply empty. Short docs have 0 grams by definition.
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     staged = toks.select(
         "doc_id",
         F.greatest(F.size(t) - 2, F.lit(0)).alias("total_grams"),
@@ -1020,10 +1031,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per language is one window over the tiny scored relation. A
     unique term tiebreak keeps row_number engine-stable."""
     d = table(spark, sf_dir, "documents")
+    # tf feeds BOTH the df aggregate and the join probe — persist it or
+    # the token explosion re-executes per side (CLAUDE.md: self-joins
+    # don't guarantee exchange reuse)
     tf = (
         d.select("lang", F.explode(_tokens()).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("lang").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").withColumn(
