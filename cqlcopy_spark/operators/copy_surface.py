@@ -156,12 +156,13 @@ WHERE {sql_portable_token('o_orderkey')} > {_TOKEN_OFFSET}
 @register("source_paged_scan", oracle=_PAGED_ORACLE)
 def source_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The token-range read path as a first-class Spark source
-    (sources/paged_source.py): ring slices are InputPartitions planned
-    driver-side from metadata, each task pages through its slice in
-    Arrow batches, resume_after fast-forwards past completed ranges
+    (sources/paged_source.py): row-group spans are InputPartitions
+    planned driver-side from footer metadata (each task reads ONLY its
+    span — work ∝ 1/splits), each task pages through its rows in Arrow
+    batches, and resume_after filters rows past the token offset
     (read.go:107,113-119; page size read.go:28). Same resume semantics
     as scan_token_range, but the split/page/resume logic lives INSIDE
-    the source — Spark schedules ring slices like any other partitioned
+    the source — Spark schedules the splits like any other partitioned
     scan."""
     import os
 

@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from cqlcopy_spark.config import DEFAULT_CONFIG
 from cqlcopy_spark.sinks.retry import retry_call
 
 
@@ -45,10 +46,16 @@ class StagedFile(WriterCommitMessage):
 class BatchedCsvWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options["path"]
-        self.chunk_size = int(options.get("chunk_size", "1000"))
-        self.max_batch_bytes = int(options.get("max_batch_kb", "20")) * 1000
-        self.max_attempts = int(options.get("max_attempts", "5"))
-        self.backoff_s = float(options.get("backoff_s", "0.0"))
+        # defaults come from DEFAULT_CONFIG (the reference's CLI defaults,
+        # write.go:35-41) so the sink can't drift from the COPY surface
+        self.chunk_size = int(options.get("chunk_size", str(DEFAULT_CONFIG.chunk_size)))
+        self.max_batch_bytes = (
+            int(options.get("max_batch_kb", str(DEFAULT_CONFIG.max_batch_kb))) * 1000
+        )
+        self.max_attempts = int(
+            options.get("max_attempts", str(DEFAULT_CONFIG.max_attempts))
+        )
+        self.backoff_s = float(options.get("backoff_s", str(DEFAULT_CONFIG.backoff_s)))
 
     def write(self, iterator):
         """Task-side: accumulate rows into batches, flush each batch
@@ -69,9 +76,16 @@ class BatchedCsvWriter(DataSourceWriter):
             if not batch:
                 return
             lines = "".join(batch)
+            base = os.path.getsize(staged) if os.path.exists(staged) else 0
 
             def _append() -> None:
+                # idempotent under retry: a previous attempt may have
+                # appended PART of this batch before failing — truncate
+                # back to the pre-batch offset so re-appending the whole
+                # batch can't duplicate rows (the reference's INSERT
+                # retry is idempotent; a raw file append is not)
                 with open(staged, "a", encoding="utf-8") as f:
+                    f.truncate(base)
                     f.write(lines)
 
             if not retry_call(
@@ -83,9 +97,21 @@ class BatchedCsvWriter(DataSourceWriter):
             n_batches += 1
             batch, batch_bytes = [], 0
 
+        import csv
+        import io
+
+        def _csv_line(row) -> str:
+            # RFC-4180 quoting (the convention csv_sink/write_csv uses):
+            # a bare join corrupts fields containing commas/quotes/newlines
+            buf = io.StringIO()
+            csv.writer(buf, lineterminator="\n").writerow(
+                ["" if v is None else str(v) for v in row]
+            )
+            return buf.getvalue()
+
         for row in iterator:
             fields = ["" if v is None else str(v) for v in row]
-            batch.append(",".join(fields) + "\n")
+            batch.append(_csv_line(row))
             batch_bytes += sum(len(f) for f in fields)
             n_rows += 1
             if len(batch) >= self.chunk_size or batch_bytes >= self.max_batch_bytes:
@@ -97,19 +123,31 @@ class BatchedCsvWriter(DataSourceWriter):
         return StagedFile(staged, f"part-{attempt_id}.csv", n_rows, n_batches)
 
     def commit(self, messages):
-        """Driver-side: atomically publish every staged file. Until this
-        rename loop runs, readers of `path` see nothing."""
+        """Driver-side: atomically publish every staged file, then clear
+        the staging dir INCLUDING strays — a task attempt that died after
+        flushing (and was retried under a fresh uuid) leaves a staged
+        file no commit message references; it must not survive a
+        successful job. Until the rename loop runs, readers of `path`
+        see nothing."""
+        import shutil
+
         for m in messages:
-            if m.n_rows:
+            if m is not None and m.n_rows:
                 os.replace(m.staged_path, os.path.join(self.path, m.final_name))
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages):
+        # failed tasks contribute None commit messages (pyspark
+        # DataSourceWriter.abort contract) — skip them or the cleanup
+        # loop itself crashes and leaves everything behind
+        for m in messages:
+            if m is not None and m.staged_path and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging) and not os.listdir(staging):
             os.rmdir(staging)
-
-    def abort(self, messages):
-        for m in messages:
-            if m.staged_path and os.path.exists(m.staged_path):
-                os.remove(m.staged_path)
 
 
 class BatchedCsvSinkDataSource(DataSource):
@@ -127,8 +165,13 @@ class BatchedCsvSinkDataSource(DataSource):
 
 
 def register_batched_sink(spark) -> None:
+    from cqlcopy_spark.catalog import _ship_package
+
     key = "cqlcopy_spark._batched_sink_registered"
     if spark.conf.get(key, None) == "1":
         return
+    # the writer class is cloudpickled BY REFERENCE — executors must be
+    # able to import cqlcopy_spark (CLAUDE.md UDF-shipping rule)
+    _ship_package(spark)
     spark.dataSource.register(BatchedCsvSinkDataSource)
     spark.conf.set(key, "1")

@@ -195,8 +195,17 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
                     us = int(us)
                     if s is None:
                         s, last, n = us, us, 1
+                    elif us < s - gap_us:
+                        # late arrival predating the open session by more
+                        # than the gap: a separate, already-complete
+                        # earlier session — emit it closed immediately
+                        out.append((key[0], us, us + gap_us, 1))
                     elif us - last <= gap_us:
-                        last, n = us, n + 1
+                        # merge; min/max (not unconditional last=us) so a
+                        # late event inside an open session from a LATER
+                        # micro-batch can't drag `last` backward and
+                        # split the session at the next on-time event
+                        s, last, n = min(s, us), max(last, us), n + 1
                     else:
                         out.append((key[0], s, last + gap_us, n))
                         s, last, n = us, us, 1

@@ -43,28 +43,24 @@ def test_progress_reporter_counts_rows(spark):
     assert lines and "1000 rows done" in lines[-1]
 
 
-def test_paged_source_partition_planning_skips_completed_ranges():
-    """Ring slicing is metadata-only and resume_after fast-forwards past
-    fully-scanned slices (read.go:107): with the resume token in slice 4
-    of 8, slices 0-3 must not be planned at all."""
-    from cqlcopy_spark.sources.paged_source import (
-        RING_MAX,
-        PagedTokenRangeReader,
-    )
+def test_paged_source_partitions_are_disjoint_complete_row_group_spans():
+    """Input splits are row-group spans planned from the parquet FOOTER
+    only: together they cover every row group exactly once (no task
+    scans the whole file), and the split count respects n_ranges."""
+    import pyarrow.parquet as pq
 
-    mid = RING_MAX // 2 + 123  # inside slice 4 of 8
+    from cqlcopy_spark.sources.paged_source import PagedTokenRangeReader
+    from tests.conftest import SF_SMALL
+
+    path = f"{SF_SMALL}/orders.parquet"
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
     r = PagedTokenRangeReader(
-        None,
-        {"path": "unused", "key_col": "k", "n_ranges": "8",
-         "resume_after": str(mid)},
+        None, {"path": path, "key_col": "o_orderkey", "n_ranges": "4"}
     )
     parts = r.partitions()
-    assert len(parts) == 4  # slices 4..7 survive
-    assert all(p.hi > mid + 1 for p in parts)
-    full = PagedTokenRangeReader(None, {"path": "unused", "key_col": "k"})
-    bounds = [(p.lo, p.hi) for p in full.partitions()]
-    assert bounds[0][0] == 0 and bounds[-1][1] == RING_MAX
-    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))  # no gaps
+    assert 1 <= len(parts) <= 4
+    covered = sorted(rg for p in parts for rg in p.row_groups)
+    assert covered == list(range(n_rg))  # disjoint AND complete
 
 
 def test_batched_sink_two_phase_commit_roundtrip(spark, tmp_path):

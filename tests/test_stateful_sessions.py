@@ -99,3 +99,56 @@ def test_timeout_sessionizer_two_batch_replay(spark, tmp_path):
 
     events.unpersist()
     assert emitted == expected
+
+
+def test_late_event_in_open_session_does_not_split(spark, tmp_path):
+    """An out-of-order event that lands INSIDE an open session from a
+    later micro-batch must merge via min/max — the pre-fix code set
+    last=us unconditionally, dragging the session's frontier backward so
+    the next on-time event falsely exceeded the gap and split one real
+    session into two."""
+    import pandas as pd
+
+    sec = 1_000_000
+    base = 100_000  # seconds; an event AT the initial watermark (0) is dropped
+    stage = str(tmp_path / "late_merge")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    pd.DataFrame(
+        {"user_id": [1, 1], "us": [base * sec, (base + 600) * sec]}
+    ).to_parquet(f1)
+    # +300s is LATE (inside the open [+0, +600] session); +2200s is
+    # on-time: 2200-600=1600s <= gap(1800s) so the session must NOT
+    # split; +99999s exceeds the gap and closes it
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "us": [(base + 300) * sec, (base + 2200) * sec, (base + 99999) * sec],
+        }
+    ).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    src = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("late_merge_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_merge_sessions").collect()
+    }
+    q.stop()
+    assert emitted == {(1, base * sec, (base + 2200 + 1800) * sec, 4)}
