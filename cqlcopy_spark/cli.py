@@ -197,15 +197,29 @@ def _load_write_input(
                 raise ValueError(
                     f"parse-error budget exceeded: {bad} > {cfg.max_parse_errors}"
                 )
-            return cast_dynamic(raw, schema, cfg).drop("_parse_error")
+            # count-and-SKIP, like the reference (write.go:140-147): rows
+            # inside the budget are logged against it but never inserted
+            # as half-parsed garbage
+            ok = raw.filter(col("_parse_error").isNull())
+            return cast_dynamic(ok, schema, cfg).drop("_parse_error")
         return read_csv(spark, path, schema, cfg)
     if args.dynamic:
         raise ValueError("--dynamic requires --types (the target schema)")
     # Inference path: sampling-based column typing (SURVEY.md §7 notes this
     # is a semantic upgrade over the reference's per-cell inference).
     opts = dict(csv_read_options(cfg))
-    opts.pop("columnNameOfCorruptRecord")
+    corrupt_col = opts["columnNameOfCorruptRecord"]
     df = spark.read.options(inferSchema="true", **opts).csv(path)
+    if corrupt_col in df.columns:
+        # PERMISSIVE mode surfaces malformed lines in the corrupt-record
+        # column: enforce the parse-error budget here too (the other two
+        # paths already do), then exclude the bad rows from the write
+        bad = df.filter(col(corrupt_col).isNotNull()).count()
+        if 0 <= cfg.max_parse_errors < bad:
+            raise ValueError(
+                f"parse-error budget exceeded: {bad} > {cfg.max_parse_errors}"
+            )
+        df = df.filter(col(corrupt_col).isNull()).drop(corrupt_col)
     if len(df.columns) != len(args.columns):
         raise ValueError(
             f"input has {len(df.columns)} columns, expected {len(args.columns)}"
@@ -273,6 +287,10 @@ def run_write(spark: SparkSession, args: argparse.Namespace) -> int:
         if args.backend == "cassandra":
             from cqlcopy_spark.sources.cassandra import copy_to_cassandra
 
+            if "." not in args.table and not args.keyspace:
+                raise ValueError(
+                    "--keyspace is required for an unqualified table name"
+                )
             qualified = (
                 args.table if "." in args.table else f"{args.keyspace}.{args.table}"
             )
@@ -291,6 +309,8 @@ def run_read(spark: SparkSession, args: argparse.Namespace) -> int:
     from cqlcopy_spark.sources.cassandra import read_from_cassandra, scan_token_range
 
     if args.backend == "cassandra":
+        if "." not in args.table and not args.keyspace:
+            raise ValueError("--keyspace is required for an unqualified table name")
         qualified = (
             args.table if "." in args.table else f"{args.keyspace}.{args.table}"
         )
@@ -303,6 +323,14 @@ def run_read(spark: SparkSession, args: argparse.Namespace) -> int:
         # resume: re-export only the ring after the last seen token
         # (read.go:100-107); drop the helper column like the reference
         # drops token(pk) from its SELECT list output (read.go:181).
+        key_type = dict((f.name, f.dataType) for f in df.schema.fields)[args.columns[0]]
+        if not isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # portable_token casts to long; a non-numeric key would token
+            # to NULL and the > filter would silently drop EVERY row
+            raise ValueError(
+                f"--offset resume requires an integer first column; "
+                f"{args.columns[0]!r} is {key_type.simpleString()}"
+            )
         df = scan_token_range(df, args.columns[0], args.offset, cfg).drop("token")
     is_str = [isinstance(f.dataType, T.StringType) for f in df.schema.fields]
     df = _format_for_export(df, cfg)

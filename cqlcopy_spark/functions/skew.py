@@ -53,7 +53,18 @@ def salted_join(
     """Equi-join on `on` with the probe side's hot keys scattered across
     n_salts tasks. Build side grows n_salts×: use only when build is
     small relative to the skew pain and too big / mid-plan for a plain
-    broadcast."""
+    broadcast.
+
+    Only probe-preserving join types are legal: the build side is
+    replicated n_salts×, so any type that emits UNMATCHED build rows
+    (right/full outer) would emit each of them n_salts times — silently
+    wrong, so refuse."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftouter"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched build rows "
+            f"{n_salts}x (build side is salt-replicated); use a probe-"
+            "preserving join type"
+        )
     p = with_probe_salt(probe, probe_unique_col, n_salts)
     b = with_build_salts(build, n_salts)
     return p.join(b, on=on + ["_salt"], how=how).drop("_salt")

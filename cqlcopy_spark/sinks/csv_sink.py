@@ -73,7 +73,10 @@ def with_batch_id(df: DataFrame, cfg: CopyConfig = DEFAULT_CONFIG) -> DataFrame:
 
     sized = df.withColumn(
         "_row_bytes",
-        sum(F.coalesce(F.length(col(f.name).cast("string")), F.lit(0)) for f in df.schema.fields),
+        # octet_length: the reference measures BYTES (Go len() on string,
+        # write.go:238-240); F.length counts codepoints and undercounts
+        # multi-byte UTF-8 up to 4x
+        sum(F.coalesce(F.octet_length(col(f.name).cast("string")), F.lit(0)) for f in df.schema.fields),
     ).withColumn("_pid", F.spark_partition_id()).withColumn("_pos", F.monotonically_increasing_id())
     w = Window.partitionBy("_pid").orderBy("_pos")
     max_bytes = cfg.max_batch_kb * 1000  # write.go:241 divides by 1000, not 1024

@@ -63,13 +63,26 @@ def write_with_retries(
     budget = cfg.max_insert_errors
 
     def run_partition(rows: Iterator) -> None:
+        from time import sleep  # stdlib only — the closure must not pull
+        # in module-level cqlcopy_spark names (cloudpickle would reference
+        # them and executors would need the package importable)
+
         batch: list = []
 
         def flush() -> None:
             if not batch:
                 return
-            if not retry_call(lambda: write_batch(list(batch)), attempts, backoff):
-                failed.add(1)
+            attempt = 0
+            while True:  # retry_call's loop, inlined for by-value pickling
+                attempt += 1
+                try:
+                    write_batch(list(batch))
+                    break
+                except Exception:
+                    if attempts and attempt >= attempts:
+                        failed.add(1)
+                        break
+                    sleep(backoff)
             batch.clear()
 
         for r in rows:

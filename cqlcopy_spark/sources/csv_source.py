@@ -192,6 +192,13 @@ def parse_csv_dynamic(
     out_schema = _raw_field_schema(ncols)
     header = cfg.header
 
+    # the parse closure references module-level _split_rfc4180, which
+    # cloudpickle serializes BY REFERENCE — executors must be able to
+    # import cqlcopy_spark (CLAUDE.md UDF-shipping rule)
+    from cqlcopy_spark.catalog import _ship_package
+
+    _ship_package(spark)
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -208,10 +215,16 @@ def parse_csv_dynamic(
     lines = spark.read.text(path)
     if header:
         # The reference reads and DISCARDS the header row (write.go:135-137):
-        # column names come from the caller. Drop the first line of the file.
-        first = lines.limit(1).collect()
-        if first:
-            lines = lines.filter(col("value") != first[0][0])
+        # column names come from the caller. Drop exactly ONE row — the
+        # file's first line, identified by the minimum monotonic id (text
+        # reads preserve in-file order and split 0 carries the lowest
+        # ids). A value filter on the header TEXT would also delete any
+        # data row that happens to equal it.
+        lines = lines.withColumn("_mid", F.monotonically_increasing_id())
+        first_id = lines.agg(F.min("_mid")).first()[0]
+        if first_id is not None:
+            lines = lines.filter(col("_mid") != first_id)
+        lines = lines.drop("_mid")
     raw = lines.mapInPandas(parse, schema=out_schema)
     renamed = raw
     for i, name in enumerate(column_names):
@@ -240,10 +253,13 @@ def cast_cell(value: Column, quoted: Column, target: T.DataType, cfg: CopyConfig
         parsed = F.try_to_timestamp(value, F.lit(fmt)).cast(target.simpleString())
         return F.when(is_null, F.lit(None).cast(target.simpleString())).otherwise(parsed)
     if isinstance(target, T.LongType) or isinstance(target, T.IntegerType):
-        # try_cast ≡ the reference's parse-or-fallback (ANSI cast would throw)
-        return F.when(is_null, F.lit(None)).otherwise(
-            value.try_cast("long")
-        ).cast(target.simpleString())
+        # try_cast straight to the TARGET type: routing through long and
+        # then cast('int') would silently wrap values that overflow int32
+        # (non-ANSI) or throw (ANSI) — try_cast yields NULL like every
+        # other unparseable cell on this path
+        return F.when(is_null, F.lit(None).cast(target.simpleString())).otherwise(
+            value.try_cast(target.simpleString())
+        )
     if isinstance(target, (T.DoubleType, T.FloatType)):
         # engine upgrade: reference has no float support (README.md:11)
         return F.when(is_null, F.lit(None)).otherwise(value.try_cast(target.simpleString()))
