@@ -32,7 +32,7 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[tuple[str, int]] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -44,10 +44,20 @@ def _ship_package(spark: SparkSession) -> None:
     __spark_entry__ from outside the repo, workers inherit a sys.path
     without /root/repo — so ship the package once per SparkContext via
     addPyFile (a zip, distributed through the Spark file server exactly
-    as --py-files would on a real cluster)."""
+    as --py-files would on a real cluster).
+
+    The memo key is (applicationId, startTime) — unique per context and
+    immune to CPython address reuse, which an id(sc) key is not. Re-
+    shipping into the SAME context would crash: each make_archive embeds
+    fresh mtimes, and Spark rejects an added file whose name matches but
+    bytes differ. The staging zip must OUTLIVE the call — in local mode
+    tasks fetch it lazily from the source path — so cleanup is deferred
+    to interpreter exit."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    key = (sc.applicationId, sc.startTime)
+    if key in _SHIPPED:
         return
+    import atexit
     import shutil
     import tempfile
 
@@ -62,7 +72,8 @@ def _ship_package(spark: SparkSession) -> None:
         base_dir="cqlcopy_spark",
     )
     sc.addPyFile(zip_path)
-    _SHIPPED.add(id(sc))
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    _SHIPPED.add(key)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

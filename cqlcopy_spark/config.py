@@ -24,7 +24,10 @@ _GO_TO_JAVA = [
     ("15", "HH"),
     ("04", "mm"),
     ("05", "ss"),
-    ("-0700", "XX"),
+    # Go "-0700" ALWAYS emits a numeric offset ("+0000" at UTC); Java
+    # uppercase "XX" emits "Z" at zero offset — lowercase "xx" matches.
+    # Go "Z0700" emits "Z" at UTC, which IS Java "XX".
+    ("-0700", "xx"),
     ("Z0700", "XX"),
     (".000", ".SSS"),
 ]
@@ -89,7 +92,7 @@ class CopyConfig:
     def time_format_ntz(self) -> str:
         """Zone-less variant for TimestampNTZ columns (parquet fixtures are
         TZ-naive): a Java pattern with an offset token cannot format NTZ."""
-        return self.time_format.replace("XX", "").strip()
+        return self.time_format.replace("XX", "").replace("xx", "").strip()
 
     @property
     def true_literal(self) -> str:

@@ -65,7 +65,14 @@ class ProgressReporter:
 
     def instrument(self, df: DataFrame) -> DataFrame:
         """Count rows flowing through this point of the plan via
-        mapInPandas (Arrow-batched; adds no shuffle)."""
+        mapInPandas (Arrow-batched; adds no shuffle).
+
+        Caveat: accumulator updates inside a TRANSFORMATION are applied
+        once per task ATTEMPT — retries, speculation, and stage
+        recomputation overcount. That matches the reference's progress
+        counter (a monitoring signal, not an exactly-once ledger:
+        write.go:162-179 counts batches as workers attempt them); do not
+        use this figure for row-count parity checks."""
         import pandas as pd  # noqa: F401
 
         rows = self.rows

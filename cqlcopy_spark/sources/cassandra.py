@@ -36,9 +36,11 @@ def split_table(qualified: str) -> tuple[str, str]:
     """'keyspace.table' → (keyspace, table); identifier-validated
     (util.go:3-18 whitelist)."""
     require_identifiers(qualified)
-    if "." not in qualified:
-        raise ValueError("expected keyspace.table")
-    ks, tbl = qualified.split(".", 1)
+    if qualified.count(".") != 1:
+        raise ValueError(f"expected exactly keyspace.table, got {qualified!r}")
+    ks, tbl = qualified.split(".")
+    if not ks or not tbl:
+        raise ValueError(f"empty keyspace or table in {qualified!r}")
     return ks, tbl
 
 
@@ -47,11 +49,18 @@ def write_options(qualified: str, cfg: CopyConfig = DEFAULT_CONFIG) -> dict[str,
     return {
         "keyspace": ks,
         "table": tbl,
-        "spark.cassandra.output.batch.size.rows": str(cfg.chunk_size),
+        # batch.size.rows and batch.size.bytes are MUTUALLY EXCLUSIVE in
+        # the connector (WriteConf rejects both) — map the reference's
+        # dual threshold to bytes only, the limit that usually trips first
         "spark.cassandra.output.batch.size.bytes": str(cfg.max_batch_kb * 1000),
         "spark.cassandra.output.batch.grouping.key": "partition",
         "spark.cassandra.output.concurrent.writes": str(cfg.num_workers),
-        "spark.cassandra.query.retry.count": str(cfg.max_attempts),
+        # reference sentinel: max_attempts=0 means retry FOREVER
+        # (write.go:33); the connector's retry.count=0 means no retries,
+        # so translate the sentinel to an effectively-unbounded count
+        "spark.cassandra.query.retry.count": str(
+            cfg.max_attempts if cfg.max_attempts > 0 else 2_147_483_647
+        ),
     }
 
 
@@ -107,5 +116,12 @@ def scan_token_range(
     At scale the token is a pure projection over the scan — no shuffle;
     the predicate stays in whole-stage codegen."""
     off = cfg.offset if offset is None else offset
+    if "token" in df.columns:
+        # withColumn would silently REPLACE the user's column with the
+        # ring hash (and cli.run_read then drops it from the export)
+        raise ValueError(
+            "scan_token_range: input already has a 'token' column; "
+            "rename it before resuming by token"
+        )
     tok = portable_token(col(key_col))
     return df.withColumn("token", tok).filter(col("token") > F.lit(off))

@@ -82,6 +82,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # the µs-instant cast below and every window boundary assume UTC —
+    # pin it like catalog.table() does (no table() call on this path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -100,14 +103,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # FileStreamSource requires a DIRECTORY; the fixture is a single file.
     # Stage a symlink dir (cheap, idempotent) — in production the source
-    # would already be a directory of arriving files.
+    # would already be a directory of arriving files. The stage is keyed
+    # by a hash of the FULL fixture path (two sf_dirs can share a
+    # basename), checked with lexists (a dangling link exists for
+    # symlink() but not for exists()), and tolerant of a concurrent
+    # creator.
+    import hashlib
+
     stage = os.path.join(
-        "/tmp/cqlcopy_spark/stream_src", os.path.basename(sf_dir.rstrip("/")), "events"
+        "/tmp/cqlcopy_spark/stream_src",
+        hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16],
+        "events",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(path):
+        os.remove(link)  # stale or dangling from a moved fixture
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass
     src = spark.readStream.schema(schema).parquet(stage)
     if isinstance(ts_type, T.LongType):
         # int64 nanos: floor-divide ns→µs in integer space (catalog._events)

@@ -14,10 +14,18 @@ def test_write_options_map_reference_flags():
     cfg = CopyConfig(chunk_size=500, max_batch_kb=10, num_workers=4, max_attempts=3)
     opts = write_options("ks.tbl", cfg)
     assert opts["keyspace"] == "ks" and opts["table"] == "tbl"
-    assert opts["spark.cassandra.output.batch.size.rows"] == "500"
+    # rows and bytes sizing are mutually exclusive in the connector's
+    # WriteConf: only the bytes threshold maps
+    assert "spark.cassandra.output.batch.size.rows" not in opts
     assert opts["spark.cassandra.output.batch.size.bytes"] == "10000"
     assert opts["spark.cassandra.output.concurrent.writes"] == "4"
     assert opts["spark.cassandra.query.retry.count"] == "3"
+    # reference sentinel 0 = retry forever, connector 0 = never: translated
+    assert int(
+        write_options("ks.tbl", CopyConfig(max_attempts=0))[
+            "spark.cassandra.query.retry.count"
+        ]
+    ) > 1_000_000
     assert opts["spark.cassandra.output.batch.grouping.key"] == "partition"
 
 

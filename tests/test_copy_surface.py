@@ -183,5 +183,28 @@ def test_identifiers():
 
 
 def test_go_layout():
-    assert go_layout_to_java("2006-01-02 15:04:05-0700") == "yyyy-MM-dd HH:mm:ssXX"
+    # Go "-0700" ALWAYS prints a numeric offset ("+0000" at UTC); Java
+    # uppercase XX prints "Z" there — lowercase xx is the faithful map
+    assert go_layout_to_java("2006-01-02 15:04:05-0700") == "yyyy-MM-dd HH:mm:ssxx"
     assert go_layout_to_java("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert go_layout_to_java("2006-01-02 15:04:05Z0700") == "yyyy-MM-dd HH:mm:ssXX"
+
+
+def test_default_time_format_renders_utc_like_go(spark):
+    """The reference's default layout renders 2024-01-01 UTC as
+    '...+0000' (Go -0700 semantics); Java XX would emit '...Z'."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.config import DEFAULT_CONFIG
+
+    out = (
+        spark.range(1)
+        .select(
+            F.date_format(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                DEFAULT_CONFIG.time_format,
+            ).alias("s")
+        )
+        .first()["s"]
+    )
+    assert out == "2024-01-01 00:00:00+0000"
