@@ -60,7 +60,9 @@ def copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both legs are full-width scans with no shuffle at all — the
     write fans out per partition (reference workers, write.go:130-132)
     and the read is splittable CSV."""
-    out = os.path.join("/tmp/cqlcopy_spark/roundtrip", os.path.basename(sf_dir.rstrip("/")))
+    from cqlcopy_spark.operators.formats import _stage
+
+    out = _stage(sf_dir, "roundtrip")
     li = table(spark, sf_dir, "lineitem")
     write_csv(li, out, DEFAULT_CONFIG)
     return read_csv(spark, out, _LINEITEM_SCHEMA, DEFAULT_CONFIG)

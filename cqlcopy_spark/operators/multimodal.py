@@ -248,7 +248,10 @@ def sample_frames(df: DataFrame, every_n: int = 10,
 
 # Mirrors the stub kernels exactly: n_frames = 1 + len % 30 (decode),
 # sampled idx ∈ range(0, n_frames, 4), frame = raw[lo : lo+16] with
-# lo = (idx·7) mod len ⇒ octet_length = min(16, len − lo).
+# lo = (idx·7) mod max(len, 1) ⇒ octet_length = min(16, len − lo).
+# greatest(len, 1) / COALESCE below mirror the kernels' n=0 guards —
+# without them an empty payload gives NULL-poisoned SQL (x % 0 → NULL)
+# where the kernels give 0.
 _FRAMES_ORACLE = """
 WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
 f AS (
@@ -256,7 +259,7 @@ f AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_sampled,
-       CAST(SUM(LEAST(16, len - (idx * 7) % len)) AS BIGINT) AS frame_bytes
+       CAST(SUM(LEAST(16, len - (idx * 7) % greatest(len, 1))) AS BIGINT) AS frame_bytes
 FROM f GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -289,8 +292,8 @@ SELECT doc_id,
        CAST(1 + octet_length(payload) % 1024 AS INT) AS width,
        CAST(1 + (octet_length(payload) * 7) % 768 AS INT) AS height,
        CAST(1 + octet_length(payload) % 30 AS INT) AS n_frames,
-       CAST(list_sum(list_transform(range(1, LEAST(octet_length(payload), 16) + 1),
-                     i -> ascii(substr(text, CAST(i AS INT), 1)))) % 256 AS DOUBLE)
+       CAST(COALESCE(list_sum(list_transform(range(1, LEAST(octet_length(payload), 16) + 1),
+                     i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) % 256 AS DOUBLE)
          / 255.0 AS mean_luma
 FROM b
 """

@@ -71,13 +71,21 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading null."""
     e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     hour = F.date_trunc("hour", col("ts"))
-    hourly = e.groupBy("user_id", hour.alias("hour")).agg(
-        F.count("*").alias("n_events"),
-        dsum(col("value")).alias("hour_value"),
+    # hourly feeds BOTH the spine derivation and the final join — persist
+    # it (CLAUDE.md: self-joins re-execute lineage per side), and derive
+    # the span FROM it: date_trunc is monotonic, so min/max commute with
+    # it and the raw events table is scanned exactly once.
+    hourly = (
+        e.groupBy("user_id", hour.alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(col("value")).alias("hour_value"),
+        )
+        .persist()
     )
-    span = e.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     spine = span.select(
         "user_id",
