@@ -15,7 +15,7 @@ output-bounded, then verifies exactly on the candidates only.
   array funcs); fully deterministic, so oracle-checkable against the
   exact pair set when band recall covers the dup range (it does here:
   planted dups sit at J≥0.9 where 8-band miss prob < 1e-3).
-- dedup_simhash:      64-bit SimHash via an Arrow-batched pandas UDF
+- dedup_simhash:      60-bit SimHash via an Arrow-batched pandas UDF
   (bit-matrix vote has no builtin expression), then banded Hamming join.
 """
 
@@ -60,29 +60,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word 3-gram shingles (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------
 
-def _with_grams(d: DataFrame) -> DataFrame:
-    """(doc_id, grams) with the expensive arrays STAGED through separate
-    projections: tokens are split once per row, grams reference the token
-    array as an attribute. Building it all in one expression re-evaluates
-    split(text) for every element_at — O(grams × |text|) per row instead
-    of O(|text|). Catalyst keeps the stages: CollapseProject only inlines
-    cheap expressions, and higher-order lambdas aren't."""
+def _with_grams(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams): distinct word n-grams, with the expensive arrays
+    STAGED through separate projections: tokens are split once per row,
+    grams reference the token array as an attribute. Building it all in
+    one expression re-evaluates split(text) for every element_at —
+    O(grams × |text|) per row instead of O(|text|). Catalyst keeps the
+    stages: CollapseProject only inlines cheap expressions, and
+    higher-order lambdas aren't. Shared by the dedup ops (n=3) and the
+    contamination scan (n=8)."""
     toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
     t = col("toks")
-    # <3-token guard: sequence(1, 0) would infer step -1 and yield [1, 0],
+    # <n-token guard: sequence(1, 0) would infer step -1 and yield [1, 0],
     # whose element_at(t, 0) throws — DuckDB's range(1, 1) is empty
     return toks.select(
         "doc_id",
         F.when(
-            F.size(t) >= 3,
+            F.size(t) >= n,
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 2),
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
                     lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(t, i),
-                        F.element_at(t, i + 1),
-                        F.element_at(t, i + 2),
+                        " ", *[F.element_at(t, i + k) for k in range(n)]
                     ),
                 )
             ),
@@ -203,28 +202,41 @@ _PERMS = [((i * 2_654_435_761 + 1) % _P, (i * 40_503 + 7) % _P) for i in range(1
 
 def _with_minhash_sig(d: DataFrame) -> DataFrame:
     """(doc_id, hashes, sig): 32-long MinHash signature over word-3-gram
-    shingles, all built-ins. `hashes` (distinct gram xxhash64s folded into
-    [0, P)) is carried for the verify stage: Jaccard over gram-hash sets ==
-    Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance, and longs
+    shingles, all built-ins. `hashes` (distinct RAW gram xxhash64s) is
+    carried for the verify stage: Jaccard over gram-hash sets == Jaccard
+    over gram sets up to a ~n²/2⁶⁴ collision chance, and longs
     shuffle/intersect far cheaper than gram strings.
 
-    xxhash64 output is folded into [0, P) BEFORE the affine permutation so
-    a*h + b stays < 2^62 — int64-safe under ANSI arithmetic. The gram
+    The gram
     hashes are staged as their own projection: the 32 per-permutation
     array_min folds then reference `hashes` as a cheap attribute instead
     of re-running the shingle+hash chain 32× per row (which made this
     operator ~50× slower before staging)."""
-    hashed = _with_grams(d).select(
-        "doc_id",
-        "grams",
-        F.transform(col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(_P))).alias(
-            "hashes"
-        ),
+    # Docs with NO grams (<3 tokens) cannot minhash: array_min([]) is
+    # null, every band key collapses to "" (a quadratic mega-bucket), and
+    # the verify Jaccard hits 0/0. They produce no pairs in the oracle's
+    # inverted index either, so dropping them here preserves parity.
+    hashed = (
+        _with_grams(d)
+        .filter(F.size(col("grams")) > 0)
+        .select(
+            "doc_id",
+            "grams",
+            F.transform(col("grams"), lambda g: F.xxhash64(g)).alias("hashes"),
+        )
     )
     sig = F.transform(
         F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _PERMS]),
         lambda p: F.array_min(
-            F.transform(col("hashes"), lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_P)))
+            F.transform(
+                col("hashes"),
+                # fold into [0, P) INSIDE the permutation only: a·h' + b
+                # stays < 2^62 (int64-safe under ANSI). The raw 64-bit
+                # hashes are what the verify stage intersects — folding
+                # them first would raise the verify's collision rate from
+                # ~n²/2^64 to ~n²/2^31.
+                lambda h: F.pmod(p["a"] * F.pmod(h, F.lit(_P)) + p["b"], F.lit(_P)),
+            )
         ),
     )
     return hashed.select("doc_id", "hashes", sig.alias("sig"))
@@ -405,6 +417,9 @@ def _union_find_min_labels(edges: "list[tuple[int, int]]") -> "list[tuple[int, i
     return [(n, comp_min[find(n)]) for n in parent]
 
 
+_CC_MAX_ROUNDS = 20  # ≥ max component diameter; loop raises if exceeded
+
+
 def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
     """Distributed min-label propagation over an (already materialized)
     undirected pair set; returns (u, label). The big-graph path of
@@ -417,7 +432,8 @@ def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
     labels = edges.select("u").distinct().withColumn("label", col("u")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
-    for _ in range(20):
+    converged = False
+    for _ in range(_CC_MAX_ROUNDS):
         neigh_min = (
             edges.join(labels.select(col("u").alias("v"), "label"), "v")
             .groupBy("u")
@@ -432,10 +448,18 @@ def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            converged = True
             break
         prev_sum = new_sum
 
     edges.unpersist()
+    if not converged:
+        # silently returning mid-propagation labels would emit WRONG
+        # components (and fail the oracle compare confusingly downstream)
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ROUNDS} rounds "
+            "(component diameter exceeds the cap); raise _CC_MAX_ROUNDS"
+        )
     return labels
 
 

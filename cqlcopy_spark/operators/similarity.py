@@ -59,7 +59,8 @@ def _sql_dot(x: str, y: str) -> str:
 
 _TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-n AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n AS (SELECT * FROM n0 WHERE nrm > 0),
 q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < {_N_QUERIES}),
 sims AS (
   SELECT q.q_id, n.vec_id AS n_id,
@@ -85,7 +86,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
+    # zero-norm (all-zero) vectors have no cosine: 0/0 is NaN, which
+    # Spark ORDERS ABOVE every real value while DuckDB does not — exclude
+    # them on BOTH sides (oracle mirrors with WHERE nrm > 0)
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
+        col("nrm") > 0
+    )
     q = (
         n.filter(col("vec_id") < _N_QUERIES)
         .select(
@@ -368,7 +374,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
     assigned = e.repartition(par).mapInPandas(
         assign, schema="vec_id long, emb array<double>, nrm double, cell int"
-    )
+    ).filter(col("nrm") > 0)  # zero-norm vectors have no cosine
 
     # Queries are tiny by contract (_N_QUERIES): collect them straight from
     # the source (a JVM-only filter) and assign/probe driver-side — going
@@ -380,6 +386,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = 0.0
         for k in range(len(x)):  # same sequential fold as assign()
             nrm += x[k] * x[k]
+        if nrm == 0.0:
+            continue  # zero-norm query has no cosine neighbors
         q_data.append((r["vec_id"], x.tolist(), float(np.sqrt(nrm))))
         d2 = ((centroids - x) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:_IVF_NPROBE]:
@@ -419,7 +427,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n = _lsh_banded(e).persist()  # corpus AND query sides read this; one signature pass
+    # corpus AND query sides read this; one signature pass. Zero-norm
+    # vectors have no cosine (0/0 NaN would rank above real matches).
+    n = _lsh_banded(e).filter(col("nrm") > 0).persist()
     q = n.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("q_id"),
         col("emb").alias("q_emb"),

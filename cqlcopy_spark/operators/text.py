@@ -32,6 +32,25 @@ from cqlcopy_spark.plans.registry import register
 def _tokens():
     return F.split(col("text"), " ")
 
+# Shared normalization recipe (lower → strip non-alnum → collapse runs of
+# spaces → trim). ONE definition per engine: text_normalize and
+# pipeline_corpus_curation both embed these, and their oracles must stay
+# hash-equal to the Spark side — a drift in any one copy breaks exactly
+# one operator's compare.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _norm_expr():
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # op 32: text_stats — corpus statistics by language
 # ---------------------------------------------------------------------------
@@ -207,13 +226,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_normalize — canonical cleanup before dedup/tokenization
 # ---------------------------------------------------------------------------
 
-_NORM_ORACLE = """
+_NORM_ORACLE = f"""
 SELECT doc_id,
-  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
-    AS norm_text,
-  len(string_split(
-    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
-    ' ')) AS n_norm_tokens
+  {_NORM_SQL} AS norm_text,
+  len(string_split({_NORM_SQL}, ' ')) AS n_norm_tokens
 FROM documents
 """
 
@@ -228,11 +244,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the zh docs) normalize to empty, which a real pipeline would route
     to a script-specific branch keyed on lang_id."""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = _norm_expr()
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -403,8 +415,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_ORACLE = f"""
 WITH norm AS (
-  SELECT doc_id, lang,
-    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+  SELECT doc_id, lang, {_NORM_SQL} AS n
   FROM documents
 ),
 feats AS (
@@ -439,11 +450,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts — at scale, group md5(norm) instead) and the final tiny
     per-language aggregate. One scan of the corpus, end to end."""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = _norm_expr()
     toks = F.split(col("n"), " ")
     staged = d.select("doc_id", "lang", norm.alias("n"))
     feats = staged.select(
@@ -812,28 +819,17 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus never shuffles, a hard requirement when the corpus
     is the 100 TB side. Output: contaminated doc → distinct benchmark
     docs hit and the first (min) benchmark id, for reporting/excision."""
+    from cqlcopy_spark.operators.dedup import _with_grams
+
     d = table(spark, sf_dir, "documents")
 
     def _grams(side):
-        # stage tokens separately (dedup._with_grams pattern: split once
-        # per row, not once per gram); filter BEFORE gram construction so
-        # each side grams only its own docs
-        toks = side.select("doc_id", F.split(col("text"), " ").alias("toks"))
-        # drop docs shorter than the window BEFORE sequence(): Spark's
-        # sequence(1, 0) infers step -1 and yields [1, 0] instead of the
-        # empty list DuckDB's range(1, 1) gives — short docs contribute
-        # no grams either way, so a filter keeps the engines aligned
-        toks = toks.filter(F.size(col("toks")) >= _CONTAM_N)
-        t = col("toks")
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (_CONTAM_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + k) for k in range(_CONTAM_N)]
-                ),
-            )
+        # shared n-gram builder (dedup._with_grams: staged split, short-
+        # doc guard); filtering BEFORE gram construction means each side
+        # grams only its own docs
+        return _with_grams(side, n=_CONTAM_N).select(
+            "doc_id", F.explode(col("grams")).alias("g")
         )
-        return toks.select("doc_id", F.explode(grams).alias("g"))
 
     bench = _grams(d.filter(col("doc_id") % _BENCH_MOD == 0)).select(
         col("doc_id").alias("bench_id"), "g"
