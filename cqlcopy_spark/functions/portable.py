@@ -46,7 +46,10 @@ def sql_dsum(expr: str) -> str:
 
 
 def sql_davg(expr: str) -> str:
-    return f"{sql_dsum(expr)} / COUNT({expr})"
+    # parenthesized so embedding in larger arithmetic keeps the Spark
+    # grouping: `0.2 * sql_davg(x)` must be 0.2*(S/n), not (0.2*S)/n —
+    # the two differ in the last ulp and can flip threshold comparisons
+    return f"({sql_dsum(expr)} / COUNT({expr}))"
 
 
 # Portable 64-bit multiplicative hash (Knuth): same arithmetic is expressible

@@ -455,8 +455,11 @@ def agg_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (semi join dedups matches by construction)."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # interval add, not date_add: date_add truncates the timestamp to
+    # DATE while the oracle's + INTERVAL keeps time-of-day (fixtures are
+    # midnight-only today, so the truncation is a latent divergence)
     cond = (o.o_orderkey == li.l_orderkey) & (
-        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
     return (
         o.join(li, cond, "left_semi")

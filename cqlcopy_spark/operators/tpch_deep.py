@@ -350,7 +350,9 @@ def join_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, col("l_orderkey") == col("o_orderkey"))
         .withColumn(
             "late",
-            (col("l_shipdate") > F.date_add(col("o_orderdate"), 90)).cast("int"),
+            # interval add keeps time-of-day like the oracle (date_add
+            # would truncate to DATE — latent divergence off-midnight)
+            (col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("int"),
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum("late").alias("n_late_lines"))

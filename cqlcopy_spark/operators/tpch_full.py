@@ -90,6 +90,41 @@ def agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q2 — minimum-cost supplier per part within a region
 # ---------------------------------------------------------------------------
 
+def _supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ broadcast(nation) → (s_suppkey, s_name, n_name): the
+    dimension block Q8/Q9/Q20 all probe; callers alias/prune what they
+    need. One definition so a join-shape change can't silently diverge
+    between queries."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def _regional_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """Suppliers pruned to one region via broadcast(nation ⋈ region) →
+    (s_suppkey, s_name, n_name): the region-filter recipe Q2/Q11 share."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    table(spark, sf_dir, "region").filter(col("r_name") == region),
+                    col("n_regionkey") == col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            col("s_nationkey") == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 _Q2_REGION = "EUROPE"
 
 _Q2_ORACLE = f"""
@@ -134,21 +169,7 @@ def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row IEEE divisions is order-insensitive and bit-identical across
     engines — no dsum needed. Ties (several suppliers at the min) all
     surface; p_partkey+s_name orders the output deterministically."""
-    regional_supp = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            broadcast(
-                table(spark, sf_dir, "nation")
-                .join(
-                    table(spark, sf_dir, "region").filter(col("r_name") == _Q2_REGION),
-                    col("n_regionkey") == col("r_regionkey"),
-                )
-                .select("n_nationkey", "n_name")
-            ),
-            col("s_nationkey") == col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "n_name")
-    )
+    regional_supp = _regional_suppliers(spark, sf_dir, _Q2_REGION)
     part = (
         table(spark, sf_dir, "part")
         .filter(col("p_size") == 25)
@@ -226,13 +247,8 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE divide is deterministic — so the driver's value hash binds
     exactly. Groups ∝ years, so the final aggregate is tiny."""
     part = table(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY").select("p_partkey")
-    supp_nat = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
-            col("s_nationkey") == col("n_nationkey"),
-        )
-        .select("s_suppkey", col("n_name").alias("supp_nation"))
+    supp_nat = _supplier_nation(spark, sf_dir).select(
+        "s_suppkey", col("n_name").alias("supp_nation")
     )
     asia_cust = (
         table(spark, sf_dir, "customer")
@@ -313,13 +329,8 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
     )
-    supp_nat = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
-            col("s_nationkey") == col("n_nationkey"),
-        )
-        .select("s_suppkey", col("n_name").alias("nation"))
+    supp_nat = _supplier_nation(spark, sf_dir).select(
+        "s_suppkey", col("n_name").alias("nation")
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = table(spark, sf_dir, "lineitem").select(
@@ -379,21 +390,7 @@ def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison are dsum outputs (bit-identical across engines) and the
     fraction multiply is one IEEE op — the cut binds identically.
     part_value DESC with partkey tiebreak orders deterministically."""
-    region_supp = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            broadcast(
-                table(spark, sf_dir, "nation")
-                .join(
-                    table(spark, sf_dir, "region").filter(col("r_name") == _Q11_REGION),
-                    col("n_regionkey") == col("r_regionkey"),
-                )
-                .select("n_nationkey")
-            ),
-            col("s_nationkey") == col("n_nationkey"),
-        )
-        .select("s_suppkey")
-    )
+    region_supp = _regional_suppliers(spark, sf_dir, _Q11_REGION).select("s_suppkey")
     base = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
@@ -447,7 +444,7 @@ def agg_q12_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem to orders; counts are integers (no float hazard) and the
     final aggregate has 2 groups. datediff on DATE-truncated values
     matches DuckDB's date_diff('day') boundary-count semantics."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate",
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
                                               "o_orderpriority")
     li = table(spark, sf_dir, "lineitem").filter(
         (col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -589,14 +586,7 @@ def join_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = base.groupBy(col("l_partkey").alias("t_partkey")).agg(
         dsum(col("l_quantity")).alias("part_qty")
     )
-    supp_nat = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
-            col("s_nationkey") == col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "n_name")
-    )
+    supp_nat = _supplier_nation(spark, sf_dir)
     return (
         per_supp.join(per_part, col("l_partkey") == col("t_partkey"))
         .filter(col("supp_qty") > col("part_qty") * 0.3)
