@@ -60,35 +60,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word 3-gram shingles (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------
 
-def _with_grams(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, grams): distinct word n-grams, with the expensive arrays
-    STAGED through separate projections: tokens are split once per row,
-    grams reference the token array as an attribute. Building it all in
-    one expression re-evaluates split(text) for every element_at —
-    O(grams × |text|) per row instead of O(|text|). Catalyst keeps the
-    stages: CollapseProject only inlines cheap expressions, and
-    higher-order lambdas aren't. Shared by the dedup ops (n=3) and the
-    contamination scan (n=8)."""
+def _staged_gram_expr(d: DataFrame, n: int):
+    """(filtered token df, distinct-n-gram expression over its `toks`).
+
+    Tokens are STAGED as their own projection so split(text) runs once
+    per row; the gram expression references the toks attribute. The
+    <n-token guard is a row FILTER (sequence(1, 0) would infer step -1
+    and yield [1, 0], whose element_at(t, 0) throws, where DuckDB's
+    range(1, 1) is empty) — docs shorter than the window have no grams
+    and every consumer drops gram-less docs anyway."""
     toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
     t = col("toks")
-    # <n-token guard: sequence(1, 0) would infer step -1 and yield [1, 0],
-    # whose element_at(t, 0) throws — DuckDB's range(1, 1) is empty
-    return toks.select(
-        "doc_id",
-        F.when(
-            F.size(t) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(t, i + k) for k in range(n)]
-                    ),
-                )
-            ),
+    toks = toks.filter(F.size(t) >= n)
+    expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
     )
+    return toks, expr
+
+
+def _with_grams(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams) — the ARRAY form (minhash signatures)."""
+    toks, expr = _staged_gram_expr(d, n)
+    return toks.select("doc_id", expr.alias("grams"))
+
+
+def _gram_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g) — the EXPLODED form (inverted indexes). The explode
+    must consume the gram EXPRESSION in the same projection as the
+    staged tokens: materializing `grams` in its own Project first lets
+    CollapseProject inline split(text) into every element_at of the
+    lambda — an O(n·grams·|text|) blowup, observed as 1s → 20s on the
+    8-gram contamination scan."""
+    toks, expr = _staged_gram_expr(d, n)
+    return toks.select("doc_id", F.explode(expr).alias("g"))
 
 
 _GRAMS_SQL = """

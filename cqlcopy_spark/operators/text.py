@@ -819,17 +819,15 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus never shuffles, a hard requirement when the corpus
     is the 100 TB side. Output: contaminated doc → distinct benchmark
     docs hit and the first (min) benchmark id, for reporting/excision."""
-    from cqlcopy_spark.operators.dedup import _with_grams
+    from cqlcopy_spark.operators.dedup import _gram_rows
 
     d = table(spark, sf_dir, "documents")
 
     def _grams(side):
-        # shared n-gram builder (dedup._with_grams: staged split, short-
-        # doc guard); filtering BEFORE gram construction means each side
-        # grams only its own docs
-        return _with_grams(side, n=_CONTAM_N).select(
-            "doc_id", F.explode(col("grams")).alias("g")
-        )
+        # shared exploded n-gram builder (dedup._gram_rows: staged split,
+        # short-doc guard, collapse-safe explode); filtering BEFORE gram
+        # construction means each side grams only its own docs
+        return _gram_rows(side, n=_CONTAM_N)
 
     bench = _grams(d.filter(col("doc_id") % _BENCH_MOD == 0)).select(
         col("doc_id").alias("bench_id"), "g"
