@@ -473,7 +473,10 @@ s AS (
   FROM e
 )
 SELECT vec_id, scale,
-       list_transform(emb, v -> CAST(round(v / scale) AS TINYINT)) AS qvec
+       array_to_string(
+         list_transform(emb, v -> CAST(CAST(round(v / scale) AS TINYINT)
+                                       AS VARCHAR)),
+         '-') AS qvec
 FROM s
 """
 
@@ -488,7 +491,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     op, so the int8 codes hash-match exactly. The 1e-30 floor guards
     all-zero vectors (scale 0 → div-by-zero) identically in both
     engines. Dequantization is q·scale — one list_transform away; the
-    complementary error analysis lives in tests/test_ann_recall.py."""
+    complementary error analysis lives in tests/test_ann_recall.py.
+
+    Wire form: the driver canonicalizer can't hash array columns
+    (pandas sort_values raises on lists — the r03 red row), so qvec is
+    emitted as the joined-string wire form, same precedent as
+    agg_collect (analytics.py). The int8 codes themselves are
+    unchanged; '-' doubles as the joiner and the sign glyph, which is
+    fine because both engines emit the identical string."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
@@ -499,10 +509,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 127
     )
     s = e.select("vec_id", "emb", scale.alias("scale"))
+    q = F.transform(col("emb"), lambda v: F.round(v / col("scale")).cast("tinyint"))
     return s.select(
         "vec_id",
         "scale",
-        F.transform(col("emb"), lambda v: F.round(v / col("scale")).cast("tinyint")).alias(
-            "qvec"
-        ),
+        F.concat_ws("-", F.transform(q, lambda x: x.cast("string"))).alias("qvec"),
     )
