@@ -266,3 +266,25 @@ def test_gram_builders_handle_short_docs(spark):
     out = {r["doc_id"]: r["grams"] for r in _with_grams(d).collect()}
     assert 1 not in out and 2 not in out  # gram-less docs filtered, not crashed
     assert out[3] == ["a b c"] and out[4] == ["a b c", "b c d"]
+
+
+def test_embedding_cosine_never_materializes_corpus_on_driver(spark, monkeypatch):
+    """r03 verdict: the old implementation pulled the WHOLE embeddings
+    table through the driver (toPandas) to play the broadcast-dim role —
+    a driver OOM at 100 TB. The block-pair decomposition must build its
+    plan without any driver-side collect of vector data; the only driver
+    action allowed is the row COUNT that sizes the block grid."""
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side toPandas() in dedup_embedding_cosine")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _banned)
+    df = QUERIES["dedup_embedding_cosine"](spark, SF_SMALL)
+    monkeypatch.undo()
+    p = plan_of(df)
+    # executor-side grouped kernel, one task per block pair
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # and it still computes the exact all-pairs answer
+    assert df.count() == 66
