@@ -188,43 +188,57 @@ def _load_write_input(
             tmp.write(sys.stdin.read())
             path = tmp.name
 
-    if args.types:
-        schema = _schema_from_types(args.columns, args.types)
-        if args.dynamic:
-            raw = parse_csv_dynamic(spark, path, args.columns, cfg)
-            bad = raw.filter(col("_parse_error").isNotNull()).count()
-            if 0 <= cfg.max_parse_errors < bad:
-                raise ValueError(
-                    f"parse-error budget exceeded: {bad} > {cfg.max_parse_errors}"
-                )
-            # count-and-SKIP, like the reference (write.go:140-147): rows
-            # inside the budget are logged against it but never inserted
-            # as half-parsed garbage
-            ok = raw.filter(col("_parse_error").isNull())
-            return cast_dynamic(ok, schema, cfg).drop("_parse_error")
-        return read_csv(spark, path, schema, cfg)
-    if args.dynamic:
-        raise ValueError("--dynamic requires --types (the target schema)")
-    # Inference path: sampling-based column typing (SURVEY.md §7 notes this
-    # is a semantic upgrade over the reference's per-cell inference).
-    opts = dict(csv_read_options(cfg))
-    corrupt_col = opts["columnNameOfCorruptRecord"]
-    df = spark.read.options(inferSchema="true", **opts).csv(path)
-    if corrupt_col in df.columns:
-        # PERMISSIVE mode surfaces malformed lines in the corrupt-record
-        # column: enforce the parse-error budget here too (the other two
-        # paths already do), then exclude the bad rows from the write
-        bad = df.filter(col(corrupt_col).isNotNull()).count()
+    def _dynamic_with_budget(schema: T.StructType) -> DataFrame:
+        raw = parse_csv_dynamic(spark, path, args.columns, cfg)
+        bad = raw.filter(col("_parse_error").isNotNull()).count()
         if 0 <= cfg.max_parse_errors < bad:
             raise ValueError(
                 f"parse-error budget exceeded: {bad} > {cfg.max_parse_errors}"
             )
-        df = df.filter(col(corrupt_col).isNull()).drop(corrupt_col)
-    if len(df.columns) != len(args.columns):
+        # count-and-SKIP, like the reference (write.go:140-147): rows
+        # inside the budget are logged against it but never inserted
+        # as half-parsed garbage
+        ok = raw.filter(col("_parse_error").isNull())
+        return cast_dynamic(ok, schema, cfg).drop("_parse_error")
+
+    if args.types:
+        schema = _schema_from_types(args.columns, args.types)
+        if args.dynamic:
+            return _dynamic_with_budget(schema)
+        return read_csv(spark, path, schema, cfg)
+    if args.dynamic:
+        raise ValueError("--dynamic requires --types (the target schema)")
+    # Inference path (SURVEY.md §7 notes this is a semantic upgrade over
+    # the reference's per-cell inference): Spark's reader infers the TYPES,
+    # but the rows flow through the RFC-4180 dynamic parser. The old
+    # corrupt-record check here was dead code (r03 ADVICE: inferSchema
+    # never materializes the corrupt column) — and re-reading with the
+    # inferred schema extended by the corrupt field can't fire either,
+    # because full-file inference widens every column to accommodate
+    # whatever PERMISSIVE parsing produced. Arity errors from the dynamic
+    # parser are what a "parse error" means when no schema is declared,
+    # and they give the budget real teeth.
+    opts = dict(csv_read_options(cfg))
+    corrupt_col = opts["columnNameOfCorruptRecord"]
+    inferred = spark.read.options(inferSchema="true", **opts).csv(path).schema
+    data_fields = [f for f in inferred.fields if f.name != corrupt_col]
+    if len(data_fields) != len(args.columns):
         raise ValueError(
-            f"input has {len(df.columns)} columns, expected {len(args.columns)}"
+            f"input has {len(data_fields)} columns, expected {len(args.columns)}"
         )
-    return df.toDF(*args.columns)
+    _castable = (
+        T.StringType, T.BooleanType, T.TimestampType, T.TimestampNTZType,
+        T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                c, f.dataType if isinstance(f.dataType, _castable) else T.StringType()
+            )
+            for c, f in zip(args.columns, data_fields)
+        ]
+    )
+    return _dynamic_with_budget(schema)
 
 
 def _emit_stdout_csv(df: DataFrame, is_str: list[bool], cfg: CopyConfig, out) -> int:

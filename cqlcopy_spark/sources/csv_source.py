@@ -215,16 +215,27 @@ def parse_csv_dynamic(
     lines = spark.read.text(path)
     if header:
         # The reference reads and DISCARDS the header row (write.go:135-137):
-        # column names come from the caller. Drop exactly ONE row — the
-        # file's first line, identified by the minimum monotonic id (text
-        # reads preserve in-file order and split 0 carries the lowest
-        # ids). A value filter on the header TEXT would also delete any
-        # data row that happens to equal it.
-        lines = lines.withColumn("_mid", F.monotonically_increasing_id())
-        first_id = lines.agg(F.min("_mid")).first()[0]
-        if first_id is not None:
-            lines = lines.filter(col("_mid") != first_id)
-        lines = lines.drop("_mid")
+        # column names come from the caller. Drop the first line of EVERY
+        # input file — a directory of CSV parts (what write_csv emits)
+        # carries one header per part, so a global single-line drop would
+        # leak the later files' headers in as data rows (r03 ADVICE).
+        # Per-row "first line of its file" isn't computable without an
+        # aggregate: text reads assign monotonic ids that increase with
+        # in-file row order (splits are index-ordered), so each file's
+        # header is its min id. The per-file min agg is map-side partial
+        # → one row per FILE survives the shuffle, and joins back as a
+        # broadcast — the line data itself is never shuffled. A value
+        # filter on the header TEXT would also delete any data row that
+        # happens to equal it.
+        lines = lines.withColumn("_file", F.input_file_name()).withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
+        firsts = lines.groupBy("_file").agg(F.min("_mid").alias("_first_id"))
+        lines = (
+            lines.join(F.broadcast(firsts), "_file")
+            .filter(col("_mid") != col("_first_id"))
+            .drop("_file", "_mid", "_first_id")
+        )
     raw = lines.mapInPandas(parse, schema=out_schema)
     renamed = raw
     for i, name in enumerate(column_names):

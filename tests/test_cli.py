@@ -150,3 +150,37 @@ def test_cli_write_parse_budget_enforced(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_cli_write_inference_parse_budget_binds(spark, tmp_path):
+    """Inference path (no --types): the parse-error budget must bind too.
+    r03 ADVICE: the old corrupt-column check was dead code because
+    inferSchema never materializes the corrupt-record field."""
+    bad = tmp_path / "bad_inf.csv"
+    # extra-column row: malformed against the inferred 2-column schema
+    # (an unterminated quote would just widen the inferred type to string
+    # and parse cleanly — inference is deliberately forgiving there)
+    bad.write_text('"id","name"\n1,ok\n2,x,extra,cols\n3,fine\n', encoding="utf-8")
+    with pytest.raises(ValueError, match="budget"):
+        main(
+            [
+                "write", "items", "id", "name",
+                "--input", str(bad),
+                "--max-parse-errors", "0",
+                "--path", str(tmp_path / "never_inf.parquet"),
+            ],
+            spark=spark,
+        )
+    # inside the budget: malformed row skipped, good rows load
+    out = str(tmp_path / "ok_inf.parquet")
+    rc = main(
+        [
+            "write", "items", "id", "name",
+            "--input", str(bad),
+            "--max-parse-errors", "1",
+            "--path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 2

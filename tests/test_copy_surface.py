@@ -115,6 +115,21 @@ def test_parse_error_column(spark, tmp_path):
     assert errs == 1
 
 
+def test_header_skip_per_file(spark, tmp_path):
+    """A directory of CSV parts carries one header per part (what
+    write_csv emits); header=True must drop the first line of EVERY
+    file, not one line globally (r03 ADVICE)."""
+    d = tmp_path / "parts"
+    d.mkdir()
+    (d / "part-0.csv").write_text("a,b\n1,x\n2,y\n")
+    (d / "part-1.csv").write_text("a,b\n3,z\n")
+    (d / "part-2.csv").write_text("a,b\n")  # header-only part
+    raw = parse_csv_dynamic(spark, str(d), ["a", "b"], CopyConfig(header=True))
+    vals = sorted((r["a"], r["b"]) for r in raw.collect())
+    assert vals == [("1", "x"), ("2", "y"), ("3", "z")]
+    assert raw.filter(raw["_parse_error"].isNotNull()).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Schema-first reader + parse budget (op 13)
 # ---------------------------------------------------------------------------
