@@ -110,9 +110,14 @@ class BatchedCsvWriter(DataSourceWriter):
             return buf.getvalue()
 
         for row in iterator:
-            fields = ["" if v is None else str(v) for v in row]
-            batch.append(_csv_line(row))
-            batch_bytes += sum(len(f) for f in fields)
+            line = _csv_line(row)
+            batch.append(line)
+            # UTF-8 octets of the QUOTED line, matching the byte-based
+            # threshold of the reference (write.go:238-240) and
+            # csv_sink.with_batch_id's octet_length: counting Python
+            # codepoints of unquoted fields undercounts multi-byte text
+            # and ignores quoting overhead (r03 ADVICE)
+            batch_bytes += len(line.encode("utf-8"))
             n_rows += 1
             if len(batch) >= self.chunk_size or batch_bytes >= self.max_batch_bytes:
                 flush()

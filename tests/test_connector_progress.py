@@ -103,3 +103,21 @@ def test_batched_sink_two_phase_commit_roundtrip(spark, tmp_path):
         for _ in open(os.path.join(out, f), encoding="utf-8")
     )
     assert landed == n  # every row, including final partial batches
+
+
+def test_batch_byte_threshold_counts_utf8_octets(tmp_path):
+    """The byte threshold must measure UTF-8 octets of the staged
+    (quoted) line — codepoint-counting unquoted fields undercounts
+    multi-byte text ~2× and drifts from the reference's byte budget
+    (write.go:238-240; r03 ADVICE)."""
+    from cqlcopy_spark.sinks.batched_sink import BatchedCsvWriter
+
+    w = BatchedCsvWriter(
+        {"path": str(tmp_path / "sink"), "chunk_size": "1000", "max_batch_kb": "1"}
+    )
+    # 100 codepoints, 200 UTF-8 bytes per row (+1 newline): octet
+    # counting trips the 1000-byte budget at 5 rows → 12 rows = 3
+    # batches; codepoint counting would trip at 10 → 2 batches
+    msg = w.write(("é" * 100,) for _ in range(12))
+    assert msg.n_rows == 12
+    assert msg.n_batches == 3
