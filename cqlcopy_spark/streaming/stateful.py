@@ -191,15 +191,17 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
             rows = pd.concat(list(pdfs))
             if len(rows):
                 s, last, n = state.get if state.exists else (None, None, 0)
+                late: list[int] = []  # pre-session arrivals, gap-merged below
                 for us in rows.sort_values("us")["us"]:
                     us = int(us)
                     if s is None:
                         s, last, n = us, us, 1
                     elif us < s - gap_us:
                         # late arrival predating the open session by more
-                        # than the gap: a separate, already-complete
-                        # earlier session — emit it closed immediately
-                        out.append((key[0], us, us + gap_us, 1))
+                        # than the gap: belongs to an already-complete
+                        # earlier session — buffer, then gap-merge the
+                        # buffer as its own session run
+                        late.append(us)
                     elif us - last <= gap_us:
                         # merge; min/max (not unconditional last=us) so a
                         # late event inside an open session from a LATER
@@ -209,6 +211,25 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
                     else:
                         out.append((key[0], s, last + gap_us, n))
                         s, last, n = us, us, 1
+                # Gap-merge the late arrivals among themselves: two late
+                # events one gap apart imply ONE earlier session, not two
+                # 1-event sessions (r03 ADVICE). They never reach the open
+                # session (each is > gap before its start by the branch
+                # test), and `late` is ascending because the batch loop
+                # is. Late events split ACROSS micro-batches still emit as
+                # separate sessions — state carries only the open session
+                # by design; full out-of-order repair needs a session list
+                # (that trade is what session_window's internal state
+                # buys, documented here for the custom hook-point).
+                if late:
+                    ls, ll, ln = late[0], late[0], 1
+                    for us in late[1:]:
+                        if us - ll <= gap_us:
+                            ll, ln = us, ln + 1
+                        else:
+                            out.append((key[0], ls, ll + gap_us, ln))
+                            ls, ll, ln = us, us, 1
+                    out.append((key[0], ls, ll + gap_us, ln))
                 state.update((s, last, n))
                 timeout_ms = (last + gap_us) // 1000
                 state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))

@@ -152,3 +152,56 @@ def test_late_event_in_open_session_does_not_split(spark, tmp_path):
     }
     q.stop()
     assert emitted == {(1, base * sec, (base + 2200 + 1800) * sec, 4)}
+
+
+def test_pre_session_late_events_gap_merge(spark, tmp_path):
+    """Two late events that predate the open session by more than the
+    gap AND sit within one gap of each other must emit ONE merged
+    earlier session, not two 1-event sessions (r03 ADVICE)."""
+    import pandas as pd
+
+    sec = 1_000_000
+    base = 100_000
+    stage = str(tmp_path / "late_pre")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    # batch 1 opens a session at +10000s
+    pd.DataFrame({"user_id": [1], "us": [(base + 10_000) * sec]}).to_parquet(f1)
+    # batch 2: +0s and +900s both predate the open session by > gap
+    # (1800s) and are 900s apart — one merged pre-session; +50000s closes
+    # the open session by gap
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "us": [base * sec, (base + 900) * sec, (base + 50_000) * sec],
+        }
+    ).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    src = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("late_pre_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_pre_sessions").collect()
+    }
+    q.stop()
+    assert emitted == {
+        (1, base * sec, (base + 900 + 1800) * sec, 2),
+        (1, (base + 10_000) * sec, (base + 10_000 + 1800) * sec, 1),
+    }
