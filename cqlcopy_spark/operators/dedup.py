@@ -125,6 +125,17 @@ WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_JACCARD_THRESHOLD}
 """
 
 
+#: Grams appearing in more documents than this are STOP GRAMS: they are
+#: dropped from the inverted index (and from the Jaccard universe — the
+#: similarity becomes "Jaccard over informative grams", the standard
+#: boilerplate-removal semantics). Candidate volume is Σ_g df(g)², so one
+#: boilerplate gram shared by D documents alone costs D²/2 candidate
+#: pairs; the cap bounds every gram's contribution at CAP². The default
+#: is far above any df in the fixtures (oracle parity: with no gram over
+#: the cap, filtered == unfiltered) and far below web-scale boilerplate.
+_STOP_GRAM_DF_CAP = 10_000
+
+
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5 via inverted
@@ -133,10 +144,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common grams per pair, compute J exactly.
 
     Scale: candidate volume is Σ_g df(g)² — bounded when grams are rare
-    (df avg ≈ 1.6 here). For adversarial corpora add a stop-gram cap
-    (drop grams with df > K); for web scale put dedup_fuzzy_minhash in
-    front and use this as the verify stage."""
+    (df avg ≈ 1.6 here) and capped by the stop-gram filter
+    (_STOP_GRAM_DF_CAP) on adversarial/boilerplate-heavy corpora; for
+    web scale put dedup_fuzzy_minhash in front and use this as the
+    verify stage."""
     d = table(spark, sf_dir, "documents")
+    return _ngram_jaccard_pairs(d)
+
+
+def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataFrame:
     # Invert on a 64-bit gram hash, not the gram string: the join key is
     # a long (cheap shuffle + fast equality); Jaccard over hashed gram
     # sets equals Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance.
@@ -167,16 +183,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gs.extend(_gh(g) for g in seen)
             yield pd.DataFrame({"doc_id": ids, "g": gs})
 
-    par = spark.sparkContext.defaultParallelism
+    par = d.sparkSession.sparkContext.defaultParallelism
     grams = (
         d.select("doc_id", "text")
         .repartition(par)  # one small parquet file = one partition otherwise
         .mapInPandas(_gram_kernel, schema="doc_id long, g long")
         .persist()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # Stop-gram filter: per-gram df is a map-side-partial agg whose
+    # output is tiny (≤ distinct grams), and the over-cap set is tinier
+    # still (≤ total gram occurrences / cap) — it broadcasts, so the
+    # anti-join prunes the persisted index without another shuffle.
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(col("df") > df_cap)
+        .select("g")
+    )
+    idx = grams.join(F.broadcast(hot), "g", "left_anti")
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = idx.alias("a")
+    b = idx.alias("b")
     pairs = (
         a.join(b, (col("a.g") == col("b.g")) & (col("a.doc_id") < col("b.doc_id")))
         .groupBy(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
