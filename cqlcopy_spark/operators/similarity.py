@@ -243,34 +243,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = table(spark, sf_dir, "embeddings")
     n = raw.count()  # metadata-level count on the parquet scan
-    # floor of 2 keeps the off-diagonal (two-sided) kernel path exercised
-    # at every fixture size, not just at production row counts
-    n_blocks = max(2, -(-n // _BLOCK_ROWS))
+    # Block count: enough blocks that (a) blocks fit executor memory
+    # (N/8k term — dominates at production row counts), (b) the
+    # B(B+1)/2 block-pair tasks at least fill the cluster (small-corpus
+    # term; replication cost N·(B+1) is trivial exactly when this term
+    # wins), and (c) B ≥ 2 so the off-diagonal kernel path is always
+    # exercised.
+    par = spark.sparkContext.defaultParallelism
+    b_par = 2
+    while b_par * (b_par + 1) // 2 < par:
+        b_par += 1
+    n_blocks = max(2, b_par, -(-n // _BLOCK_ROWS))
     e = raw.select("vec_id", _emb_double("embedding").alias("emb")).withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
 
-    # Block-pair driver table: (pid, i, j) for i ≤ j. B(B+1)/2 rows — at
-    # 100 TB with 8k-row blocks over 10^9 vectors this is the one piece
-    # that grows quadratically; that is the all-pairs problem itself, not
-    # this plan (cut N first with LSH if B² tasks is too many).
-    pair_rows = [
-        (pid, i, j)
-        for pid, (i, j) in enumerate(
-            (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    # Block-pair table: (pid, i, j) for i ≤ j, pid = i·B + j (unique is
+    # all that matters). Built from spark.range — all JVM, no
+    # driver-list conversion (createDataFrame on a Python list cost
+    # ~0.5 s of the fixture wall-time). B(B+1)/2 rows — at 100 TB with
+    # 8k-row blocks over 10^9 vectors this is the one piece that grows
+    # quadratically; that is the all-pairs problem itself, not this
+    # plan (cut N first with LSH if B² tasks is too many).
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            col("id").alias("pid"),
+            (col("id") / n_blocks).cast("int").alias("i"),
+            F.pmod(col("id"), n_blocks).cast("int").alias("j"),
         )
-    ]
-    pairs = spark.createDataFrame(pair_rows, "pid long, i int, j int")
-
-    # Replicate each block to its pairs. Diagonal pairs (i == j) take the
-    # block once with side='B'; off-diagonal pairs take both sides.
-    lhs = e.join(broadcast(pairs), col("blk") == col("i")).select(
-        "pid", "vec_id", "emb", F.when(col("i") == col("j"), "B").otherwise("L").alias("side")
+        .filter(col("i") <= col("j"))
     )
-    rhs = e.join(broadcast(pairs.filter(col("i") != col("j"))), col("blk") == col("j")).select(
-        "pid", "vec_id", "emb", F.lit("R").alias("side")
+    # Membership table (pid, blk, side): each pair claims block i as its
+    # left/both side and block j (off-diagonal only) as its right side.
+    # ONE broadcast join replicates each vector to its pairs in a single
+    # corpus scan — two per-side joins would scan the parquet twice.
+    mem = (
+        pairs.select(
+            "pid",
+            col("i").alias("blk"),
+            F.when(col("i") == col("j"), "B").otherwise("L").alias("side"),
+        )
+        .unionByName(
+            pairs.filter(col("i") != col("j")).select(
+                "pid", col("j").alias("blk"), F.lit("R").alias("side")
+            )
+        )
     )
-    both = lhs.unionByName(rhs)
+    both = e.join(broadcast(mem), "blk").select("pid", "vec_id", "emb", "side")
 
     def _seq_norm(X: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(X.shape[0])
