@@ -1044,3 +1044,101 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rnk") <= _TFIDF_K)
         .select("lang", "term", "tf", "df", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents — sliding token-window chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_CHUNK_S})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(t, start, start + {_CHUNK_W} - 1), ' ') AS chunk,
+       CAST(least({_CHUNK_W}, len(t) - start + 1) AS BIGINT) AS chunk_tokens
+FROM s
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document becomes ⌈n/stride⌉ chunks
+    of ≤64 tokens starting every 48 tokens (16-token overlap) — the
+    context-window prep step of a training/RAG pipeline. Pure JVM
+    narrow ops (split → sequence → explode → slice → array_join): no
+    shuffle at all, output ∝ input × (W/S) ≈ 1.33×, so at 100 TB this
+    is a scan-bound map stage that parallelizes with the input splits.
+    Chunk ids are derived from the 1-based token offset ((start-1) DIV
+    stride), identical in both engines; slice clamps at the tail the
+    same way (Spark slice length caps at the array end, DuckDB
+    list_slice stop caps at len)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(col("text"), " ")
+    ch = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_S))).alias("start"),
+    )
+    return ch.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_CHUNK_S} AS BIGINT)").alias("chunk_id"),
+        F.array_join(F.slice(col("toks"), col("start"), _CHUNK_W), " ").alias("chunk"),
+        F.least(F.lit(_CHUNK_W), F.size(col("toks")) - col("start") + 1)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kwic_context — keyword-in-context concordance
+# ---------------------------------------------------------------------------
+
+_KWIC_KW = "spark"
+_KWIC_R = 3  # context radius in tokens
+
+_KWIC_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       array_to_string(
+         list_slice(t, greatest(1, p - {_KWIC_R}), least(len(t), p + {_KWIC_R})),
+         ' ') AS context
+FROM idx
+WHERE t[p] = '{_KWIC_KW}'
+"""
+
+
+@register("kwic_context", oracle=_KWIC_ORACLE)
+def kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concordance (keyword-in-context): every occurrence of the keyword
+    with ±3 tokens of context — the corpus-inspection tool behind
+    contamination review and prompt mining. The contains() prefilter
+    pushes to the parquet scan so only documents containing the keyword
+    are tokenized/exploded at all; the explosion itself is narrow
+    (no shuffle), output ∝ keyword frequency. `pos` is the 1-based
+    token offset, a unique key within (doc_id) that keeps downstream
+    orderings deterministic."""
+    d = table(spark, sf_dir, "documents").filter(
+        col("text").contains(_KWIC_KW)  # scan-level prune; semantics unchanged
+    )
+    toks = F.split(col("text"), " ")
+    ex = d.select(
+        "doc_id", toks.alias("toks"), F.posexplode(toks).alias("p0", "tok")
+    ).filter(col("tok") == _KWIC_KW)
+    pos = col("p0") + 1  # 1-based, matching the oracle's generate_series
+    start = F.greatest(F.lit(1), pos - _KWIC_R)
+    length = F.least(F.size(col("toks")), pos + _KWIC_R) - start + 1
+    return ex.select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.array_join(F.slice(col("toks"), start, length), " ").alias("context"),
+    )

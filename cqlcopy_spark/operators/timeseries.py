@@ -104,3 +104,57 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
         F.last("hour_value", ignorenulls=True).over(ff).alias("carry_value"),
     ).orderBy("user_id", "hour")
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_rollup — open/high/low/close resampling
+# ---------------------------------------------------------------------------
+
+# DuckDB's arg_min/arg_max don't take composite (ts, event_id) keys, so
+# the oracle ranks each row from both ends of the tiebroken ordering and
+# picks rank 1; Spark expresses the same thing directly as min_by/max_by
+# over an ordering struct.
+_OHLC_ORACLE = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_ohlc_rollup", oracle=_OHLC_ORACLE)
+def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling per event type — the other hypertable
+    rollup shape (timeseries_gapfill covers additive+carried measures;
+    this covers first/last/extreme picking). One shuffle on the
+    (event_type, hour) group key with map-side partial min_by/max_by —
+    open/close are PICKED, not computed, so there is no float-fold
+    divergence to guard. Ties on ts are broken by event_id via the
+    (ts, event_id) ordering struct, lexicographic in both engines,
+    making the picked row — and therefore the hash — deterministic."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(col("ts"), col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", col("ts")).alias("hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )

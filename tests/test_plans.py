@@ -288,3 +288,23 @@ def test_embedding_cosine_never_materializes_corpus_on_driver(spark, monkeypatch
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     # and it still computes the exact all-pairs answer
     assert df.count() == 66
+
+
+@pytest.mark.parametrize("name", ["chunk_documents", "kwic_context"])
+def test_chunking_ops_are_narrow_codegen_maps(spark, name):
+    """Chunking/concordance are scan-shaped: split→explode→slice inside
+    one whole-stage codegen span, ZERO shuffles — output scales with the
+    input, so any Exchange here would shuffle the whole corpus."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "codegen id" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_ohlc_rollup_partial_aggregates_before_shuffle(spark):
+    """min_by/max_by over the ordering struct must partial-aggregate
+    map-side (SortAggregate pair) so the group-key exchange carries one
+    row per (type, hour) per task, not raw events."""
+    p = plan_of(QUERIES["events_ohlc_rollup"](spark, SF_SMALL))
+    assert p.count("SortAggregate") >= 2 or p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p
