@@ -577,3 +577,77 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.concat_ws("-", F.transform(q, lambda x: x.cast("string"))).alias("qvec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids — per-label centroid + dispersion diagnostics
+# ---------------------------------------------------------------------------
+
+# Float parity note: dsum's decimal route does NOT work here. The
+# components are full-precision doubles, and double→DECIMAL(38,10)
+# rounds the SHORTEST STRING REPR on the Spark side (BigDecimal.valueOf
+# → Double.toString, whose pre-Ryu JDK-17 algorithm occasionally emits a
+# different digit string than DuckDB's Ryu printer) — observed 1-ulp
+# decimal divergences at sf0.01. The robust recipe for full-precision
+# floats is a DETERMINISTIC-ORDER BINARY FOLD: collect each group's
+# components sorted by vec_id and sum them sequentially — identical
+# IEEE adds in both engines, no decimal conversion anywhere.
+_CENTROID_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+x AS (
+  SELECT vec_id, label, unnest(range(1, len(emb) + 1)) AS dim, emb FROM e
+),
+c AS (SELECT vec_id, label, dim, emb[dim] AS comp FROM x)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(comp ORDER BY vec_id)), (a, b) -> a + b)
+         / COUNT(*) AS centroid,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(comp * comp ORDER BY vec_id)), (a, b) -> a + b)
+         / COUNT(*) AS mean_sq,
+       COUNT(*) AS n
+FROM c
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension centroid and second moment — the
+    clustering diagnostic a labeled-embedding pipeline runs (class
+    separation, collapsed-dimension detection; variance is mean_sq −
+    centroid² one expression away). LONG format (label, dim) keeps the
+    output hashable; one shuffle on (label, dim).
+
+    Float parity: the mean is a SEQUENTIAL BINARY FOLD over the group's
+    components in vec_id order (collect → sort → aggregate), the same
+    adds in the same order as the oracle's ordered list_reduce — see the
+    oracle comment for why the decimal dsum route fails on
+    full-precision doubles. The collect_list state is group-sized: fine
+    for labels × dims groups of corpus/|labels| rows; at extreme group
+    sizes switch to a two-level fixed-block fold (fold 1k-row blocks,
+    then fold the block sums in block order)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(_emb_double("embedding")).alias("pos", "comp")
+    )
+
+    def _ordered_mean(values: "F.Column") -> "F.Column":
+        ordered = F.transform(F.array_sort(values), lambda s: s["v"])
+        return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v) / F.size(
+            ordered
+        )
+
+    comp_s = F.collect_list(F.struct(col("vec_id").alias("k"), col("comp").alias("v")))
+    sq_s = F.collect_list(
+        F.struct(col("vec_id").alias("k"), (col("comp") * col("comp")).alias("v"))
+    )
+    return (
+        e.groupBy("label", (col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            _ordered_mean(comp_s).alias("centroid"),
+            _ordered_mean(sq_s).alias("mean_sq"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "dim")
+    )

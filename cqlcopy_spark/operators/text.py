@@ -1142,3 +1142,78 @@ def kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.cast("long").alias("pos"),
         F.array_join(F.slice(col("toks"), start, length), " ").alias("context"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pmi — adjacent-token association strength
+# ---------------------------------------------------------------------------
+
+_PMI_K = 100
+
+_PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+total AS (SELECT COUNT(*) AS n FROM uni),
+big AS (
+  SELECT t[i] AS t1, t[i + 1] AS t2, COUNT(*) AS c_xy
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+  GROUP BY 1, 2
+)
+SELECT t1, t2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(c_xy * total.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS score
+FROM big, total
+JOIN ucnt u1 ON big.t1 = u1.tok
+JOIN ucnt u2 ON big.t2 = u2.tok
+ORDER BY score DESC, t1, t2
+LIMIT {_PMI_K}
+"""
+
+
+@register("cooccurrence_pmi", oracle=_PMI_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token associations by PMI RATIO — p(xy)/(p(x)p(y))
+    = c_xy·N/(c_x·c_y) — the collocation detector behind tokenizer-merge
+    and stop-phrase mining. The ratio is kept RATIONAL (integer counts,
+    ONE double division at the end): ln() of it is monotone, so the
+    ranking is identical to log-PMI while staying bit-identical across
+    engines (CLAUDE.md: transcendentals diverge). Shape: bigram and
+    unigram counts are map-side-crushed before their shuffles; the
+    unigram table is vocabulary-sized so it BROADCASTS onto the bigram
+    relation twice; the scalar N rides a 1-row broadcast cross join; the
+    global top-k is a TakeOrdered, never a full sort. (t1, t2) is unique
+    in the bigram relation, so the (score, t1, t2) ordering is total —
+    the LIMIT boundary is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    # bigrams: zip the array with itself shifted by one
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n_tok - 1).alias("t1"), F.slice(toks, 2, n_tok - 1).alias("t2")
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(col("p.t1").alias("t1"), col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist()  # feeds total + both broadcast probes
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    scored = (
+        big.join(F.broadcast(total))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "t1").withColumnRenamed("c", "c_x")), "t1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "t2").withColumnRenamed("c", "c_y")), "t2")
+        .select(
+            "t1", "t2", "c_xy", "c_x", "c_y",
+            (
+                (col("c_xy") * col("n")).cast("double")
+                / (col("c_x") * col("c_y")).cast("double")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(col("score").desc(), "t1", "t2").limit(_PMI_K)

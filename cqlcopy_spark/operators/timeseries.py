@@ -158,3 +158,73 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch_sessionize — gap-based sessions as a batch window composition
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches streaming/windows.py
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+FROM sess
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("batch_sessionize", oracle=_SESSIONIZE_ORACLE)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in BATCH form — the lag/cumsum
+    composition (flag gap-exceeding deltas, running-sum the flags into
+    session ids, aggregate per session). Complements stream_sessionize:
+    same 30-minute gap rule, but as a reprocessing-friendly batch job
+    over the full history. ONE shuffle on user_id serves the lag window,
+    the cumulative sum, and (via partial agg on the same key prefix)
+    the session rollup. Ordering ties on ts are broken by event_id, so
+    session numbering is engine-deterministic."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(
+        F.lag("us").over(w).isNull()
+        | ((col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(run)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
