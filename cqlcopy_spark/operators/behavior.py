@@ -1,0 +1,240 @@
+"""User-behavior analytics over the events stream: funnel progression
+and cohort retention — the product-analytics shapes (Amplitude/Mixpanel
+class) a training-data pipeline also reuses for curriculum scheduling
+(what fraction of users/sources progress through quality gates, how a
+cohort's activity decays).
+
+The reference has no event analytics at all (it is a CSV↔Cassandra
+loader, SURVEY.md §0); this extends §2C's event ops alongside
+timeseries.py. Everything here is plain conditional aggregation + joins
+on user_id — one partitioning reused across stages, no Python, no
+iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# events_funnel — strictly-ordered stage progression per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (
+  SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.us) AS c_us
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us > v.v_us
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.us) AS p_us
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.c_us
+  GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, v.v_us, c.c_us, p.p_us,
+       CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+                 WHEN c.c_us IS NOT NULL THEN 2
+                 WHEN v.v_us IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+ORDER BY u.user_id
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view → click → purchase: each stage's
+    timestamp is the FIRST qualifying event AFTER the previous stage
+    completed (a later-stage event before the earlier stage doesn't
+    count — the correctness subtlety naive per-type MIN misses).
+
+    Shape: one base scan persisted, then three conditional-MIN
+    aggregations chained by user_id joins — every shuffle is on the
+    same user_id key, so the exchanges stack instead of multiplying,
+    and each stage's input is pre-filtered to one event type. All
+    values are integer micros: no float parity concerns anywhere."""
+    e = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        )
+        .persist()  # four consumers: base users + three stage scans
+    )
+    v = (
+        e.filter(col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    u = e.select("user_id").distinct()
+    stage = (
+        F.when(col("p_us").isNotNull(), 3)
+        .when(col("c_us").isNotNull(), 2)
+        .when(col("v_us").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_us", "c_us", "p_us", stage.alias("stage"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — weekly cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_k,
+         a.user_id
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT j.cohort_week, j.week_k,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       s.cohort_size,
+       CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention
+FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+GROUP BY j.cohort_week, j.week_k, s.cohort_size
+ORDER BY j.cohort_week, j.week_k
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their
+    first event; week_k counts a cohort's users still active k weeks
+    later. Both date_trunc('week') anchors are Monday in both engines,
+    so week_k = day-difference // 7 is an exact small integer; the
+    retention ratio is ONE int→double division — deterministic, no
+    float folds.
+
+    Shape: firsts is a per-user MIN (map-side partial on user_id);
+    activity is a distinct on (user, week) sharing the user_id shuffle;
+    the cohort-size relation is cohort-count-sized and BROADCASTS onto
+    the triangle aggregate. At 100 TB nothing here exceeds
+    users × active-weeks rows in any shuffle."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts"
+    ).persist()  # firsts + activity both scan it
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", col("ts")).alias("week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff(col("week"), col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_k"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "week_k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "n_active",
+            "cohort_size",
+            (col("n_active").cast("double") / col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_state — event log → slowly-changing-dimension intervals
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(props->>'k' AS BIGINT) AS k
+  FROM events
+)
+SELECT user_id, k,
+       us AS valid_from_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         AS valid_to_us
+FROM e
+ORDER BY user_id, valid_from_us, k
+"""
+
+
+@register("scd2_user_state", oracle=_SCD2_ORACLE)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event log → SCD-type-2 state table: each (user, k) observation
+    becomes a validity interval [valid_from, valid_to) closed by the
+    user's NEXT event; the current state keeps valid_to NULL. This is
+    the standard dimension-build a warehouse runs over change events —
+    one window (lead) over one user_id shuffle, all integer micros.
+    Ties on ts are ordered by event_id so interval chaining is
+    engine-deterministic; the output ordering adds k as a final
+    tiebreak for same-microsecond observations."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        F.get_json_object(col("props"), "$.k").cast("long").alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "user_id",
+        "k",
+        col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+    ).orderBy("user_id", "valid_from_us", "k")

@@ -166,3 +166,50 @@ def binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+# ---------------------------------------------------------------------------
+# json_props_stats — schema-on-read JSON extraction + rollup
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+WITH j AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("json_props_stats", oracle=_JSON_ORACLE)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON `props` column: extract $.k with
+    get_json_object (DuckDB: ->> path), aggregate per event type. The
+    extraction is a pure codegen string op — the JSON never leaves the
+    JVM and the scan still prunes to (event_type, props). Integer k
+    keeps every aggregate exact; the mean is one int→double division.
+    Malformed/missing JSON yields NULL k (counted by n − n_with_k),
+    which is the PERMISSIVE contract the rest of the engine uses."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
