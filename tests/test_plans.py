@@ -308,3 +308,32 @@ def test_ohlc_rollup_partial_aggregates_before_shuffle(spark):
     p = plan_of(QUERIES["events_ohlc_rollup"](spark, SF_SMALL))
     assert p.count("SortAggregate") >= 2 or p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("scd2_user_state", 2),      # user_id window + output sort
+        ("json_props_stats", 2),     # type agg + output sort
+        ("batch_sessionize", 2),     # ONE user_id exchange feeds lag window,
+                                     # cumsum window AND session agg; + sort
+        ("embedding_centroids", 2),  # (label, dim) agg + output sort
+    ],
+)
+def test_single_work_shuffle_event_ops(spark, name, max_shuffles):
+    """Each of these is one logical repartitioning plus the presentation
+    sort — a second work shuffle would mean the window/agg stopped
+    sharing its key."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert shuffle_exchanges(p) <= max_shuffles, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+@pytest.mark.parametrize("name", ["events_funnel", "retention_cohorts", "cooccurrence_pmi"])
+def test_behavior_ops_broadcast_small_sides(spark, name):
+    """Funnel stages, cohort sizes and the vocabulary table are
+    output-bounded relations: they must broadcast onto the big side,
+    never sort-merge it."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
