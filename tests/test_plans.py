@@ -337,3 +337,40 @@ def test_behavior_ops_broadcast_small_sides(spark, name):
     p = plan_of(QUERIES[name](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_embedding_cosine_multiblock_matches_brute_force(spark, tmp_path, monkeypatch):
+    """The fixtures are small enough that only the parallelism floor
+    drives the block count — force the SIZE-driven path (ceil(n/8k) > 2
+    blocks) on a synthetic corpus and check the block-pair kernel
+    reproduces the exact numpy all-pairs answer, diagonal and
+    off-diagonal blocks alike."""
+    import numpy as np
+    import pandas as pd
+
+    import cqlcopy_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 16
+    X = rng.standard_normal((n, d))
+    pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [r.astype("float32") for r in X],
+         "label": np.zeros(n, dtype="int32")}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    monkeypatch.setattr(sim, "_BLOCK_ROWS", 100)  # 600 rows → 6 blocks, 21 pairs
+    got = {
+        (r["v1"], r["v2"])
+        for r in sim.dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    }
+
+    Xd = X.astype("float32").astype("float64")
+    nrm = np.sqrt((Xd * Xd).sum(axis=1))
+    cos = (Xd @ Xd.T) / (nrm[:, None] * nrm[None, :])
+    iu = np.triu_indices(n, 1)
+    want = {
+        (int(a), int(b))
+        for a, b in zip(iu[0], iu[1])
+        if cos[a, b] >= sim._NEARDUP_COS
+    }
+    assert got == want and len(want) > 0
