@@ -35,3 +35,33 @@ def exactly_once_parquet_sink(
     return stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def continuous_copy_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, **sink_options: str
+) -> DataStreamWriter:
+    """Streaming analog of the reference's loader (continuous COPY):
+    every micro-batch flows through the batched two-phase-commit sink
+    (sinks/batched_sink.py — dual-threshold batching, retries, staged
+    commit), landing in out_dir/batch_id=<id>. The batch_id keying makes
+    replays idempotent exactly like exactly_once_parquet_sink, and the
+    sink's own commit/abort protocol guarantees a half-failed micro-batch
+    never publishes partial files INSIDE its directory — the two layers
+    compose to exactly-once CSV delivery. Options (chunk_size,
+    max_batch_kb, max_attempts, ...) pass through to the sink."""
+    import shutil
+
+    from cqlcopy_spark.sinks.batched_sink import register_batched_sink
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        register_batched_sink(batch_df.sparkSession)
+        dest = os.path.join(out_dir, f"batch_id={batch_id}")
+        shutil.rmtree(dest, ignore_errors=True)  # replay → rewrite, not append
+        w = batch_df.write.format("cql_batched").option("path", dest)
+        for k, v in sink_options.items():
+            w = w.option(k, str(v))
+        w.mode("append").save()
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )

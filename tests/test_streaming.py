@@ -244,3 +244,38 @@ def test_stream_static_join_matches_batch(spark):
         _run_stream(stream_static_join_streaming(spark, SF_SMALL), "static_join_t")
     )
     pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_continuous_copy_sink_exactly_once_csv(spark, tmp_path):
+    """Continuous COPY: stream → batched two-phase-commit CSV sink via
+    foreachBatch. All rows land exactly once, replays from the same
+    checkpoint add nothing, and no staging dirs survive a commit."""
+    import os
+
+    from cqlcopy_spark.catalog import table
+    from cqlcopy_spark.streaming.sinks import continuous_copy_sink
+    from cqlcopy_spark.streaming.windows import _events_stream
+
+    out = str(tmp_path / "copy_landed")
+    ckpt = str(tmp_path / "copy_ckpt")
+    expected = table(spark, SF_SMALL, "events").count()
+
+    src = _events_stream(spark, SF_SMALL).select("event_id", "event_type")
+    for _ in range(2):
+        q = (
+            continuous_copy_sink(src, out, ckpt, chunk_size="200")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        landed = 0
+        for root, dirs, files in os.walk(out):
+            assert "_staging" not in dirs or not os.listdir(
+                os.path.join(root, "_staging")
+            )
+            for f in files:
+                if f.endswith(".csv"):
+                    with open(os.path.join(root, f), encoding="utf-8") as fh:
+                        landed += sum(1 for _ in fh)
+        assert landed == expected
