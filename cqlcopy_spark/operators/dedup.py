@@ -663,3 +663,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["d1", "d2"])
         .filter(col("hamming") <= _HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — the pipeline's end product: one survivor per cluster
+# ---------------------------------------------------------------------------
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE base_pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM base_pairs
+  UNION ALL
+  SELECT d2 AS u, d1 AS v FROM base_pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+comps AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+quality AS (
+  SELECT doc_id,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) * 0.6
+           + LEAST(len(string_split(text, ' ')) / 256.0, 1.0) * 0.4 AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comps c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT component, doc_id AS kept_doc, n_members, quality AS best_quality
+FROM ranked
+WHERE rn = 1
+ORDER BY component
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: near-dup pair detection →
+    connected components → ONE kept document per cluster, chosen by
+    quality score (quality desc, doc_id tiebreak). Composes
+    dedup_components and quality_score as DataFrame inputs — the whole
+    chain is one logical plan, so Catalyst sees through the composition.
+    The quality doubles are bit-identical across engines (quality_score
+    is hash-green), so the per-component argmax — and therefore the
+    kept set — is engine-deterministic. Scale rides on the components
+    op; the pick adds one window over (component), key-bounded."""
+    from pyspark.sql.window import Window
+
+    from cqlcopy_spark.operators.text import quality_score
+
+    comps = dedup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = comps.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(col("quality").desc(), col("doc_id"))
+    cw = Window.partitionBy("component")
+    return (
+        j.select(
+            "component",
+            "doc_id",
+            "quality",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cw).alias("n_members"),
+        )
+        .filter(col("rn") == 1)
+        .select(
+            "component",
+            col("doc_id").alias("kept_doc"),
+            "n_members",
+            col("quality").alias("best_quality"),
+        )
+        .orderBy("component")
+    )

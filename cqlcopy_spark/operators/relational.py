@@ -748,3 +748,48 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# join_skew_salted — explicit salting, proven exact against the plain join
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT c.c_nationkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The functions/skew.py salted join as a first-class query: orders
+    (probe) salted deterministically on its unique o_orderkey, customer
+    (build) replicated 8×, equi-join on (custkey, salt) — hot customers
+    scatter across 8 tasks instead of one. The ORACLE is the PLAIN
+    join: salting must be invisible in the result, which is the whole
+    correctness contract (every probe/build row pair meets on exactly
+    one salt). Use when AQE can't split the skew — a broadcast-
+    ineligible build side or a mid-plan exchange; the build-side 8×
+    blow-up is the price of the scatter."""
+    from cqlcopy_spark.functions.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    j = salted_join(o, c, on=["custkey"], probe_unique_col="o_orderkey", n_salts=8)
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
