@@ -68,6 +68,39 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("xml_roundtrip", oracle=_EVENTS_IDENTITY_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML (Spark 4's built-in source) → schema-first read back
+    → identical table. XML is the interchange format enterprise feeds
+    still arrive in; the row-tag reader splits files and parallelizes
+    like any text source. Doubles survive (shortest-round-trip text),
+    NTZ timestamps are pinned to the micro format on both legs, and the
+    JSON-in-a-string `props` column round-trips through XML escaping —
+    three nested quoting layers deep, which is exactly what an identity
+    oracle is for."""
+    out = _stage(sf_dir, "xml")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    (
+        e.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("timestampNTZFormat", fmt)
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .schema(_EVENTS_SCHEMA)
+        .option("rowTag", "event")
+        .option("timestampNTZFormat", fmt)
+        .load(out)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
 @register("orc_roundtrip", oracle=_EVENTS_IDENTITY_ORACLE)
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC → read back → identical table. The oracle reads the
