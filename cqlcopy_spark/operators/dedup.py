@@ -152,17 +152,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(d)
 
 
-def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataFrame:
-    # Invert on a 64-bit gram hash, not the gram string: the join key is
-    # a long (cheap shuffle + fast equality); Jaccard over hashed gram
-    # sets equals Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance.
-    # The shingle+hash step runs as an Arrow-batched pandas kernel — the
-    # all-builtin formulation (transform/element_at/concat_ws/xxhash64
-    # lambdas, interpreted per element) spent ~4s at sf0.1 on what the
-    # kernel does in ~0.3s; the hash (crc32 pair → 64 bits, same recipe
-    # as dedup_simhash) is deterministic across runs and workers.
-    # Persist: the inverted index feeds both self-join sides plus the
-    # per-doc sizes aggregate — three consumers of one shingle pass.
+def _hashed_gram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct word-3-grams as 64-bit hashes.
+
+    Invert on a 64-bit gram hash, not the gram string: the join key is
+    a long (cheap shuffle + fast equality); Jaccard over hashed gram
+    sets equals Jaccard over gram sets up to a ~n²/2⁶⁴ collision chance.
+    The shingle+hash step runs as an Arrow-batched pandas kernel — the
+    all-builtin formulation (transform/element_at/concat_ws/xxhash64
+    lambdas, interpreted per element) spent ~4s at sf0.1 on what the
+    kernel does in ~0.3s; the hash (crc32 pair → 64 bits, same recipe
+    as dedup_simhash) is deterministic across runs and workers."""
+
     def _gram_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zlib import crc32
 
@@ -184,12 +185,17 @@ def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataF
             yield pd.DataFrame({"doc_id": ids, "g": gs})
 
     par = d.sparkSession.sparkContext.defaultParallelism
-    grams = (
+    return (
         d.select("doc_id", "text")
         .repartition(par)  # one small parquet file = one partition otherwise
         .mapInPandas(_gram_kernel, schema="doc_id long, g long")
-        .persist()
     )
+
+
+def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataFrame:
+    # Persist: the inverted index feeds both self-join sides plus the
+    # per-doc sizes aggregate — three consumers of one shingle pass.
+    grams = _hashed_gram_rows(d).persist()
     # Stop-gram filter: per-gram df is a map-side-partial agg whose
     # output is tiny (≤ distinct grams), and the over-cap set is tinier
     # still (≤ total gram occurrences / cap) — it broadcasts, so the
@@ -739,4 +745,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("quality").alias("best_quality"),
         )
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — new-batch-vs-corpus dedup (the daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+WITH cut AS (
+  SELECT CAST(floor(0.8 * MAX(doc_id)) AS BIGINT) AS c FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_GRAMS_SQL}) AS g FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS common
+  FROM grams a JOIN grams b USING (g), cut
+  WHERE b.doc_id < a.doc_id AND a.doc_id >= cut.c
+  GROUP BY 1, 2
+)
+SELECT new_doc, dup_of,
+       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+FROM pairs
+JOIN sizes s1 ON pairs.new_doc = s1.doc_id
+JOIN sizes s2 ON pairs.dup_of = s2.doc_id
+WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: only the INCOMING batch — here
+    the newest 20% of doc ids — probes the gram index; each new doc
+    reports its near-dups among everything older (prior corpus or
+    earlier in the same batch). This is the asymmetric plan a 100 TB
+    pipeline actually runs every day: candidate volume is
+    Σ_g df_new(g)·df_all(g), proportional to the BATCH, not the corpus²,
+    and in production the corpus-side index is a bucketed table built
+    once and only appended to (the kernel here rebuilds it because the
+    fixture has no persisted index). The one driver-side value is the
+    scalar id cutoff (single-row agg, same class as csv_source's count).
+    """
+    d = table(spark, sf_dir, "documents")
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long")).first()[0]
+    grams = _hashed_gram_rows(d).persist()
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(col("df") > _STOP_GRAM_DF_CAP)
+        .select("g")
+    )
+    idx = grams.join(F.broadcast(hot), "g", "left_anti")
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = idx.filter(col("doc_id") >= cut).alias("a")  # batch side only
+    b = idx.alias("b")
+    pairs = (
+        a.join(b, (col("a.g") == col("b.g")) & (col("b.doc_id") < col("a.doc_id")))
+        .groupBy(col("a.doc_id").alias("new_doc"), col("b.doc_id").alias("dup_of"))
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common"))
+    return (
+        pairs.join(s1, col("new_doc") == col("s1.doc_id"))
+        .join(s2, col("dup_of") == col("s2.doc_id"))
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(col("jaccard") >= _JACCARD_THRESHOLD)
     )
