@@ -104,6 +104,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # registry keeps growing round over round — compare
+                # totals only after normalizing by n_queries (or
+                # per-query, which is what the map is for)
+                "n_queries": len(timings),
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
                 "copy_rows_per_sec": round(li_rows / timings["copy_roundtrip"]),
