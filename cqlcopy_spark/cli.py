@@ -337,15 +337,23 @@ def run_read(spark: SparkSession, args: argparse.Namespace) -> int:
         # resume: re-export only the ring after the last seen token
         # (read.go:100-107); drop the helper column like the reference
         # drops token(pk) from its SELECT list output (read.go:181).
-        key_type = dict((f.name, f.dataType) for f in df.schema.fields)[args.columns[0]]
-        if not isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            # portable_token casts to long; a non-numeric key would token
-            # to NULL and the > filter would silently drop EVERY row
-            raise ValueError(
-                f"--offset resume requires an integer first column; "
-                f"{args.columns[0]!r} is {key_type.simpleString()}"
-            )
-        df = scan_token_range(df, args.columns[0], args.offset, cfg).drop("token")
+        # The partition key is the FIRST --partition-key-size columns
+        # (read.go:20,29) — tokening only columns[0] when the key is
+        # composite would resume from the wrong ring position.
+        pk_cols = args.columns[: max(1, cfg.partition_key_size)]
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for c in pk_cols:
+            if not isinstance(
+                types[c], (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                # portable_token casts to long; a non-numeric key would
+                # token to NULL and the > filter would silently drop
+                # EVERY row
+                raise ValueError(
+                    f"--offset resume requires integer partition-key "
+                    f"columns; {c!r} is {types[c].simpleString()}"
+                )
+        df = scan_token_range(df, pk_cols, args.offset, cfg).drop("token")
     is_str = [isinstance(f.dataType, T.StringType) for f in df.schema.fields]
     df = _format_for_export(df, cfg)
     if args.output == "-":

@@ -66,3 +66,26 @@ def portable_token(key: Column) -> Column:
 
 def sql_portable_token(expr: str) -> str:
     return f"(CAST({expr} AS BIGINT) * {KNUTH}) % {M32}"
+
+
+def portable_token_composite(keys: "list[Column]") -> Column:
+    """Ring token over a COMPOSITE partition key (--partition-key-size
+    > 1; read.go tokens the first N columns together): fold the
+    per-column tokens with a 31-multiplier mod 2^32. One column reduces
+    to portable_token exactly, so single-key callers and oracles are
+    unchanged. Intermediates stay < 2^37 — int64-safe in both engines."""
+    acc: Column | None = None
+    for k in keys:
+        t = portable_token(k)
+        acc = t if acc is None else (acc * F.lit(31) + t) % F.lit(M32)
+    assert acc is not None, "portable_token_composite: empty key list"
+    return acc
+
+
+def sql_portable_token_composite(exprs: "list[str]") -> str:
+    acc: str | None = None
+    for e in exprs:
+        t = sql_portable_token(e)
+        acc = t if acc is None else f"((({acc}) * 31 + {t}) % {M32})"
+    assert acc is not None
+    return acc

@@ -103,7 +103,7 @@ def read_from_cassandra(
 
 def scan_token_range(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     offset: int | None = None,
     cfg: CopyConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
@@ -111,10 +111,14 @@ def scan_token_range(
     (read.go:113-119) over any DataFrame with a portable multiplicative
     hash in [0, 2^32) standing in for Cassandra's ring token. The `>` is
     exclusive, matching the reference's resume semantics (read.go:107 —
-    including its documented skip-on-shared-token caveat).
+    including its documented skip-on-shared-token caveat). A list of
+    key columns tokens the COMPOSITE partition key, the reference's
+    --partition-key-size semantics (read.go:20,29).
 
     At scale the token is a pure projection over the scan — no shuffle;
     the predicate stays in whole-stage codegen."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
     off = cfg.offset if offset is None else offset
     if "token" in df.columns:
         # withColumn would silently REPLACE the user's column with the
@@ -123,5 +127,6 @@ def scan_token_range(
             "scan_token_range: input already has a 'token' column; "
             "rename it before resuming by token"
         )
-    tok = portable_token(col(key_col))
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    tok = portable_token_composite([col(k) for k in keys])
     return df.withColumn("token", tok).filter(col("token") > F.lit(off))

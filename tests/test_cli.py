@@ -184,3 +184,31 @@ def test_cli_write_inference_parse_budget_binds(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_read_resume_composite_partition_key(spark, tmp_path):
+    """--partition-key-size 2 must token the COMPOSITE (first two)
+    columns when resuming — tokening only columns[0] resumes from the
+    wrong ring position (read.go:20,29)."""
+    from cqlcopy_spark.functions.portable import KNUTH, M32
+
+    src = f"{SF_SMALL}/orders.parquet"
+    full = spark.read.parquet(src).select("o_orderkey", "o_custkey")
+    offset = 2 ** 31
+    t1 = (full.o_orderkey * KNUTH) % M32
+    t2 = (full.o_custkey * KNUTH) % M32
+    expected = full.filter((t1 * 31 + t2) % M32 > offset).count()
+    single = full.filter(t1 > offset).count()
+    assert expected != single  # the two semantics genuinely differ here
+    out = str(tmp_path / "resumed_composite")
+    rc = main(
+        [
+            "read", "orders", "o_orderkey", "o_custkey",
+            "--path", src, "--output", out,
+            "--offset", str(offset), "--partition-key-size", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.options(header="true").csv(out).count()
+    assert got == expected > 0
