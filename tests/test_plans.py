@@ -80,7 +80,8 @@ def test_scalar_funcs_is_single_stage_map(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_fuzzy_minhash", "dedup_ngram_jaccard", "dedup_simhash", "join_range"],
+    ["dedup_fuzzy_minhash", "dedup_ngram_jaccard", "dedup_simhash", "join_range",
+     "dedup_incremental"],
 )
 def test_candidate_joins_never_cartesian(spark, name):
     """LSH/banding/bucketing exists to avoid all-pairs work; a join-key
