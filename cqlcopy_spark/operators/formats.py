@@ -246,3 +246,71 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder — space-filling-curve clustering for multi-column pruning
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_expr_sql(x: str, y: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_ZX = "((o_custkey - cx.lo) * 65535 // greatest(cx.hi - cx.lo, 1))"
+_ZY = "((o_orderkey - cy.lo) * 65535 // greatest(cy.hi - cy.lo, 1))"
+
+_ZORDER_ORACLE = f"""
+WITH cx AS (SELECT MIN(o_custkey) AS lo, MAX(o_custkey) AS hi FROM orders),
+cy AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders),
+z AS (
+  SELECT o_orderkey, o_custkey,
+         {_z_expr_sql(_ZX, _ZY)} AS zval
+  FROM orders, cx, cy
+)
+SELECT o_orderkey, o_custkey, zval FROM z
+ORDER BY zval, o_orderkey
+"""
+
+
+@register("layout_zorder", oracle=_ZORDER_ORACLE)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two predicate columns — the
+    data-LAYOUT operator behind multi-dimensional pruning at 100 TB:
+    rewrite a table sorted by the interleaved bits of its two hottest
+    filter columns and every parquet row group becomes a tight
+    rectangle in (custkey, orderkey) space, so min/max statistics prune
+    scans on EITHER column (a plain sort prunes only its leading
+    column). Each column is min-max-normalized to the full 16-bit grid
+    first — interleaving RAW values lets the wider domain's high bits
+    dominate the ordering and degrade to a single-column sort (the
+    classic z-order pitfall; production rewrites use range-ids the same
+    way). All-integer: normalize is exact BIGINT math off two 1-row
+    min/max scalars, the interleave is 32 shift/mask terms — pure
+    codegen, identical in both engines; the global sort is Spark's
+    sampled range partitioning, the same mechanism a real OPTIMIZE
+    ZORDER rewrite rides. o_orderkey tiebreak keeps the order total."""
+    o = table(spark, sf_dir, "orders")
+    lox, hix, loy, hiy = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    # integer DIV on both sides — a double divide + floor can disagree
+    # with // at exact-quotient boundaries by one ulp
+    x = F.expr(f"(o_custkey - {lox}) * 65535 DIV {max(hix - lox, 1)}")
+    y = F.expr(f"(o_orderkey - {loy}) * 65535 DIV {max(hiy - loy, 1)}")
+    zval = None
+    for b in range(_Z_BITS):
+        tx = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        ty = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        term = tx + ty
+        zval = term if zval is None else zval + term
+    return (
+        o.select("o_orderkey", "o_custkey", zval.alias("zval"))
+        .orderBy("zval", "o_orderkey")
+    )

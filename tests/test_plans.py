@@ -375,3 +375,36 @@ def test_embedding_cosine_multiblock_matches_brute_force(spark, tmp_path, monkey
         if cos[a, b] >= sim._NEARDUP_COS
     }
     assert got == want and len(want) > 0
+
+
+def test_zorder_tightens_both_column_ranges(spark):
+    """The point of the Z-order rewrite is pruning: split the clustered
+    output into row chunks (stand-ins for parquet row groups) and BOTH
+    key columns' per-chunk min/max ranges must be far tighter than the
+    full domain — a single-column sort achieves that only for its
+    leading column."""
+    import pandas as pd
+
+    pdf = QUERIES["layout_zorder"](spark, SF_SMALL).toPandas()
+    n_chunks = 10
+    chunks = [
+        pdf.iloc[i * len(pdf) // n_chunks : (i + 1) * len(pdf) // n_chunks]
+        for i in range(n_chunks)
+    ]
+
+    def avg_range(frames: "list[pd.DataFrame]", c: str) -> float:
+        return sum(f[c].max() - f[c].min() for f in frames) / len(frames)
+
+    full_ok = pdf["o_orderkey"].max() - pdf["o_orderkey"].min()
+    full_ck = pdf["o_custkey"].max() - pdf["o_custkey"].min()
+    # Z-order: each chunk covers a fraction of BOTH domains
+    assert avg_range(chunks, "o_orderkey") < 0.6 * full_ok
+    assert avg_range(chunks, "o_custkey") < 0.6 * full_ck
+    # baseline: orderkey-sorted layout leaves custkey chunks spanning
+    # essentially the whole domain
+    by_ok = pdf.sort_values("o_orderkey")
+    ok_chunks = [
+        by_ok.iloc[i * len(by_ok) // n_chunks : (i + 1) * len(by_ok) // n_chunks]
+        for i in range(n_chunks)
+    ]
+    assert avg_range(ok_chunks, "o_custkey") > 0.9 * full_ck
