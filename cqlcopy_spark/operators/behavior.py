@@ -238,3 +238,69 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("us").alias("valid_from_us"),
         F.lead("us").over(w).alias("valid_to_us"),
     ).orderBy("user_id", "valid_from_us", "k")
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-type outlier flags from portable moments
+# ---------------------------------------------------------------------------
+
+_Z_CUT = 3.0
+
+
+def _anomaly_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_dsum
+
+    return f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         {sql_dsum('value')} AS sx,
+         {sql_dsum('value * value')} AS sxx
+  FROM events
+  GROUP BY event_type
+),
+m AS (
+  SELECT event_type, sx / n AS mean_v,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean_v) / m.std_v AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs((e.value - m.mean_v) / m.std_v) > {_Z_CUT}
+ORDER BY e.event_id
+"""
+
+
+@register("events_anomaly_zscore", oracle=_anomaly_oracle())
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) — the monitoring pass a
+    pipeline runs over metric streams before training on them. Moments
+    use the portable decimal-sum recipe (agg_stats): mean/std are
+    bit-identical across engines, so the per-row z — one subtract and
+    one divide on identical doubles — and the |z| cut are too. Shape:
+    one moment aggregation (map-side partial, #types rows), the tiny
+    stats relation broadcasts back onto the scan; no second shuffle of
+    events. At 100 TB this is scan-bound twice (agg pass + score pass)
+    or once if the stats are precomputed per window."""
+    from cqlcopy_spark.functions.portable import dsum
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(col("value")).alias("sx"),
+        dsum(col("value") * col("value")).alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        (col("sx") / col("n")).alias("mean_v"),
+        F.sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).alias(
+            "std_v"
+        ),
+    )
+    z = (col("value") - col("mean_v")) / col("std_v")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(col("z")) > _Z_CUT)
+        .orderBy("event_id")
+    )
