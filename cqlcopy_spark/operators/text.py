@@ -1217,3 +1217,111 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(col("score").desc(), "t1", "t2").limit(_PMI_K)
+
+
+# ---------------------------------------------------------------------------
+# split_drift_tvd — train/eval distribution drift without transcendentals
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) * 0.6
+           + LEAST(len(string_split(text, ' ')) / 256.0, 1.0) * 0.4 AS quality,
+         CASE WHEN {sql_portable_token('doc_id')} % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+binned AS (
+  SELECT split,
+         LEAST(CAST(floor(quality * {_DRIFT_BINS}) AS BIGINT), {_DRIFT_BINS - 1})
+           AS bin,
+         COUNT(*) AS n
+  FROM q GROUP BY 1, 2
+),
+tot AS (SELECT split, CAST(SUM(n) AS BIGINT) AS total FROM binned GROUP BY 1),
+grid AS (
+  SELECT b.bin,
+         CAST(COALESCE(MAX(CASE WHEN b2.split = 'train' THEN b2.n END), 0)
+              AS BIGINT) AS n_train,
+         CAST(COALESCE(MAX(CASE WHEN b2.split = 'eval' THEN b2.n END), 0)
+              AS BIGINT) AS n_eval
+  FROM (SELECT DISTINCT bin FROM binned) b
+  LEFT JOIN binned b2 ON b.bin = b2.bin
+  GROUP BY b.bin
+)
+SELECT g.bin, g.n_train, g.n_eval,
+       CAST(g.n_train AS DOUBLE) / t1.total AS p_train,
+       CAST(g.n_eval AS DOUBLE) / t2.total AS p_eval,
+       abs(CAST(g.n_train AS DOUBLE) / t1.total
+           - CAST(g.n_eval AS DOUBLE) / t2.total) AS abs_diff
+FROM grid g,
+     (SELECT total FROM tot WHERE split = 'train') t1,
+     (SELECT total FROM tot WHERE split = 'eval') t2
+ORDER BY g.bin
+"""
+
+
+@register("split_drift_tvd", oracle=_DRIFT_ORACLE)
+def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and eval splits over
+    quality-score deciles — the check that catches a skewed split or a
+    contaminated eval set before training does. Deliberately TVD-shaped
+    (per-bin |p − q|; total-variation distance is half the column sum)
+    rather than PSI/KL: those need ln(), which diverges across engines
+    (CLAUDE.md), while counts and one division per bin hash-match
+    exactly. The quality expression is quality_score's, bit-identical
+    cross-engine, so binning is stable. Shape: one scan computes
+    quality + split (both pure maps), a bins × splits aggregate, and
+    two 1-row totals broadcast back — nothing scales with corpus size
+    after the first aggregate."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_types = F.size(F.array_distinct(_tokens()))
+    quality = (n_types.cast("double") / n_tokens) * 0.6 + F.least(
+        n_tokens / F.lit(256.0), F.lit(1.0)
+    ) * 0.4
+    from cqlcopy_spark.functions.portable import portable_token
+
+    split = F.when(portable_token(col("doc_id")) % 100 < 90, "train").otherwise("eval")
+    q = d.select(
+        F.least(
+            F.floor(quality * _DRIFT_BINS).cast("long"), F.lit(_DRIFT_BINS - 1)
+        ).alias("bin"),
+        split.alias("split"),
+    )
+    binned = q.groupBy("bin", "split").agg(F.count("*").alias("n"))
+    grid = (
+        binned.groupBy("bin")
+        .pivot("split", ["train", "eval"])
+        .agg(F.first("n"))
+        .select(
+            "bin",
+            F.coalesce(col("train"), F.lit(0)).alias("n_train"),
+            F.coalesce(col("eval"), F.lit(0)).alias("n_eval"),
+        )
+    )
+    tot = binned.groupBy("split").agg(F.sum("n").alias("total"))
+    t_train = tot.filter(col("split") == "train").select(
+        col("total").alias("tt")
+    )
+    t_eval = tot.filter(col("split") == "eval").select(col("total").alias("te"))
+    return (
+        grid.join(F.broadcast(t_train))
+        .join(F.broadcast(t_eval))
+        .select(
+            "bin",
+            "n_train",
+            "n_eval",
+            (col("n_train").cast("double") / col("tt")).alias("p_train"),
+            (col("n_eval").cast("double") / col("te")).alias("p_eval"),
+            F.abs(
+                col("n_train").cast("double") / col("tt")
+                - col("n_eval").cast("double") / col("te")
+            ).alias("abs_diff"),
+        )
+        .orderBy("bin")
+    )
