@@ -464,3 +464,86 @@ def stream_static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _static_join_agg(
         _events_stream(spark, sf_dir), table(spark, sf_dir, "customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_ohlc — windowed picking rollup (open/high/low/close) per type
+# ---------------------------------------------------------------------------
+
+_OHLC_W_ORACLE = """
+WITH r AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                                         time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                                         time_bucket(INTERVAL '1 hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def ohlc_windowed(events: DataFrame) -> DataFrame:
+    """Shared logical plan for batch and streaming OHLC: 1-hour windows
+    per event type, open/close picked by the (ts, event_id) ordering
+    struct — min_by/max_by are declarative aggregates with partial
+    merge, so the SAME plan runs as a streaming stateful agg with
+    watermark-evicted window state."""
+    w = F.window(col("ts"), "1 hour")
+    key = F.struct(col("ts"), col("event_id"))
+    return (
+        events.groupBy(w.alias("w"), col("event_type"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+@register("stream_ohlc", oracle=_OHLC_W_ORACLE)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed OHLC rollup (batch form of the shared plan; the
+    timeseries module's events_ohlc_rollup is the date_trunc
+    formulation — this one is window()-keyed so the identical plan
+    streams)."""
+    return ohlc_windowed(table(spark, sf_dir, "events")).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def stream_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form: file source → watermark → windowed picking
+    agg; open/close state is one (value, key) pair per window, evicted
+    at the watermark like any windowed aggregate."""
+    out = ohlc_windowed(_events_stream(spark, sf_dir).withWatermark("ts", _WATERMARK))
+    return out.select(
+        col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )

@@ -279,3 +279,13 @@ def test_continuous_copy_sink_exactly_once_csv(spark, tmp_path):
                     with open(os.path.join(root, f), encoding="utf-8") as fh:
                         landed += sum(1 for _ in fh)
         assert landed == expected
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """min_by/max_by picking aggregates must stream: replaying the
+    fixture through the watermark must reproduce the batch OHLC."""
+    from cqlcopy_spark.streaming.windows import stream_ohlc, stream_ohlc_streaming
+
+    batch = _canon(stream_ohlc(spark, SF_SMALL).toPandas())
+    stream = _canon(_run_stream(stream_ohlc_streaming(spark, SF_SMALL), "ohlc_t"))
+    pd.testing.assert_frame_equal(batch, stream)
