@@ -112,11 +112,14 @@ class BatchedCsvWriter(DataSourceWriter):
         for row in iterator:
             line = _csv_line(row)
             batch.append(line)
-            # UTF-8 octets of the QUOTED line, matching the byte-based
-            # threshold of the reference (write.go:238-240) and
-            # csv_sink.with_batch_id's octet_length: counting Python
-            # codepoints of unquoted fields undercounts multi-byte text
-            # and ignores quoting overhead (r03 ADVICE)
+            # UTF-8 octets of the QUOTED line. The reference counts the
+            # UNQUOTED field bytes (write.go:238-240, the formulation
+            # csv_sink.with_batch_id mirrors with octet_length); this
+            # sink counts what it actually stages — strictly ≥ the
+            # reference's measure, so batches can only flush EARLIER,
+            # never overshoot the byte budget. The r03-flagged bug was
+            # counting Python CODEPOINTS, which undercounts multi-byte
+            # text ~2-4× and overshoots.
             batch_bytes += len(line.encode("utf-8"))
             n_rows += 1
             if len(batch) >= self.chunk_size or batch_bytes >= self.max_batch_bytes:
