@@ -228,7 +228,7 @@ def _load_write_input(
         )
     _castable = (
         T.StringType, T.BooleanType, T.TimestampType, T.TimestampNTZType,
-        T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+        T.DateType, T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
     )
     schema = T.StructType(
         [
@@ -340,6 +340,16 @@ def run_read(spark: SparkSession, args: argparse.Namespace) -> int:
         # The partition key is the FIRST --partition-key-size columns
         # (read.go:20,29) — tokening only columns[0] when the key is
         # composite would resume from the wrong ring position.
+        if cfg.partition_key_size > len(args.columns):
+            # silently slicing to fewer columns would token a DIFFERENT
+            # composite key and resume from the wrong ring position —
+            # the same silent-wrong-resume class the integer check below
+            # guards against
+            raise ValueError(
+                f"--partition-key-size {cfg.partition_key_size} exceeds the "
+                f"{len(args.columns)} exported columns; the partition key "
+                "must be a prefix of the column list"
+            )
         pk_cols = args.columns[: max(1, cfg.partition_key_size)]
         types = {f.name: f.dataType for f in df.schema.fields}
         for c in pk_cols:

@@ -260,13 +260,14 @@ WITH s AS (
 ),
 m AS (
   SELECT event_type, sx / n AS mean_v,
-         sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v
+         sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) AS std_v
   FROM s
+  WHERE n > 1
 )
 SELECT e.event_id, e.event_type, e.value,
        (e.value - m.mean_v) / m.std_v AS z
 FROM events e JOIN m ON e.event_type = m.event_type
-WHERE abs((e.value - m.mean_v) / m.std_v) > {_Z_CUT}
+WHERE m.std_v > 0 AND abs((e.value - m.mean_v) / m.std_v) > {_Z_CUT}
 ORDER BY e.event_id
 """
 
@@ -290,16 +291,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(col("value")).alias("sx"),
         dsum(col("value") * col("value")).alias("sxx"),
     )
-    m = s.select(
+    # decimal quantization can push the radicand a hair NEGATIVE for a
+    # (near-)constant group: DuckDB sqrt then hard-errors and Spark's
+    # sqrt→NaN compares LARGEST, emitting the whole group — clamp at 0
+    # on both sides and drop zero-variance/singleton groups (no z is
+    # defined there)
+    m = s.filter(col("n") > 1).select(
         "event_type",
         (col("sx") / col("n")).alias("mean_v"),
-        F.sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).alias(
-            "std_v"
-        ),
+        F.sqrt(
+            F.greatest(
+                (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("std_v"),
     )
     z = (col("value") - col("mean_v")) / col("std_v")
     return (
-        e.join(F.broadcast(m), "event_type")
+        e.join(F.broadcast(m.filter(col("std_v") > 0)), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(col("z")) > _Z_CUT)
         .orderBy("event_id")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from cqlcopy_spark.catalog import table
+from cqlcopy_spark.operators.text import QUALITY_SQL
 from cqlcopy_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -192,7 +193,18 @@ def _hashed_gram_rows(d: DataFrame) -> DataFrame:
     )
 
 
-def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataFrame:
+def _ngram_jaccard_pairs(
+    d: DataFrame,
+    df_cap: int = _STOP_GRAM_DF_CAP,
+    probe_min_doc_id: int | None = None,
+) -> DataFrame:
+    """(d1, d2, jaccard): near-dup pairs over the capped inverted index.
+
+    Symmetric by default (every pair once, d1 < d2). With
+    probe_min_doc_id set, the join is ASYMMETRIC: only docs with id ≥
+    the cutoff probe the index and each reports matches among strictly
+    OLDER docs (d1 = the probing/new doc) — the incremental-ingest
+    shape, candidates ∝ Σ_g df_probe(g)·df_all(g)."""
     # Persist: the inverted index feeds both self-join sides plus the
     # per-doc sizes aggregate — three consumers of one shingle pass.
     grams = _hashed_gram_rows(d).persist()
@@ -208,10 +220,15 @@ def _ngram_jaccard_pairs(d: DataFrame, df_cap: int = _STOP_GRAM_DF_CAP) -> DataF
     )
     idx = grams.join(F.broadcast(hot), "g", "left_anti")
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = idx.alias("a")
+    if probe_min_doc_id is None:
+        a = idx.alias("a")
+        order = col("a.doc_id") < col("b.doc_id")
+    else:
+        a = idx.filter(col("doc_id") >= probe_min_doc_id).alias("a")
+        order = col("b.doc_id") < col("a.doc_id")
     b = idx.alias("b")
     pairs = (
-        a.join(b, (col("a.g") == col("b.g")) & (col("a.doc_id") < col("b.doc_id")))
+        a.join(b, (col("a.g") == col("b.g")) & order)
         .groupBy(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("common"))
     )
@@ -689,11 +706,7 @@ reach(u, v) AS (
 ),
 comps AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
 quality AS (
-  SELECT doc_id,
-         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            / len(string_split(text, ' '))) * 0.6
-           + LEAST(len(string_split(text, ' ')) / 256.0, 1.0) * 0.4 AS quality
-  FROM documents
+  SELECT doc_id, {QUALITY_SQL} AS quality FROM documents
 ),
 ranked AS (
   SELECT c.component, c.doc_id, q.quality,
@@ -790,28 +803,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long")).first()[0]
-    grams = _hashed_gram_rows(d).persist()
-    hot = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter(col("df") > _STOP_GRAM_DF_CAP)
-        .select("g")
-    )
-    idx = grams.join(F.broadcast(hot), "g", "left_anti")
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = idx.filter(col("doc_id") >= cut).alias("a")  # batch side only
-    b = idx.alias("b")
-    pairs = (
-        a.join(b, (col("a.g") == col("b.g")) & (col("b.doc_id") < col("a.doc_id")))
-        .groupBy(col("a.doc_id").alias("new_doc"), col("b.doc_id").alias("dup_of"))
-        .agg(F.count("*").alias("common"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    jac = col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common"))
-    return (
-        pairs.join(s1, col("new_doc") == col("s1.doc_id"))
-        .join(s2, col("dup_of") == col("s2.doc_id"))
-        .select("new_doc", "dup_of", jac.alias("jaccard"))
-        .filter(col("jaccard") >= _JACCARD_THRESHOLD)
+    return _ngram_jaccard_pairs(d, probe_min_doc_id=cut).select(
+        col("d1").alias("new_doc"), col("d2").alias("dup_of"), "jaccard"
     )

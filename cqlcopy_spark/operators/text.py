@@ -158,19 +158,39 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_score — heuristic document quality
 # ---------------------------------------------------------------------------
 
-_QUALITY_ORACLE = """
+#: THE quality formula, defined once for every consumer (quality_score,
+#: split_drift_tvd here; dedup_keep_best's oracle imports the SQL twin):
+#: ttr·0.6 + min(n_tokens/256, 1)·0.4 — both forms must stay term-for-term
+#: identical or the hash parity of every dependent oracle breaks.
+QUALITY_SQL = (
+    "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))) * 0.6"
+    " + LEAST(len(string_split(text, ' ')) / 256.0, 1.0) * 0.4"
+)
+
+
+def quality_expr():
+    """Spark twin of QUALITY_SQL (same ops in the same order)."""
+    n_tokens = F.size(_tokens())
+    n_types = F.size(F.array_distinct(_tokens()))
+    return (n_types.cast("double") / n_tokens) * 0.6 + F.least(
+        n_tokens / F.lit(256.0), F.lit(1.0)
+    ) * 0.4
+
+
+_QUALITY_ORACLE = f"""
 WITH feats AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_types,
-         CAST(n_chars AS DOUBLE) AS chars
+         CAST(n_chars AS DOUBLE) AS chars,
+         {QUALITY_SQL} AS quality
   FROM documents
 )
 SELECT doc_id, n_tokens,
        CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
        (chars - n_tokens + 1) / n_tokens AS avg_token_len,
-       (CAST(n_types AS DOUBLE) / n_tokens) * 0.6
-         + LEAST(n_tokens / 256.0, 1.0) * 0.4 AS quality
+       quality
 FROM feats
 """
 
@@ -190,7 +210,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         ttr.alias("type_token_ratio"),
         ((chars - n_tokens + 1) / n_tokens).alias("avg_token_len"),
-        (ttr * 0.6 + F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.4).alias("quality"),
+        quality_expr().alias("quality"),
     )
 
 
@@ -1228,9 +1248,7 @@ _DRIFT_BINS = 10
 _DRIFT_ORACLE = f"""
 WITH q AS (
   SELECT doc_id,
-         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            / len(string_split(text, ' '))) * 0.6
-           + LEAST(len(string_split(text, ' ')) / 256.0, 1.0) * 0.4 AS quality,
+         {QUALITY_SQL} AS quality,
          CASE WHEN {sql_portable_token('doc_id')} % 100 < 90
               THEN 'train' ELSE 'eval' END AS split
   FROM documents
@@ -1279,11 +1297,7 @@ def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     two 1-row totals broadcast back — nothing scales with corpus size
     after the first aggregate."""
     d = table(spark, sf_dir, "documents")
-    n_tokens = F.size(_tokens())
-    n_types = F.size(F.array_distinct(_tokens()))
-    quality = (n_types.cast("double") / n_tokens) * 0.6 + F.least(
-        n_tokens / F.lit(256.0), F.lit(1.0)
-    ) * 0.4
+    quality = quality_expr()
     from cqlcopy_spark.functions.portable import portable_token
 
     split = F.when(portable_token(col("doc_id")) % 100 < 90, "train").otherwise("eval")

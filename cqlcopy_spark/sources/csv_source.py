@@ -263,6 +263,13 @@ def cast_cell(value: Column, quoted: Column, target: T.DataType, cfg: CopyConfig
         fmt = cfg.time_format if isinstance(target, T.TimestampType) else cfg.time_format_ntz
         parsed = F.try_to_timestamp(value, F.lit(fmt)).cast(target.simpleString())
         return F.when(is_null, F.lit(None).cast(target.simpleString())).otherwise(parsed)
+    if isinstance(target, T.DateType):
+        # ISO yyyy-MM-dd, what Spark's CSV inference recognizes as DATE
+        # (prefersDate) — keep the inferred type instead of downgrading
+        # the column to string
+        return F.when(is_null, F.lit(None).cast("date")).otherwise(
+            value.try_cast("date")
+        )
     if isinstance(target, T.LongType) or isinstance(target, T.IntegerType):
         # try_cast straight to the TARGET type: routing through long and
         # then cast('int') would silently wrap values that overflow int32

@@ -190,48 +190,36 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
         else:
             rows = pd.concat(list(pdfs))
             if len(rows):
-                s, last, n = state.get if state.exists else (None, None, 0)
-                late: list[int] = []  # pre-session arrivals, gap-merged below
-                for us in rows.sort_values("us")["us"]:
-                    us = int(us)
-                    if s is None:
-                        s, last, n = us, us, 1
-                    elif us < s - gap_us:
-                        # late arrival predating the open session by more
-                        # than the gap: belongs to an already-complete
-                        # earlier session — buffer, then gap-merge the
-                        # buffer as its own session run
-                        late.append(us)
-                    elif us - last <= gap_us:
-                        # merge; min/max (not unconditional last=us) so a
-                        # late event inside an open session from a LATER
-                        # micro-batch can't drag `last` backward and
-                        # split the session at the next on-time event
-                        s, last, n = min(s, us), max(last, us), n + 1
+                # Whole-batch gap clustering with the open session as an
+                # INTERVAL item. The earlier incremental formulation had
+                # two interacting late-event bugs (r03 ADVICE + review):
+                # two late events one gap apart emitted as two 1-event
+                # sessions, and — worse — a later in-batch event could
+                # drag the open session's start backward (min(s, us))
+                # AFTER a late event had been dispatched against the old
+                # start, emitting a session that overlaps the still-open
+                # one. Clustering items = {each event as [us, us, 1]} ∪
+                # {open session as [s, last, n]} in one sorted sweep is
+                # immune to arrival-order interactions: every cluster
+                # but the last is emitted closed, the last becomes the
+                # open session. Late events split ACROSS micro-batches
+                # still emit as separate sessions — state carries only
+                # the open session by design (that trade is what
+                # session_window's internal buffer buys).
+                items = [(int(u), int(u), 1) for u in rows["us"]]
+                if state.exists:
+                    s0, last0, n0 = state.get
+                    items.append((s0, last0, n0))
+                items.sort()
+                cs, ce, cn = items[0]
+                for a, b, m in items[1:]:
+                    if a - ce <= gap_us:
+                        ce, cn = max(ce, b), cn + m
                     else:
-                        out.append((key[0], s, last + gap_us, n))
-                        s, last, n = us, us, 1
-                # Gap-merge the late arrivals among themselves: two late
-                # events one gap apart imply ONE earlier session, not two
-                # 1-event sessions (r03 ADVICE). They never reach the open
-                # session (each is > gap before its start by the branch
-                # test), and `late` is ascending because the batch loop
-                # is. Late events split ACROSS micro-batches still emit as
-                # separate sessions — state carries only the open session
-                # by design; full out-of-order repair needs a session list
-                # (that trade is what session_window's internal state
-                # buys, documented here for the custom hook-point).
-                if late:
-                    ls, ll, ln = late[0], late[0], 1
-                    for us in late[1:]:
-                        if us - ll <= gap_us:
-                            ll, ln = us, ln + 1
-                        else:
-                            out.append((key[0], ls, ll + gap_us, ln))
-                            ls, ll, ln = us, us, 1
-                    out.append((key[0], ls, ll + gap_us, ln))
-                state.update((s, last, n))
-                timeout_ms = (last + gap_us) // 1000
+                        out.append((key[0], cs, ce + gap_us, cn))
+                        cs, ce, cn = a, b, m
+                state.update((cs, ce, cn))
+                timeout_ms = (ce + gap_us) // 1000
                 state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             out, columns=["user_id", "start_us", "end_us", "n_events"]

@@ -212,3 +212,22 @@ def test_cli_read_resume_composite_partition_key(spark, tmp_path):
     assert rc == 0
     got = spark.read.options(header="true").csv(out).count()
     assert got == expected > 0
+
+
+def test_cli_write_inference_keeps_inferred_dates(spark, tmp_path):
+    """An ISO-date CSV column infers as DATE and must land in parquet as
+    DATE, not be silently downgraded to string (review finding on the
+    inference-path rewrite)."""
+    p = tmp_path / "dated.csv"
+    p.write_text('"id","d"\n1,2024-01-03\n2,2024-02-29\n', encoding="utf-8")
+    out = str(tmp_path / "dated.parquet")
+    rc = main(
+        ["write", "items", "id", "d", "--input", str(p), "--path", out],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    import pyspark.sql.types as T2
+
+    assert isinstance(got.schema["d"].dataType, T2.DateType), got.schema
+    assert got.count() == 2

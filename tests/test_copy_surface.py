@@ -223,3 +223,33 @@ def test_default_time_format_renders_utc_like_go(spark):
         .first()["s"]
     )
     assert out == "2024-01-01 00:00:00+0000"
+
+
+def test_composite_token_sql_twin_matches_column_form(spark):
+    """portable_token_composite (Column) and sql_portable_token_composite
+    (oracle SQL) must stay arithmetic-identical — the SQL twin backs any
+    future composite-resume oracle, so pin the parity directly."""
+    import duckdb
+
+    from cqlcopy_spark.functions.portable import (
+        portable_token_composite,
+        sql_portable_token_composite,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 7), (42, 0), (2**31, 2**20), (999983, 5)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["t"]
+        for r in df.select(
+            "a", "b",
+            portable_token_composite([F.col("a"), F.col("b")]).alias("t"),
+        ).collect()
+    }
+    sql = sql_portable_token_composite(["a", "b"])
+    for (a, b), t in got.items():
+        want = duckdb.sql(
+            f"SELECT {sql} AS t FROM (SELECT {a} AS a, {b} AS b)"
+        ).fetchone()[0]
+        assert t == want, (a, b, t, want)

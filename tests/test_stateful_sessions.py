@@ -205,3 +205,54 @@ def test_pre_session_late_events_gap_merge(spark, tmp_path):
         (1, base * sec, (base + 900 + 1800) * sec, 2),
         (1, (base + 10_000) * sec, (base + 10_000 + 1800) * sec, 1),
     }
+
+
+def test_late_chain_bridges_into_open_session(spark, tmp_path):
+    """Two late events where the LATER one is within the gap of the open
+    session's start must chain the whole run into ONE open session
+    starting at the earliest late event — the pre-clustering code
+    dispatched the first late event against the old start and emitted a
+    1-event session OVERLAPPING the still-open one (review finding)."""
+    import pandas as pd
+
+    sec = 1_000_000
+    base = 100_000
+    stage = str(tmp_path / "late_chain")
+    os.makedirs(stage)
+    f1 = os.path.join(stage, "b1.parquet")
+    f2 = os.path.join(stage, "b2.parquet")
+    f3 = os.path.join(stage, "b3.parquet")
+    pd.DataFrame({"user_id": [1], "us": [(base + 10_000) * sec]}).to_parquet(f1)
+    # +8100s is > gap before the open start, +8300s is WITHIN the gap of
+    # it (1700s ≤ 1800s) — the chain {8100, 8300, 10000} is one session
+    pd.DataFrame(
+        {"user_id": [1, 1], "us": [(base + 8_100) * sec, (base + 8_300) * sec]}
+    ).to_parquet(f2)
+    pd.DataFrame({"user_id": [1], "us": [(base + 99_999) * sec]}).to_parquet(f3)
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+
+    src = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("late_chain_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_chain_sessions").collect()
+    }
+    q.stop()
+    assert emitted == {(1, (base + 8_100) * sec, (base + 10_000 + 1_800) * sec, 3)}
