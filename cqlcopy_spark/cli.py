@@ -50,6 +50,7 @@ _TYPE_MAP = {
     "float": T.FloatType(),
     "timestamp": T.TimestampType(),
     "timestamp_ntz": T.TimestampNTZType(),
+    "date": T.DateType(),
 }
 
 

@@ -158,10 +158,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_score — heuristic document quality
 # ---------------------------------------------------------------------------
 
-#: THE quality formula, defined once for every consumer (quality_score,
-#: split_drift_tvd here; dedup_keep_best's oracle imports the SQL twin):
+#: The quality formula over RAW text, shared by quality_score and
+#: split_drift_tvd here and imported by dedup_keep_best's oracle:
 #: ttr·0.6 + min(n_tokens/256, 1)·0.4 — both forms must stay term-for-term
 #: identical or the hash parity of every dependent oracle breaks.
+#: (pipeline_corpus_curation applies the same weights to NORMALIZED text
+#: via staged ttr/n_tokens feature columns — deliberately its own
+#: expression, since this one hardcodes the `text` column.)
 QUALITY_SQL = (
     "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
     " / len(string_split(text, ' '))) * 0.6"

@@ -231,3 +231,40 @@ def test_cli_write_inference_keeps_inferred_dates(spark, tmp_path):
 
     assert isinstance(got.schema["d"].dataType, T2.DateType), got.schema
     assert got.count() == 2
+
+
+def test_cli_read_rejects_oversized_partition_key(spark, tmp_path):
+    """--partition-key-size larger than the exported column list must
+    error, not silently token a truncated key (wrong ring position)."""
+    src = f"{SF_SMALL}/orders.parquet"
+    with pytest.raises(ValueError, match="partition-key-size"):
+        main(
+            [
+                "read", "orders", "o_orderkey", "o_custkey",
+                "--path", src, "--output", str(tmp_path / "never"),
+                "--offset", "0", "--partition-key-size", "3",
+            ],
+            spark=spark,
+        )
+
+
+def test_cli_write_declared_date_type(spark, tmp_path):
+    """--types date must be accepted on the dynamic path, reaching
+    cast_cell's DateType branch from a declared schema too."""
+    p = tmp_path / "declared_date.csv"
+    p.write_text('"id","d"\n1,2024-01-03\n2,notadate\n', encoding="utf-8")
+    out = str(tmp_path / "declared_date.parquet")
+    rc = main(
+        [
+            "write", "items", "id", "d",
+            "--input", str(p), "--types", "long,date", "--dynamic",
+            "--path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["id"]: r["d"] for r in spark.read.parquet(out).collect()}
+    import datetime
+
+    assert got[1] == datetime.date(2024, 1, 3)
+    assert got[2] is None  # unparseable cell → null, row survives
