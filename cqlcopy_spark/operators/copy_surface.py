@@ -182,3 +182,86 @@ def source_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("resume_after", str(_TOKEN_OFFSET))
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# copy_reconcile — anti-entropy row diff between source and copy
+# ---------------------------------------------------------------------------
+
+# A deterministic 2% of orders rows stand in for a copy that drifted
+# (the failure a reconciliation job exists to find): value perturbed on
+# token(o_orderkey) % 100 < 2.
+_DRIFT_PCT = 2
+
+_RECONCILE_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+cpy AS (
+  SELECT o_orderkey,
+         CASE WHEN {sql_portable_token('o_orderkey')} % 100 < {_DRIFT_PCT}
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT s.o_orderkey,
+       md5(CAST(CAST(s.o_totalprice AS DECIMAL(38,2)) AS VARCHAR)
+           || '|' || s.o_orderstatus) AS src_hash,
+       md5(CAST(CAST(c.o_totalprice AS DECIMAL(38,2)) AS VARCHAR)
+           || '|' || c.o_orderstatus) AS copy_hash
+FROM src s JOIN cpy c ON s.o_orderkey = c.o_orderkey
+WHERE md5(CAST(CAST(s.o_totalprice AS DECIMAL(38,2)) AS VARCHAR)
+          || '|' || s.o_orderstatus)
+   != md5(CAST(CAST(c.o_totalprice AS DECIMAL(38,2)) AS VARCHAR)
+          || '|' || c.o_orderstatus)
+ORDER BY s.o_orderkey
+"""
+
+
+@register("copy_reconcile", oracle=_RECONCILE_ORACLE)
+def copy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation: after a bulk COPY, diff source and
+    copy row-by-row via per-row payload hashes joined on the key and
+    report only the mismatches — the verification step the reference
+    leaves to the operator. Hash parity: the payload rendering must be
+    engine-identical, so the double goes through the DECIMAL wire form
+    (CAST double→VARCHAR differs between engines — Java vs Ryu shortest
+    repr — but both print a decimal EXACTLY as stored); o_totalprice is
+    a 2-decimal money value, so decimal(38,2) is lossless here. Scale:
+    one equi-join on the key — co-partition or bucket both sides and it
+    is shuffle-free; payload width collapses to one 32-byte hash per
+    row before anything moves. The synthetic 2%-drifted "copy" is
+    derived deterministically in-plan (no fixture mutation)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    from cqlcopy_spark.functions.portable import portable_token
+
+    drifted = F.when(
+        portable_token(col("o_orderkey")) % 100 < _DRIFT_PCT,
+        col("o_totalprice") + 1.0,
+    ).otherwise(col("o_totalprice"))
+    cpy = o.select(
+        "o_orderkey", drifted.alias("o_totalprice"), "o_orderstatus"
+    )
+
+    def row_hash(price, status):
+        wire = F.concat(
+            price.cast("decimal(38,2)").cast("string"), F.lit("|"), status
+        )
+        return F.md5(wire)
+
+    s = o.select(
+        "o_orderkey",
+        row_hash(col("o_totalprice"), col("o_orderstatus")).alias("src_hash"),
+    )
+    c = cpy.select(
+        "o_orderkey",
+        row_hash(col("o_totalprice"), col("o_orderstatus")).alias("copy_hash"),
+    )
+    return (
+        s.join(c, "o_orderkey")
+        .filter(col("src_hash") != col("copy_hash"))
+        .select("o_orderkey", "src_hash", "copy_hash")
+        .orderBy("o_orderkey")
+    )
