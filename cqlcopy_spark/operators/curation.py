@@ -1,0 +1,364 @@
+"""Corpus-curation operators round 5: PII scrubbing, URL/domain analytics,
+vocabulary coverage, deterministic sharding, and BPE merge training.
+
+Reference has no analog (it is a CSV↔Cassandra loader, write.go/read.go);
+these extend the mandated LLM-data-pipeline surface (BASELINE.json:6)
+alongside operators/text.py and dedup.py.
+
+All batch ops here are pure built-in-function pipelines (whole-stage
+codegen, no Python UDFs). The only driver-side loop is BPE's per-iteration
+argmax — one row per merge step, the standard vocab-level formulation that
+keeps the corpus scan out of the loop entirely.
+
+Oracle-parity notes:
+- Regexes use the Java-regex ∩ RE2 dialect intersection (character
+  classes, bounded repetition, word boundaries — no lookaround).
+- The synthetic PII / URL payloads are derived from doc_id with identical
+  integer arithmetic and string concatenation in both engines, so the
+  fixtures exercise real matches instead of vacuous zero counts.
+- Hash sharding parses the first 8 hex digits of md5 (lowercase hex in
+  both engines): Spark `conv(_, 16, 10)`, DuckDB `('0x' || _)::BIGINT`.
+- Integer/integer division (`cnt / total`) is an exactly-rounded IEEE
+  divide of exact integers in both engines — bitwise-stable coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from cqlcopy_spark.catalog import table
+from cqlcopy_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# pii_redact — detect + scrub emails / IPv4 / phone numbers
+# ---------------------------------------------------------------------------
+
+# Dialect-intersection patterns (valid Java regex AND RE2).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+# doc_id-derived PII planted identically in both engines (the synthetic
+# corpus has no digits/emails — without this the op would verify nothing).
+_PII_AUG_SQL = (
+    "text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' +1-555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_aug_col():
+    return F.concat(
+        col("text"),
+        F.lit(" user"),
+        col("doc_id").cast("string"),
+        F.lit("@mail.example.com 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" +1-555-"),
+        F.lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_IP_RE}', '<IP>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
+@register("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents: count emails / IPv4
+    addresses / phone numbers per doc and emit the md5 of the scrubbed
+    text. Pure codegen map — zero shuffles beyond the final sort; at
+    100 TB this runs as an embarrassingly parallel scan with the regex
+    compiled once per task (Java regex is JIT-compiled JVM-side)."""
+    d = table(spark, sf_dir, "documents")
+    t = _pii_aug_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# url_domains_top — URL extraction + domain frequency (crawl analytics)
+# ---------------------------------------------------------------------------
+
+_URL_AUG_SQL = (
+    "text || ' see https://' || source || '.example.org/' || lang"
+    " || '/p' || CAST(doc_id AS VARCHAR)"
+)
+_DOMAIN_RE = r"https://([A-Za-z0-9.-]+)/"
+
+_URL_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, {_URL_AUG_SQL} AS t FROM documents WHERE doc_id % 3 = 0
+)
+SELECT regexp_extract(t, '{_DOMAIN_RE}', 1) AS domain,
+       COUNT(*) AS n_docs
+FROM aug
+GROUP BY domain
+ORDER BY n_docs DESC, domain
+LIMIT 10
+"""
+
+
+@register("url_domains_top", oracle=_URL_ORACLE)
+def url_domains_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 source domains by document count (crawl-style provenance
+    analytics). URLs are doc_id-derived (corpus has none) and extracted
+    with a shared-dialect regex. Plan: filter+map scan → partial agg →
+    shuffle of ≤ #domains rows → TakeOrdered 10. The LIMIT-after-agg is
+    tie-broken on domain so the top-10 set is deterministic."""
+    d = table(spark, sf_dir, "documents").filter(col("doc_id") % 3 == 0)
+    t = F.concat(
+        col("text"),
+        F.lit(" see https://"),
+        col("source"),
+        F.lit(".example.org/"),
+        col("lang"),
+        F.lit("/p"),
+        col("doc_id").cast("string"),
+    )
+    return (
+        d.select(F.regexp_extract(t, _DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(col("n_docs").desc(), "domain")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — frequency vocabulary with cumulative corpus coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+top AS (SELECT token, cnt FROM vocab ORDER BY cnt DESC, token LIMIT 30)
+SELECT
+  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+  token,
+  CAST(cnt AS BIGINT) AS cnt,
+  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_cnt,
+  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) / total AS coverage
+FROM top, tot
+ORDER BY rnk
+"""
+
+
+@register("vocab_coverage", oracle=_VOCAB_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 vocabulary with cumulative token-coverage fraction — the
+    "how big must the vocab be to cover X% of the corpus" curve every
+    tokenizer design starts from.
+
+    Scale shape: one explode scan → token groupBy (partial agg map-side,
+    one shuffle of vocab-sized data) → TakeOrdered 30 → 30-row window.
+    The cumulative window runs AFTER the limit, so the single-partition
+    window sort touches 30 rows, never the vocabulary. `total` rides in
+    as a broadcast 1-row cross join — no driver collect. coverage =
+    BIGINT/BIGINT, an exactly-rounded IEEE divide in both engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(col("text"), " ")).alias("token")).filter(
+        col("token") != ""
+    )
+    # total and top-30 both derive from vocab; without the persist the
+    # corpus-wide explode+groupBy lineage executes twice (CLAUDE.md
+    # shared-intermediate rule) — at 100 TB that doubles the dominant scan
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    top = vocab.orderBy(col("cnt").desc(), "token").limit(30)
+    w = Window.orderBy(col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(col("cnt").desc(), "token"))
+            .cast("bigint")
+            .alias("rnk"),
+            "token",
+            "cnt",
+            F.sum("cnt").over(w).alias("cum_cnt"),
+            (F.sum("cnt").over(w) / col("total")).alias("coverage"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_assign — deterministic content-hash sharding (reproducible layout)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+SELECT
+  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % {_N_SHARDS} AS shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("shard_assign", oracle=_SHARD_ORACLE)
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash shard assignment + per-shard balance
+    stats — the reproducible alternative to random repartitioning when a
+    100 TB corpus must land in stable training shards across reruns.
+
+    The shard key is the first 32 bits of md5(text), an engine-portable
+    hash (Spark's xxhash64/hash seeds are JVM-specific): Spark parses the
+    hex via `conv(_, 16, 10)`, DuckDB via the '0x' varchar cast — both
+    exact on 8 hex digits (< 2^32, no BIGINT overflow). Plan: pure map +
+    one {_N_SHARDS}-group partial agg; at scale the same key feeds
+    `df.repartition(shard)` + partitionBy writes for co-located shards."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(col("text")), 1, 8), 16, 10).cast("bigint")
+        % _N_SHARDS
+    )
+    return (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — byte-pair-encoding merge training (iterative)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(col("text")), " ")).alias("token"))
+        .filter(col("token").rlike("^[a-z]+$"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_BPE_STEPS = 8
+
+
+@register("bpe_train_merges", oracle=None)  # iterative: rows-only + pytest
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 8 BPE merges over the corpus (greedy most-frequent
+    adjacent symbol pair, leftmost-first non-overlapping application —
+    the Sennrich et al. 2016 formulation).
+
+    Scale shape — the reason BPE training is feasible at 100 TB: the
+    corpus is scanned ONCE into a word-frequency table (one shuffle,
+    vocab-sized ≪ corpus), and every merge iteration runs on that
+    persisted vocab: explode adjacent pairs (weighted by word count) →
+    4-byte-key partial agg → argmax. Only the single winning pair crosses
+    to the driver per step; the merge itself is a JVM-side `aggregate`
+    fold over each word's symbol array — no Python in the loop.
+
+    Not SQL-expressible (data-dependent iteration), so no oracle:
+    rows-only driver check + tests/test_curation.py parity against a
+    pure-Python reference implementation."""
+    words = _bpe_word_counts(spark, sf_dir)
+    syms = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+    ).persist()
+    syms.count()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for step in range(1, _BPE_STEPS + 1):
+            # size guard: Spark's sequence(1, 0) yields DESCENDING [1, 0],
+            # not empty — a 1-symbol word would index past its array
+            pairs = syms.filter(F.size("syms") >= 2).select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(element_at(syms, i), ' ',"
+                        " element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(col("freq").desc(), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, freq = best[0]["pair"], int(best[0]["freq"])
+            a, b = pair.split(" ")
+            merged = a + b
+            nxt = syms.withColumn(
+                "syms",
+                F.expr(
+                    f"aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                    f" array(element_at(syms, 1)),"
+                    f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
+                    f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
+                    f" concat(acc, array(x))))"
+                ),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            syms.unpersist()
+            syms = nxt
+            merges.append((step, pair, freq))
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, freq bigint"
+    ).orderBy("merge_rank")

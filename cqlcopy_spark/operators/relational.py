@@ -793,3 +793,100 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_null_safe — NULL-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+# The fixtures have no NULL keys; derive one identically in both engines
+# (nullif on a modular bucket) so the null-matches-null branch is actually
+# exercised, not vacuous.
+_NULLSAFE_ORACLE = """
+WITH c AS (
+  SELECT NULLIF(c_nationkey % 7, 3) AS seg, c_custkey FROM customer
+),
+s AS (
+  SELECT NULLIF(s_nationkey % 7, 3) AS seg, s_suppkey FROM supplier
+)
+SELECT c.seg AS seg,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+GROUP BY c.seg
+ORDER BY seg NULLS FIRST
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join: Spark's `<=>` (eqNullSafe) vs the oracle's
+    IS NOT DISTINCT FROM — NULL keys pair with NULL keys instead of
+    dropping out, the semantics MERGE/dedup pipelines need when the
+    business key is nullable.
+
+    Plan note: eqNullSafe keys still hash-partition (NULL is one hash
+    bucket), so this stays a plain shuffled/broadcast hash join — here
+    the supplier side is broadcast. At scale a hot NULL bucket is a
+    skew key like any other: prefilter or salt it."""
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(col("c_nationkey") % 7, F.lit(3)).alias("cseg"), "c_custkey"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.nullif(col("s_nationkey") % 7, F.lit(3)).alias("sseg"), "s_suppkey"
+    )
+    return (
+        c.join(broadcast(s), c["cseg"].eqNullSafe(s["sseg"]))
+        .groupBy(col("cseg").alias("seg"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy(col("seg").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# recursive_price_buckets — WITH RECURSIVE (Spark 4 + DuckDB, one SQL text)
+# ---------------------------------------------------------------------------
+
+# ONE SQL string executed verbatim by BOTH engines (the
+# sql_shipping_priority pattern): the recursive member generates the
+# bucket spine, the outer query left-joins the order histogram onto it so
+# empty buckets surface as zero. FLOOR (not CAST) buckets the double —
+# double→INT CAST truncates in Spark but rounds in DuckDB.
+_RECURSIVE_SQL = """
+WITH RECURSIVE buckets(b) AS (
+  SELECT 0
+  UNION ALL
+  SELECT b + 1 FROM buckets WHERE b < 11
+),
+hist AS (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS b,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT buckets.b AS bucket,
+       COALESCE(n_orders, 0) AS n_orders
+FROM buckets LEFT JOIN hist ON buckets.b = hist.b
+ORDER BY bucket
+"""
+
+
+@register("recursive_price_buckets", oracle=_RECURSIVE_SQL)
+def recursive_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4's WITH RECURSIVE): a generated
+    12-bucket price spine left-joined against the order-price histogram
+    so empty buckets appear with 0. The oracle IS this SQL text.
+
+    The recursion is driver-bounded (12 one-row steps) and the histogram
+    is one partial-agg shuffle of ≤12 groups; the join broadcasts the
+    spine. Recursion depth, not data volume, is the iteration count —
+    safe at any corpus scale."""
+    from cqlcopy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

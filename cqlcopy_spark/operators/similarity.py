@@ -651,3 +651,47 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_stats — per-vector L2 norms + top-k extremes
+# ---------------------------------------------------------------------------
+
+# Norm outliers (near-zero or huge vectors) are the standard screen for
+# broken encoder batches before embeddings feed dedup / ANN indexing.
+
+_NORM_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(emb, v -> v * v)), (a, b) -> a + b))
+           AS l2_norm
+  FROM e
+)
+SELECT vec_id, label, l2_norm
+FROM n
+ORDER BY l2_norm DESC, vec_id
+LIMIT 15
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 vectors by L2 norm (encoder-health screen). The norm is a
+    SEQUENTIAL left fold over the vector (F.aggregate ↔ DuckDB
+    list_reduce) — same order, same IEEE adds, bit-identical in both
+    engines, unlike an unordered SUM over unnested elements; sqrt is
+    correctly rounded everywhere. Pure codegen map → TakeOrdered 15
+    (vec_id tiebreak): no shuffle, scan-bound at 100 TB."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_double("embedding").alias("emb")
+    )
+    sumsq = F.aggregate(
+        col("emb"), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return (
+        e.select("vec_id", "label", F.sqrt(sumsq).alias("l2_norm"))
+        .orderBy(col("l2_norm").desc(), "vec_id")
+        .limit(15)
+    )

@@ -1,0 +1,103 @@
+"""Round-5 curation operators: BPE merge training verified against a
+pure-Python reference implementation (the op itself has no SQL oracle —
+data-dependent iteration), plus sharding invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from cqlcopy_spark.operators.curation import _BPE_STEPS, _N_SHARDS
+from cqlcopy_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+
+def _reference_bpe(word_counts: dict[str, int], steps: int):
+    """Sennrich et al. 2016 reference: repeatedly merge the most frequent
+    adjacent symbol pair (leftmost-first, non-overlapping), ties broken
+    by pair string ascending."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, steps + 1):
+        pair_freq: Counter[tuple[str, str]] = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pair_freq[(syms[i], syms[i + 1])] += c
+        if not pair_freq:
+            break
+        # max by (freq, then pair ascending) — match the Spark orderBy
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        merges.append((step, f"{a} {b}", freq))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    got = [
+        (r["merge_rank"], r["pair"], r["freq"])
+        for r in QUERIES["bpe_train_merges"](spark, SF_SMALL).collect()
+    ]
+    wc = dict(
+        duckdb.sql(
+            f"""
+            SELECT token, COUNT(*) FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM read_parquet('{SF_SMALL}/documents.parquet'))
+            WHERE regexp_matches(token, '^[a-z]+$')
+            GROUP BY token
+            """
+        ).fetchall()
+    )
+    want = _reference_bpe(wc, _BPE_STEPS)
+    assert got == want
+    assert len(got) == _BPE_STEPS  # corpus is rich enough to not run dry
+
+
+def test_bpe_greedy_merge_is_leftmost_nonoverlapping(spark):
+    """'aaa' under merge (a,a) must become [aa, a], not [aa, aa]."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame([("aaa",), ("a",), ("abab",)], "token string")
+        .withColumn(
+            "s",
+            F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                "aggregate(slice(s, 2, greatest(size(s) - 1, 0)),"
+                " array(element_at(s, 1)),"
+                " (acc, x) -> IF(element_at(acc, -1) = 'a' AND x = 'a',"
+                " concat(slice(acc, 1, size(acc) - 1), array('aa')),"
+                " concat(acc, array(x))))"
+            ),
+        )
+    )
+    got = {r["token"]: r["m"] for r in df.collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["a"] == ["a"]
+    assert got["abab"] == ["a", "b", "a", "b"]
+
+
+def test_shard_assign_covers_all_docs(spark):
+    rows = QUERIES["shard_assign"](spark, SF_SMALL).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < _N_SHARDS for r in rows)

@@ -408,3 +408,63 @@ def test_zorder_tightens_both_column_ranges(spark):
         for i in range(n_chunks)
     ]
     assert avg_range(ok_chunks, "o_custkey") > 0.9 * full_ck
+
+
+@pytest.mark.parametrize("name", ["pii_redact"])
+def test_pii_redact_is_map_plus_presentation_sort(spark, name):
+    """PII scrub is a pure per-row regex map: the only shuffle allowed is
+    the presentation ORDER BY — an Exchange beyond that (or any Python
+    eval) means the regex work left codegen."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert shuffle_exchanges(p) <= 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "Join" not in p, p
+
+
+def test_url_domains_partial_aggregates_then_takeordered(spark):
+    """Domain frequency must partial-agg map-side and pick the top-10 via
+    TakeOrderedAndProject (per-partition heap), never a global sort of
+    the domain table."""
+    p = plan_of(QUERIES["url_domains_top"](spark, SF_SMALL))
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert shuffle_exchanges(p) <= 1, p
+
+
+def test_vocab_coverage_windows_after_limit(spark):
+    """The cumulative-coverage window must run AFTER the top-30 limit
+    (single-partition window over 30 rows, not the vocabulary): the plan
+    shows TakeOrderedAndProject feeding the Window, and the scalar total
+    rides a broadcast."""
+    p = plan_of(QUERIES["vocab_coverage"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row total, broadcast
+    assert "Window" in p, p
+    # the formatted tree is top-down: the Window consumes the limit,
+    # so it must appear ABOVE (before) the TakeOrderedAndProject node
+    assert p.index("Window") < p.index("TakeOrderedAndProject"), p
+
+
+def test_embedding_norm_stats_zero_shuffle_topk(spark):
+    """Norms are a codegen fold; top-15 via per-partition heaps — the
+    whole query must run shuffle-free."""
+    p = plan_of(QUERIES["embedding_norm_stats"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 0, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_join_null_safe_broadcasts(spark):
+    """Null-safe equality must still plan as a broadcast hash join (NULL
+    is just another hash bucket), not fall back to nested-loop."""
+    p = plan_of(QUERIES["join_null_safe"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_recursive_cte_plans_unionloop_broadcast(spark):
+    """WITH RECURSIVE lowers to UnionLoop; the 12-row spine must be the
+    broadcast side of the histogram join."""
+    p = plan_of(QUERIES["recursive_price_buckets"](spark, SF_SMALL))
+    assert "UnionLoop" in p, p
+    assert "BroadcastHashJoin" in p, p
