@@ -201,36 +201,50 @@ def _ngram_jaccard_pairs(
     """(d1, d2, jaccard): near-dup pairs over the capped inverted index.
 
     Symmetric by default (every pair once, d1 < d2). With
-    probe_min_doc_id set, the join is ASYMMETRIC: only docs with id ≥
+    probe_min_doc_id set, the pairing is ASYMMETRIC: only docs with id ≥
     the cutoff probe the index and each reports matches among strictly
     OLDER docs (d1 = the probing/new doc) — the incremental-ingest
-    shape, candidates ∝ Σ_g df_probe(g)·df_all(g)."""
-    # Persist: the inverted index feeds both self-join sides plus the
-    # per-doc sizes aggregate — three consumers of one shingle pass.
-    grams = _hashed_gram_rows(d).persist()
-    # Stop-gram filter: per-gram df is a map-side-partial agg whose
-    # output is tiny (≤ distinct grams), and the over-cap set is tinier
-    # still (≤ total gram occurrences / cap) — it broadcasts, so the
-    # anti-join prunes the persisted index without another shuffle.
-    hot = (
+    shape, candidates ∝ Σ_g df_probe(g)·df_all(g).
+
+    Formulation: the inverted index is materialized as per-gram POSTING
+    LISTS (one groupBy g), and candidate pairs are generated map-side by
+    exploding each list's combinations — no self-join at all. vs the
+    row-level self-join this removes two index-sized shuffles AND makes
+    the stop-gram df cap a free `size(docs) <= cap` filter (the old
+    shape burned a separate df aggregation + broadcast anti-join that
+    measured 1.8s of the 2.9s sf0.1 wall while pruning nothing). Posting
+    lists are bounded by the cap (≤ 10k longs ≈ 80 KB), so no group can
+    blow a task; candidate volume stays ∝ Σ df(g)², generated lazily by
+    Generate, never buffered."""
+    grams = _hashed_gram_rows(d)
+    # persisted: feeds pair generation AND the per-doc sizes aggregate
+    byg = (
         grams.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter(col("df") > df_cap)
-        .select("g")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+        .persist()
     )
-    idx = grams.join(F.broadcast(hot), "g", "left_anti")
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
     if probe_min_doc_id is None:
-        a = idx.alias("a")
-        order = col("a.doc_id") < col("b.doc_id")
+        pair_expr = (
+            "flatten(transform(docs, (x, i) ->"
+            " transform(slice(docs, i + 2, size(docs)),"
+            " y -> named_struct('d1', least(x, y), 'd2', greatest(x, y)))))"
+        )
     else:
-        a = idx.filter(col("doc_id") >= probe_min_doc_id).alias("a")
-        order = col("b.doc_id") < col("a.doc_id")
-    b = idx.alias("b")
+        pair_expr = (
+            f"flatten(transform(filter(docs, x -> x >= {int(probe_min_doc_id)}),"
+            " x -> transform(filter(docs, y -> y < x),"
+            " y -> named_struct('d1', x, 'd2', y))))"
+        )
     pairs = (
-        a.join(b, (col("a.g") == col("b.g")) & order)
-        .groupBy(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
+        byg.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(col("p.d1").alias("d1"), col("p.d2").alias("d2"))
         .agg(F.count("*").alias("common"))
+    )
+    sizes = (
+        byg.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
