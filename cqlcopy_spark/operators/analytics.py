@@ -1064,3 +1064,39 @@ def udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_distinct_users — mergeable HLL sketches (Apache DataSketches)
+# ---------------------------------------------------------------------------
+
+
+@register("sketch_distinct_users")  # rows-only: sketch estimates are engine-specific
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HyperLogLog sketches
+    (hll_sketch_agg, Apache DataSketches), plus an 'ALL' row whose
+    estimate comes from hll_union_agg over the per-type sketches — NOT
+    from a second scan.
+
+    This mergeability is the whole point at 100 TB: per-shard/per-day
+    sketches are a few KB each, persist as binary columns, and any
+    rollup (day→month, shard→global) is a union of sketches instead of
+    a re-scan of raw events. HLL register-max updates are
+    order-insensitive, so union-of-parts is EXACTLY the sketch of the
+    whole (pinned by tests/test_curation.py::test_hll_union_is_exact);
+    the estimate's error vs true distinct is the usual ~1.6%/√(2^lgK).
+    DuckDB's approx sketches differ → rows-only + error-bound test."""
+    e = table(spark, sf_dir, "events")
+    per = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()  # feeds both the per-type rows and the union row
+    )
+    per_type = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return per_type.unionByName(merged).orderBy("event_type")

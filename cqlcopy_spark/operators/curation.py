@@ -293,6 +293,66 @@ def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 8
 
 
+def _bpe_learn(
+    words: DataFrame, steps: int = _BPE_STEPS
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Greedy BPE merge learning over a (token, cnt) vocabulary: returns
+    the ordered merge list and the final per-word symbol table (PERSISTED
+    — the caller owns unpersisting it).
+
+    Every iteration runs on the persisted vocab only: explode adjacent
+    pairs (weighted by word count) → partial agg → argmax; only the
+    single winning pair crosses to the driver per step, and the merge
+    itself is a JVM-side `aggregate` fold over each word's symbol array —
+    no Python in the loop."""
+    syms = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+    ).persist()
+    syms.count()
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, steps + 1):
+        # size guard: Spark's sequence(1, 0) yields DESCENDING [1, 0],
+        # not empty — a 1-symbol word would index past its array
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> concat(element_at(syms, i), ' ',"
+                    " element_at(syms, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(col("freq").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, freq = best[0]["pair"], int(best[0]["freq"])
+        a, b = pair.split(" ")
+        merged = a + b
+        nxt = syms.withColumn(
+            "syms",
+            F.expr(
+                f"aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                f" array(element_at(syms, 1)),"
+                f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
+                f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
+                f" concat(acc, array(x))))"
+            ),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        syms.unpersist()
+        syms = nxt
+        merges.append((step, pair, freq))
+    return merges, syms
+
+
 @register("bpe_train_merges", oracle=None)  # iterative: rows-only + pytest
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the first 8 BPE merges over the corpus (greedy most-frequent
@@ -302,63 +362,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the reason BPE training is feasible at 100 TB: the
     corpus is scanned ONCE into a word-frequency table (one shuffle,
     vocab-sized ≪ corpus), and every merge iteration runs on that
-    persisted vocab: explode adjacent pairs (weighted by word count) →
-    4-byte-key partial agg → argmax. Only the single winning pair crosses
-    to the driver per step; the merge itself is a JVM-side `aggregate`
-    fold over each word's symbol array — no Python in the loop.
+    persisted vocab (see _bpe_learn).
 
     Not SQL-expressible (data-dependent iteration), so no oracle:
     rows-only driver check + tests/test_curation.py parity against a
     pure-Python reference implementation."""
-    words = _bpe_word_counts(spark, sf_dir)
-    syms = words.withColumn(
-        "syms",
-        F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
-    ).persist()
-    syms.count()
-    merges: list[tuple[int, str, int]] = []
-    try:
-        for step in range(1, _BPE_STEPS + 1):
-            # size guard: Spark's sequence(1, 0) yields DESCENDING [1, 0],
-            # not empty — a 1-symbol word would index past its array
-            pairs = syms.filter(F.size("syms") >= 2).select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> concat(element_at(syms, i), ' ',"
-                        " element_at(syms, i + 1)))"
-                    )
-                ).alias("pair"),
-            )
-            best = (
-                pairs.groupBy("pair")
-                .agg(F.sum("cnt").alias("freq"))
-                .orderBy(col("freq").desc(), "pair")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            pair, freq = best[0]["pair"], int(best[0]["freq"])
-            a, b = pair.split(" ")
-            merged = a + b
-            nxt = syms.withColumn(
-                "syms",
-                F.expr(
-                    f"aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
-                    f" array(element_at(syms, 1)),"
-                    f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
-                    f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
-                    f" concat(acc, array(x))))"
-                ),
-            ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            syms.unpersist()
-            syms = nxt
-            merges.append((step, pair, freq))
-    finally:
-        syms.unpersist()
+    merges, syms = _bpe_learn(_bpe_word_counts(spark, sf_dir))
+    syms.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
     ).orderBy("merge_rank")
+
+
+@register("bpe_segment_docs", oracle=None)  # iterative: rows-only + pytest
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer pass: learn the 8 corpus BPE merges, then
+    segment every document with them and report per-doc subword counts —
+    the token-budget accounting a training pipeline runs before packing.
+
+    Application is a vocabulary JOIN, not a per-token fold: _bpe_learn's
+    final symbol table already holds each word's segmentation, so docs
+    explode to words and look the segmentation up (broadcast — the vocab
+    is orders smaller than the corpus; at larger vocabs this degrades
+    gracefully to a shuffle join on the word). Compression = chars per
+    subword, exact integer ratio both engines would agree on — but the
+    op is iterative end-to-end, so it stays rows-only + pytest."""
+    words = _bpe_word_counts(spark, sf_dir)
+    _, syms = _bpe_learn(words)
+    vocab = syms.select("token", F.size("syms").alias("n_subwords_word"))
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(col("text")), " ")).alias("token"),
+    ).filter(col("token").rlike("^[a-z]+$"))
+    out = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subwords_word").alias("n_subwords"),
+            F.sum(F.length("token")).alias("n_chars_seg"),
+        )
+        .orderBy("doc_id")
+    )
+    # materialization note: `out` is lazy — the persisted symbol table
+    # must outlive this function; Spark evicts it with the session (the
+    # 8-step loop would otherwise re-run per action). Bounded: vocab-sized.
+    return out

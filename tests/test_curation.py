@@ -101,3 +101,63 @@ def test_shard_assign_covers_all_docs(spark):
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert all(0 <= r["shard"] < _N_SHARDS for r in rows)
+
+
+def test_bpe_segment_matches_reference(spark):
+    """Per-doc subword counts must equal applying the reference merges
+    (test_bpe_matches_reference's oracle) to each document's words."""
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in QUERIES["bpe_segment_docs"](spark, SF_SMALL).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    import re as _re
+
+    wc: Counter[str] = Counter()
+    doc_words = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.split(" ") if _re.fullmatch("[a-z]+", w)]
+        doc_words[doc_id] = ws
+        wc.update(ws)
+    merges = _reference_bpe(dict(wc), _BPE_STEPS)
+    seg = {w: list(w) for w in wc}
+    for _, pair, _freq in merges:
+        a, b = pair.split(" ")
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = out
+    want = {
+        doc_id: (len(ws), sum(len(seg[w]) for w in ws))
+        for doc_id, ws in doc_words.items()
+        if ws
+    }
+    assert got == want
+
+
+def test_hll_union_is_exact_and_estimate_bounded(spark):
+    """HLL register updates are order-insensitive maxes, so the union of
+    per-type sketches must estimate IDENTICALLY to one global sketch —
+    the mergeability contract that makes shard→global rollups re-scan
+    free. The estimate itself must sit within 5% of the true distinct."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.catalog import table
+
+    rows = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["sketch_distinct_users"](spark, SF_SMALL).collect()
+    }
+    e = table(spark, SF_SMALL, "events")
+    direct = e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))).collect()[0][0]
+    assert rows["ALL"] == direct  # union-of-parts == sketch-of-whole
+    exact = e.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact) / exact < 0.05
