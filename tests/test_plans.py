@@ -468,3 +468,23 @@ def test_recursive_cte_plans_unionloop_broadcast(spark):
     p = plan_of(QUERIES["recursive_price_buckets"](spark, SF_SMALL))
     assert "UnionLoop" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_profile_columns_single_scan_expand(spark):
+    """K columns profiled (incl. K exact count-distincts) must still be
+    ONE parquet scan: Spark's Expand rewrite fans each row out to tagged
+    copies instead of re-scanning per column — at 100 TB the scan is the
+    whole cost, so scan-count is the pin."""
+    p = plan_of(QUERIES["profile_columns"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p, p
+
+
+def test_dq_expectations_scan_economy(spark):
+    """Each table's rules (predicate + referential) share one scan:
+    lineitem, customer, documents read once; orders twice (ruled table
+    AND parent of lineitem's FK). 5 scans total — a naive rule-per-scan
+    plan would use 7+ and re-read the two fact tables per rule."""
+    p = plan_of(QUERIES["dq_expectations"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 5, p
+    assert "BatchEvalPython" not in p, p
