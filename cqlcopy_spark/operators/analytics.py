@@ -1100,3 +1100,56 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
     )
     return per_type.unionByName(merged).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — 2-D Pareto frontier (dominance skyline)
+# ---------------------------------------------------------------------------
+
+# The SKYLINE operator (Börzsönyi et al., ICDE 2001): keep every part
+# not dominated on (minimize price, maximize size). The oracle states
+# the dominance predicate directly as NOT EXISTS — quadratic but
+# unambiguous; the Spark plan is the O(n log n) sort-based algorithm.
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_partkey
+"""
+
+
+@register("skyline_pareto", oracle=_SKYLINE_ORACLE)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier via the sort-based skyline: a part survives iff
+    (a) it has the max size AT its price point and (b) its size
+    strictly exceeds the max size over all strictly-cheaper prices.
+    Equal (price, size) rows are mutually non-dominating — all kept.
+
+    Plan: one shuffle to the per-price max (map-side partial), a
+    running-max window over the DISTINCT-PRICE table, and a join back
+    to the parts. The window is global-ordered but runs on the
+    price-DOMAIN table, not the data: a 2-decimal bounded price domain
+    is ≤ ~1M rows no matter how many parts exist, so the single-
+    partition sort is domain-sized, never 100 TB-sized. The join back
+    broadcasts the frontier-threshold table for the same reason.
+    Everything is comparison-only — no float arithmetic, so double
+    prices compare identically in both engines."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    pmax = p.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
+    prev = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    thresh = pmax.withColumn("prev_max", F.max("pmax").over(prev))
+    keep = (
+        (col("p_size") == col("pmax"))
+        & (col("prev_max").isNull() | (col("p_size") > col("prev_max")))
+    )
+    return (
+        p.join(F.broadcast(thresh), "p_retailprice")
+        .filter(keep)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 from cqlcopy_spark.catalog import table
 from cqlcopy_spark.plans.registry import register
@@ -312,4 +313,104 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(col("z")) > _Z_CUT)
         .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — first-/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+# Marketing-attribution shape reused by data pipelines as provenance
+# assignment (which upstream source "caused" a kept document). Each
+# purchase is attributed to the first and the last touch (view/click)
+# preceding it in the user's (ts, event_id) order; purchases with no
+# prior touch attribute to 'direct'. Revenue is exact integer cents.
+
+_ATTR_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type IN ('view', 'click') THEN event_type END
+           AS touch
+  FROM events
+),
+marked AS (
+  SELECT event_type, cents,
+         FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch,
+         LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT COALESCE(first_touch, 'direct') AS first_touch,
+         COALESCE(last_touch, 'direct') AS last_touch, cents
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT model, channel,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT 'first' AS model, first_touch AS channel, cents FROM conv
+  UNION ALL
+  SELECT 'last' AS model, last_touch AS channel, cents FROM conv
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_attribution", oracle=_ATTR_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch attribution in ONE pass: a single
+    (user_id)-partitioned window carries both the earliest and latest
+    preceding touch to every event (ignore-nulls first/last over the
+    strictly-preceding frame), purchases read them off, and a tall
+    union-free stack() unpivots the two models before one aggregate.
+
+    Plan: one shuffle on user_id for the window, one on (model,
+    channel) for the tiny report aggregate — the events table is
+    scanned ONCE for both attribution models (the naive per-model
+    self-join would scan and shuffle it twice and is quadratic under
+    skewed users). Revenue stays in integer cents end to end; the
+    preceding frame (not current row) keeps a purchase from attributing
+    to itself; ties in ts are broken by event_id, making first/last
+    picks deterministic in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        F.round(col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            col("event_type").isin("view", "click"), col("event_type")
+        ).alias("touch"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    conv = (
+        e.select(
+            "event_type",
+            "cents",
+            F.coalesce(
+                F.first("touch", ignorenulls=True).over(w), F.lit("direct")
+            ).alias("first_touch"),
+            F.coalesce(
+                F.last("touch", ignorenulls=True).over(w), F.lit("direct")
+            ).alias("last_touch"),
+        )
+        .filter(col("event_type") == "purchase")
+    )
+    tall = conv.selectExpr(
+        "stack(2, 'first', first_touch, 'last', last_touch) AS (model, channel)",
+        "cents",
+    )
+    return (
+        tall.groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("model", "channel")
     )

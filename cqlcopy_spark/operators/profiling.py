@@ -1,13 +1,14 @@
 """Dataset profiling and data-quality enforcement — the pre-flight
 surface a 100 TB ingest runs before any training job touches the data:
 per-column statistical profiles, declarative expectation suites
-(Great-Expectations / dbt-test class), and key-skew diagnosis for the
-partitioning decisions everything downstream depends on.
+(Great-Expectations / dbt-test class), key-skew diagnosis for the
+partitioning decisions everything downstream depends on, and one-pass
+correlation screening between candidate quality signals.
 
 The reference has no profiling surface at all (SURVEY.md §0 — it is a
 CSV↔Cassandra loader whose only "quality" signal is the parse/insert
-error budget, write.go:140-147); this extends §2C's curation ops. All
-three operators are single-pass conditional aggregation — no Python, no
+error budget, write.go:140-147); this extends §2C's curation ops. Every
+operator here is single-pass conditional aggregation — no Python, no
 iteration, map-side partials ahead of every shuffle.
 """
 
@@ -272,3 +273,101 @@ def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cnt").desc(), "user_id")
         .limit(_SKEW_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix — one-pass Pearson correlation matrix via exact moments
+# ---------------------------------------------------------------------------
+
+# Feature-correlation screening (which curation signals are redundant)
+# over lineitem's three measures. Float portability is the whole
+# design: every (co)moment is accumulated as EXACT integers — values
+# become cents (2-decimal fixture data), per-row products stay < 2^63,
+# and the sums ride DECIMAL(38,0) on the Spark side / HUGEINT on the
+# DuckDB side, so shuffle order cannot perturb a single bit. Only
+# AFTER aggregation does each moment become a double, and the closed
+# form below is the identical IEEE expression tree in both engines
+# (sqrt is correctly rounded everywhere; no other transcendentals).
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _sql_corr_cte() -> str:
+    cents = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS {c}" for c in _CORR_COLS
+    )
+    moments = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        moments.append(f"CAST(SUM({c} * {c}) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        moments.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS sp_{a}_{b}")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       (n * sp_{a}_{b} - s_{a} * s_{b})
+         / (sqrt(n * ss_{a} - s_{a} * s_{a})
+            * sqrt(n * ss_{b} - s_{b} * s_{b})) AS corr
+FROM m"""
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH c AS (SELECT {cents} FROM lineitem),
+m AS (SELECT {moments[0]},
+             {', '.join(moments[1:])} FROM c)
+SELECT col_a, col_b, corr FROM (
+{rows}
+)
+ORDER BY col_a, col_b
+"""
+
+
+_CORR_ORACLE = _sql_corr_cte()
+
+
+@register("corr_matrix", oracle=_CORR_ORACLE)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every measure pair in ONE scan: the
+    aggregate computes all K first moments, K second moments, and
+    K(K-1)/2 cross moments map-side-partial in a single pass (K
+    columns → K(K+3)/2 sums, one job — the naive df.stat.corr per pair
+    is K(K-1)/2 separate jobs re-scanning the table). corr =
+    (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)), evaluated on
+    doubles derived from exact integer moments — scale factors from the
+    cents encoding cancel in exact arithmetic and both engines run the
+    identical float expression, so the hash matches bitwise."""
+    cents = [
+        F.round(col(c) * 100).cast("long").alias(c) for c in _CORR_COLS
+    ]
+    c_df = table(spark, sf_dir, "lineitem").select(*cents)
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(col(c).cast(dec)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((col(c) * col(c)).cast(dec)).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((col(a) * col(b)).cast(dec)).cast("double").alias(f"sp_{a}_{b}")
+        )
+    m = c_df.agg(*aggs)
+    parts = []
+    for a, b in _CORR_PAIRS:
+        n = col("n").cast("double")
+        corr = (n * col(f"sp_{a}_{b}") - col(f"s_{a}") * col(f"s_{b}")) / (
+            F.sqrt(n * col(f"ss_{a}") - col(f"s_{a}") * col(f"s_{a}"))
+            * F.sqrt(n * col(f"ss_{b}") - col(f"s_{b}") * col(f"s_{b}"))
+        )
+        parts.append(
+            m.select(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_a", "col_b")

@@ -228,3 +228,166 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# intervals_merge — interval-union islands (overlap merge)
+# ---------------------------------------------------------------------------
+
+# batch_sessionize merges POINTS closer than a fixed gap; this merges
+# true INTERVALS, which can nest and overlap arbitrarily — the running
+# max of interval ENDS (not the previous row's end) is what makes a
+# containing interval absorb everything it covers. Each event carries
+# an interval [ts, ts + value minutes].
+
+_INTERVALS_ORACLE = """
+WITH i AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
+                                   ORDER BY s_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) >= s_us
+              THEN 0 ELSE 1 END AS new_i
+  FROM i
+),
+isl AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_i) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                          ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       MIN(s_us) AS start_us, MAX(e_us) AS end_us, COUNT(*) AS n_intervals
+FROM isl
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("intervals_merge", oracle=_INTERVALS_ORACLE)
+def intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals per user (gaps-and-islands over
+    real intervals): an interval starts a new island iff its start lies
+    beyond the MAX end of every earlier-starting interval — the running
+    max (not lag(end)) is the classic correctness trap when a long
+    interval fully contains later ones. Touching intervals (start ==
+    running max end) merge: closed-interval semantics.
+
+    Plan: one shuffle on user_id; both windows and the final aggregate
+    reuse that partitioning, so the sort is paid once. All arithmetic
+    is integer micros (the minute-duration round happens BEFORE any
+    accumulation), so there is no float-fold divergence anywhere.
+    Ordering note: the island flag orders by (s_us, event_id) — unique
+    per user — and the cumulative island counter by (s_us, e_us);
+    duplicate (s_us, e_us) pairs can swap under the second ordering,
+    but a row's island id is insensitive to order WITHIN the island,
+    so the grouped result is still deterministic."""
+    i = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(col("ts").cast("timestamp"))
+            + F.round(col("value") * 60_000_000).cast("long")
+        ).alias("e_us"),
+    )
+    prev = Window.partitionBy("user_id").orderBy("s_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    new_i = F.when(F.max("e_us").over(prev) >= col("s_us"), 0).otherwise(1)
+    run = Window.partitionBy("user_id").orderBy("s_us", "e_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = i.withColumn("new_i", new_i).withColumn(
+        "island_id", F.sum("new_i").over(run)
+    )
+    return (
+        isl.groupBy("user_id", "island_id")
+        .agg(
+            F.min("s_us").alias("start_us"),
+            F.max("e_us").alias("end_us"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id", "island_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg — duration-weighted mean of a sampled signal
+# ---------------------------------------------------------------------------
+
+# The TimescaleDB `time_weight` shape: each observation holds its value
+# until the next one (LOCF), so its weight is the gap to the successor.
+# Float portability: values are 2-decimal fixture data → exact integer
+# CENTS; every accumulation is integer; the ONLY float ops are the two
+# final divisions, identical single IEEE ops in both engines (the
+# dsum/binary-fold machinery is unnecessary when the sum itself is
+# integer).
+
+_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT user_id, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dur_us
+  FROM e
+)
+SELECT user_id,
+       COUNT(dur_us) AS n_spans,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(SUM(cents * dur_us) AS DOUBLE)
+         / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twa
+FROM d
+WHERE dur_us IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("time_weighted_avg", oracle=_TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward time-weighted average per user:
+    weight each value by the micros until the next observation (the
+    final observation has no successor and drops out, per LOCF).
+
+    Plan: one shuffle on user_id shared by the lead() window and the
+    aggregate. Weighted sums accumulate in BIGINT cents·µs (bounded by
+    ~1e14 per year-long user at fixture magnitudes; a production
+    deployment with hotter users widens to DECIMAL(38,0) — same plan);
+    the time-weighted mean is two divisions applied identically in
+    both engines, so the result is bit-exact without any decimal
+    routing."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+            F.round(col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("dur_us", F.lead("us").over(w) - col("us"))
+        .filter(col("dur_us").isNotNull())
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("dur_us").alias("n_spans"),
+            F.sum("dur_us").alias("total_dur_us"),
+            (
+                F.sum(col("cents") * col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
