@@ -64,16 +64,41 @@ def _checked_status() -> dict[str, bool]:
     return status
 
 
+# Mandated-op queries (SURVEY.md §2B streaming, §2C 34-35, §2C 33
+# variants) that have waited longest for their first driver check: when
+# more than 50 entries are unchecked, these must not be displaced past
+# the 50-entry window by newer additions.
+_PRIORITY_UNCHECKED = (
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_dedup",
+    "stream_sliding_agg",
+    "stream_static_join",
+    "stream_ohlc",
+    "stream_user_stats",
+    "stream_type_counts",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_features",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     never-driver-checked and previously-failed queries come first."""
     qs = all_queries()
     status = _checked_status()
-    # previously-failed first (their fix needs re-verification this round),
-    # then never-checked, then green
-    rank = {name: (1 if name not in status else (0 if not status[name] else 2))
-            for name in qs}
-    return {name: qs[name] for name in sorted(qs, key=lambda n: rank[n])}
+
+    # previously-failed first (their fix needs re-verification this
+    # round), then never-checked (longest-waiting mandated ops ahead of
+    # newer additions), then green
+    def rank(name: str) -> float:
+        if name in status:
+            return 0 if not status[name] else 3
+        return 1 if name in _PRIORITY_UNCHECKED else 2
+
+    return {name: qs[name] for name in sorted(qs, key=rank)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -5,8 +5,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is forced with .count() — full execution, no driver-side
-collect of payload data. Spark conf mirrors what a production job would
+Each query is forced with a noop-datasource write — FULL execution of
+the physical plan with no driver-side collect of payload data.
+(.count() is wrong for this: Catalyst prunes everything under a global
+aggregate — count of a 1-row agg is known without running it — and a
+Generate cap over a big SortAggregate defeats the codegen cache, so
+count() re-times compilation instead of execution.) Spark conf mirrors what a production job would
 set: AQE on (runtime coalescing + skew-join), shuffle partitions sized
 to the core count at this SF.
 """
@@ -63,6 +67,10 @@ def main() -> None:
 
     queries = all_queries()
 
+    def _force(df) -> None:
+        # executes the COMPLETE plan on the executors, discards rows
+        df.write.mode("overwrite").format("noop").save()
+
     # Per-query codegen/JIT warm-up at the smallest SF: the generated
     # code is a function of the plan shape, not the data size, so one
     # cheap sf0.001 execution compiles and JITs everything the sf run
@@ -74,7 +82,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
         for name in sorted(queries):
             try:
-                queries[name](spark, warm_dir).count()
+                _force(queries[name](spark, warm_dir))
             except Exception:
                 pass  # the timed run will surface any real failure
 
@@ -83,7 +91,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):  # min of 2: steady-state, robust to host noise
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).count()
+            _force(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         # several operators persist() intermediates their callers consume

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.window import Window
 
 from cqlcopy_spark.catalog import table
 from cqlcopy_spark.plans.registry import register
@@ -314,3 +315,71 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_custkey", zval.alias("zval"))
         .orderBy("zval", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_compact_plan — small-partition bin-packing (OPTIMIZE planner)
+# ---------------------------------------------------------------------------
+
+# The planning half of a compaction pass (Delta OPTIMIZE / Iceberg
+# rewrite_data_files): group undersized partitions into target-sized
+# output bins so a rewrite job can coalesce each bin with one task.
+# Here the partition unit is the (source, lang) slice of documents and
+# the size measure is row count; on a real lake the same plan runs over
+# the file listing with byte sizes — identical window arithmetic.
+
+_COMPACT_TARGET_ROWS = 4_096
+
+_COMPACT_ORACLE = f"""
+WITH s AS (
+  SELECT source, lang, COUNT(*) AS n_rows
+  FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT source, lang, n_rows,
+         SUM(n_rows) OVER (ORDER BY source, lang
+                           ROWS UNBOUNDED PRECEDING) AS cum_rows
+  FROM s
+)
+SELECT source, lang, n_rows,
+       CAST((cum_rows - n_rows) / {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(cum_rows - n_rows AS BIGINT) AS bin_start_row
+FROM c
+ORDER BY source, lang
+"""
+
+
+@register("layout_compact_plan", oracle=_COMPACT_ORACLE)
+def layout_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential first-fit bin packing of partition slices into
+    ~4k-row compaction bins: cumulative row count over the slices in
+    (source, lang) order, bin = the starting offset's target-size
+    quotient. A slice larger than the target gets its own bin(s) —
+    the quotient formula handles it without a special case.
+
+    Plan: one shuffle to the slice-count aggregate (map-side partial),
+    then a running-sum window over the SLICE table — partition-count
+    sized, orders of magnitude smaller than the data, which is why
+    compaction planning is cheap even when the rewrite it drives is
+    not. The executing rewrite is `repartitionByRange(bin)` + write
+    with maxRecordsPerFile, reusing layout_zorder's write path. All
+    integer arithmetic; the floor division is exact in both engines
+    (DuckDB integer `/` on BIGINT truncates via the CAST, matching
+    Spark's long division on nonnegative operands)."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("source", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.withColumn("cum_rows", F.sum("n_rows").over(w))
+    start = col("cum_rows") - col("n_rows")
+    return c.select(
+        "source",
+        "lang",
+        "n_rows",
+        F.floor(start / F.lit(_COMPACT_TARGET_ROWS)).cast("long").alias("bin"),
+        start.cast("long").alias("bin_start_row"),
+    ).orderBy("source", "lang")

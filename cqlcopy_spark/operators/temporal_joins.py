@@ -146,3 +146,124 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (col("b.us") - col("a.us")).alias("dt_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time match (both directions, tie → prior)
+# ---------------------------------------------------------------------------
+
+# Backward-only as-of (join_asof) answers "state at event time";
+# NEAREST answers sensor/label alignment, where the closest reading on
+# either side is the right match (pandas merge_asof direction=
+# 'nearest'). DuckDB's ASOF JOIN is backward-only per ordering, so the
+# oracle runs a second ASOF on the NEGATED time axis (backward on -t ≡
+# forward on t) and picks the closer side; equal distance prefers the
+# prior match — the deterministic tie both engines apply identically
+# in integer micros.
+
+_ASOF_NEAREST_ORACLE = """
+WITH v0 AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+           AS rn
+  FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, us, value FROM v0 WHERE rn = 1),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT p.event_id, v.us AS b_us, v.value AS b_val
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+),
+f AS (
+  SELECT p.event_id, -v.neg_us AS f_us, v.value AS f_val
+  FROM (SELECT event_id, user_id, -us AS neg_us FROM p) p
+  ASOF LEFT JOIN (SELECT user_id, -us AS neg_us, value FROM v) v
+    ON p.user_id = v.user_id AND p.neg_us >= v.neg_us
+)
+SELECT p.event_id, p.user_id, p.us,
+       CASE WHEN b_us IS NOT NULL
+                  AND (f_us IS NULL OR p.us - b_us <= f_us - p.us)
+            THEN b_us ELSE f_us END AS near_us,
+       CASE WHEN b_us IS NOT NULL
+                  AND (f_us IS NULL OR p.us - b_us <= f_us - p.us)
+            THEN b_val ELSE f_val END AS near_value,
+       CASE WHEN b_us IS NOT NULL
+                  AND (f_us IS NULL OR p.us - b_us <= f_us - p.us)
+            THEN 'b' WHEN f_us IS NOT NULL THEN 'f' END AS direction
+FROM p
+LEFT JOIN b ON p.event_id = b.event_id
+LEFT JOIN f ON p.event_id = f.event_id
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: each purchase matches the temporally
+    closest view in EITHER direction; equal distance prefers the prior
+    view. Same union-tag shape as join_asof — ONE shuffle on user_id,
+    then two carries over the SAME per-key sort: last prior view
+    (unbounded-preceding frame, views ordered before purchases at equal
+    time so a simultaneous view counts as prior) and first later view
+    (unbounded-following frame). The distance compare is integer
+    micros. A same-instant view appears only in the backward carry, but
+    distance 0 wins every tie toward 'b', so both engines pick it —
+    the forward frame's exclusion is unobservable.
+
+    Cost: |views|+|purchases| rows through one sort-merge — never a
+    per-probe subquery; at 100 TB this is the same plan as join_asof
+    with one extra window function over the already-sorted runs."""
+    e = table(spark, sf_dir, "events")
+    vraw = e.filter(col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        "value",
+        "event_id",
+    )
+    dd = Window.partitionBy("user_id", "us").orderBy(col("event_id").desc())
+    v = (
+        vraw.withColumn("rn", F.row_number().over(dd))
+        .filter(col("rn") == 1)
+        .select("user_id", "us", "value", F.lit(0).alias("tag"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    p = e.filter(col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("tag"),
+        "event_id",
+    )
+    u = v.unionByName(p)
+    view_at = F.when(col("tag") == 0, F.struct(col("us"), col("value")))
+    ordered = Window.partitionBy("user_id").orderBy("us", "tag")
+    back = F.last(view_at, ignorenulls=True).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first(view_at, ignorenulls=True).over(
+        ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = (
+        u.withColumn("b", back)
+        .withColumn("f", fwd)
+        .filter(col("tag") == 1)
+    )
+    b_us, f_us = col("b.us"), col("f.us")
+    prefer_b = b_us.isNotNull() & (
+        f_us.isNull() | ((col("us") - b_us) <= (f_us - col("us")))
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(prefer_b, b_us).otherwise(f_us).alias("near_us"),
+        F.when(prefer_b, col("b.value")).otherwise(col("f.value")).alias(
+            "near_value"
+        ),
+        F.when(prefer_b, F.lit("b"))
+        .when(f_us.isNotNull(), F.lit("f"))
+        .alias("direction"),
+    ).orderBy("event_id")

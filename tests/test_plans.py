@@ -470,14 +470,21 @@ def test_recursive_cte_plans_unionloop_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
 
 
-def test_profile_columns_single_scan_expand(spark):
-    """K columns profiled (incl. K exact count-distincts) must still be
-    ONE parquet scan: Spark's Expand rewrite fans each row out to tagged
-    copies instead of re-scanning per column — at 100 TB the scan is the
-    whole cost, so scan-count is the pin."""
+def test_profile_columns_two_hash_branches(spark):
+    """K columns profiled (incl. K exact distincts) in exactly TWO
+    column-pruned scans — plain-metrics branch + two-phase distinct
+    branch — and every aggregate is a parallel HashAggregate. The
+    single-agg countDistinct form is banned: its RewriteDistinct plan
+    is a SortAggregate whose giant filtered-first buffer recompiles on
+    every execution and sorts K×N expanded rows inside however few
+    partitions the scan produced (~40× slower at sf0.1)."""
     p = plan_of(QUERIES["profile_columns"](spark, SF_SMALL))
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
-    assert "Expand" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    # no Expand = the RewriteDistinctAggregates plan never came back;
+    # the empty-key SortAggregate of the plain branch is fine (there is
+    # nothing to sort under an empty grouping key)
+    assert "Expand" not in p, p
+    assert p.count("HashAggregate") >= 4, p
 
 
 def test_dq_expectations_scan_economy(spark):
