@@ -312,3 +312,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(col("text"), "UTF-8").alias("payload"))
     return decode_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup — exact duplicate detection on opaque binary payloads
+# ---------------------------------------------------------------------------
+
+# Image/audio corpora carry byte-identical duplicates (re-uploads,
+# mirrored crawls); the text-side dedup_exact has a binary analogue:
+# group by content digest of the PAYLOAD BYTES. The fixture has no
+# byte-identical documents, so the grouping key is a deliberately
+# lossy 16-bit digest prefix — the PLAN (digest → one shuffle of
+# digests → bounded groups) is identical to the full-digest production
+# form, but the fixture actually exercises multi-member groups.
+
+_BIN_DEDUP_ORACLE = """
+WITH p AS (
+  SELECT doc_id, substr(md5(text), 1, 4) AS bucket,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT bucket,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS keeper_doc_id
+FROM p
+GROUP BY bucket
+HAVING COUNT(*) > 1
+ORDER BY bucket
+"""
+
+
+@register("multimodal_dedup", oracle=_BIN_DEDUP_ORACLE)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payload groups by content digest: each group keeps its
+    smallest doc_id (deterministic keeper) and reports reclaimable
+    bytes. One shuffle of (digest, doc_id, n_bytes) triples — payload
+    BYTES never move, which is the entire point at 100 TB of media:
+    the digest is computed in the scan stage (JVM md5, no Python) and
+    only 40-byte rows reach the exchange. Near-dup (perceptual-hash)
+    variants slot into the same plan with a different digest
+    expression; the text-side analogues are dedup_exact (full hash)
+    and dedup_simhash (banded near-dup)."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(col("text"), "UTF-8")
+    p = d.select(
+        "doc_id",
+        F.substring(F.md5(payload), 1, 4).alias("bucket"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    return (
+        p.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(col("n_payloads") > 1)
+        .orderBy("bucket")
+    )

@@ -71,6 +71,7 @@ def _load_all() -> None:
     import cqlcopy_spark.operators.behavior  # noqa: F401
     import cqlcopy_spark.operators.curation  # noqa: F401
     import cqlcopy_spark.operators.profiling  # noqa: F401
+    import cqlcopy_spark.operators.graph  # noqa: F401
     import cqlcopy_spark.operators.multimodal  # noqa: F401
     import cqlcopy_spark.streaming.windows  # noqa: F401
     import cqlcopy_spark.streaming.stateful  # noqa: F401
