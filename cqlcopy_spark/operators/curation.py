@@ -292,6 +292,26 @@ def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_STEPS = 8
 
+#: Words retained for merge training, by descending count (ties by
+#: token). The fixture vocabularies sit far below this, so training is
+#: exact there; at corpus scale the cap is the standard BPE-trainer
+#: move (pair statistics from the frequency head) and the same
+#: bounded-driver-sample trade similarity_ann_ivf makes for k-means.
+_BPE_TRAIN_VOCAB_CAP = 65_536
+
+
+def _merge_fold_expr(a: str, b: str) -> str:
+    """JVM `aggregate` fold applying merge (a, b) leftmost-first,
+    non-overlapping, over a word's symbol array."""
+    merged = a + b
+    return (
+        f"aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+        f" array(element_at(syms, 1)),"
+        f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
+        f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
+        f" concat(acc, array(x))))"
+    )
+
 
 def _bpe_learn(
     words: DataFrame, steps: int = _BPE_STEPS
@@ -300,56 +320,57 @@ def _bpe_learn(
     the ordered merge list and the final per-word symbol table (PERSISTED
     — the caller owns unpersisting it).
 
-    Every iteration runs on the persisted vocab only: explode adjacent
-    pairs (weighted by word count) → partial agg → argmax; only the
-    single winning pair crosses to the driver per step, and the merge
-    itself is a JVM-side `aggregate` fold over each word's symbol array —
-    no Python in the loop."""
+    Split the work by where it is cheap: pair statistics live on a
+    CAPPED vocabulary head (top-65k words by count — ~1 MB) collected
+    once to the driver, where the greedy argmax loop is pure-Python
+    microseconds per step; the learned merges are then applied to the
+    FULL vocabulary as one lazily-chained stack of JVM `aggregate`
+    folds — a single distributed job, no per-step materialization.
+    The earlier formulation ran 3 Spark jobs per merge step (pair
+    explode → argmax collect → rewrite), which is latency-bound at 8
+    steps (~24 driver round-trips) while touching exactly the same
+    vocab-sized data; the collect-the-head form is how production BPE
+    trainers structure it, and the corpus-sized work (the word count
+    feeding `words`) stays distributed either way."""
+    head = [
+        (r["token"], int(r["cnt"]))
+        for r in words.orderBy(col("cnt").desc(), "token")
+        .limit(_BPE_TRAIN_VOCAB_CAP)
+        .collect()
+    ]
+    vocab = {w: list(w) for w, _ in head}
+    counts = dict(head)
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, steps + 1):
+        pair_freq: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_freq[p] = pair_freq.get(p, 0) + c
+        if not pair_freq:
+            break
+        (a, b), freq = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, f"{a} {b}", freq))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
     syms = words.withColumn(
         "syms",
         F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
-    ).persist()
-    syms.count()
-    merges: list[tuple[int, str, int]] = []
-    for step in range(1, steps + 1):
-        # size guard: Spark's sequence(1, 0) yields DESCENDING [1, 0],
-        # not empty — a 1-symbol word would index past its array
-        pairs = syms.filter(F.size("syms") >= 2).select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms) - 1),"
-                    " i -> concat(element_at(syms, i), ' ',"
-                    " element_at(syms, i + 1)))"
-                )
-            ).alias("pair"),
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(col("freq").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pair, freq = best[0]["pair"], int(best[0]["freq"])
+    )
+    for _, pair, _ in merges:
         a, b = pair.split(" ")
-        merged = a + b
-        nxt = syms.withColumn(
-            "syms",
-            F.expr(
-                f"aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
-                f" array(element_at(syms, 1)),"
-                f" (acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}',"
-                f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
-                f" concat(acc, array(x))))"
-            ),
-        ).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        syms.unpersist()
-        syms = nxt
-        merges.append((step, pair, freq))
+        syms = syms.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
+    syms = syms.persist()
+    syms.count()
     return merges, syms
 
 
