@@ -1153,3 +1153,75 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# try_funcs — error-tolerant scalar surface (dirty-data evaluation)
+# ---------------------------------------------------------------------------
+
+# The loader's per-cell philosophy (cast failures become NULL, never
+# task failures — write.go:207-223's precedence) generalized to the
+# expression layer: try_cast / try_divide / try_to_timestamp return
+# NULL where their strict twins would raise or poison a batch. The
+# probe values are synthesized from order columns so every branch
+# (success, failure, NULL propagation) is exercised on real rows.
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+  TRY_CAST(raw_int AS BIGINT) AS as_int,
+  TRY_CAST(raw_num AS DOUBLE) AS as_double,
+  TRY_CAST(raw_date AS TIMESTAMP) AS as_ts,
+  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       ELSE o_totalprice / (o_orderkey % 7) END AS safe_div,
+  TRY_CAST(CASE WHEN o_orderstatus = 'O' THEN 'not a number'
+                ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS mixed
+FROM (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+              ELSE CAST(o_orderkey AS VARCHAR) END AS raw_int,
+         CASE WHEN o_orderkey % 4 = 0 THEN '1.5e3'
+              WHEN o_orderkey % 4 = 1 THEN 'NaNish'
+              ELSE CAST(o_totalprice AS VARCHAR) END AS raw_num,
+         CASE WHEN o_orderkey % 5 = 0 THEN '2024-02-30 00:00:00'
+              ELSE '2024-01-15 12:30:00' END AS raw_date
+  FROM orders
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("try_funcs", oracle=_TRY_ORACLE)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-error evaluation: malformed ints, unparseable numbers,
+    impossible dates (Feb 30), and division guarded against zero — the
+    per-row failure containment a loader needs so one bad cell costs
+    one NULL, not a 100 TB job retry. Pure codegen map, zero shuffles;
+    try_divide's zero case is expressed as the same CASE both engines
+    evaluate identically (DuckDB's `/` raises on zero only for
+    integers, so the guard IS the portable form)."""
+    o = table(spark, sf_dir, "orders")
+    raw_int = F.when(
+        col("o_orderkey") % 3 == 0,
+        F.concat(F.lit("x"), col("o_orderkey").cast("string")),
+    ).otherwise(col("o_orderkey").cast("string"))
+    raw_num = (
+        F.when(col("o_orderkey") % 4 == 0, F.lit("1.5e3"))
+        .when(col("o_orderkey") % 4 == 1, F.lit("NaNish"))
+        .otherwise(col("o_totalprice").cast("string"))
+    )
+    raw_date = F.when(
+        col("o_orderkey") % 5 == 0, F.lit("2024-02-30 00:00:00")
+    ).otherwise(F.lit("2024-01-15 12:30:00"))
+    mixed_src = F.when(col("o_orderstatus") == "O", F.lit("not a number")).otherwise(
+        col("o_orderkey").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        raw_int.try_cast("bigint").alias("as_int"),
+        raw_num.try_cast("double").alias("as_double"),
+        raw_date.try_cast("timestamp").alias("as_ts"),
+        F.when(col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(col("o_totalprice") / (col("o_orderkey") % 7))
+        .alias("safe_div"),
+        mixed_src.try_cast("bigint").alias("mixed"),
+    )

@@ -78,26 +78,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", (col("weight") / col("out_w")).alias("t")
     ).persist()
     base = 1.0 - _DAMPING
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr")).persist()
-    for _ in range(_ITERATIONS):
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    materialized = None
+    for it in range(1, _ITERATIONS + 1):
         contrib = (
             trans.join(pr, col("src") == col("node"))
             .select("dst", (col("pr") * col("t")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_c"))
         )
-        new_pr = (
-            nodes.join(contrib, col("node") == col("dst"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(base / n)
-                    + F.lit(_DAMPING) * F.coalesce(col("in_c"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .persist()
+        pr = nodes.join(contrib, col("node") == col("dst"), "left").select(
+            "node",
+            (
+                F.lit(base / n)
+                + F.lit(_DAMPING) * F.coalesce(col("in_c"), F.lit(0.0))
+            ).alias("pr"),
         )
-        new_pr.count()  # materialize before dropping the predecessor
-        pr.unpersist()
-        pr = new_pr
+        # Checkpoint-interval discipline: cutting lineage EVERY round
+        # costs a full job per iteration (driver-latency-bound — it
+        # tripled this op's wall time locally); letting it grow forever
+        # makes task (re)computation quadratic in rounds. Materialize
+        # every 4th round — lineage depth stays bounded, job count is
+        # iterations/4.
+        if it % 4 == 0 and it < _ITERATIONS:
+            nxt = pr.persist()
+            nxt.count()  # materialize before dropping the predecessor
+            if materialized is not None:
+                materialized.unpersist()
+            materialized = nxt
+            pr = nxt
     return pr.orderBy(col("pr").desc(), "node")

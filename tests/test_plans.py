@@ -495,3 +495,12 @@ def test_dq_expectations_scan_economy(spark):
     p = plan_of(QUERIES["dq_expectations"](spark, SF_SMALL))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 5, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_try_funcs_is_pure_codegen_map(spark):
+    """NULL-on-error evaluation must stay a scan-shaped codegen map —
+    no shuffle, no Python fallback (the loader's per-cell containment
+    philosophy only works if failure handling costs nothing)."""
+    p = plan_of(QUERIES["try_funcs"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 0, p
+    assert "BatchEvalPython" not in p, p
