@@ -695,3 +695,144 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("l2_norm").desc(), "vec_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_project — deterministic signed random projection (JL / SRP)
+# ---------------------------------------------------------------------------
+
+# Dimensionality reduction ahead of LSH/IVF: project d-dim embeddings
+# onto _PROJ_DIMS ±1 hyperplanes. The "random" signs are a pure hash of
+# (i, j) — seedless, identical in SQL — so unlike library RNG matrices
+# the projection is bit-reproducible across engines, reruns, and
+# languages. Each output component is a SEQUENTIAL fold over the input
+# dims (the _dot discipline), so doubles hash-match exactly.
+
+_PROJ_DIMS = 8
+
+_PROJECT_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT vec_id,
+         list_transform(range(1, {_PROJ_DIMS} + 1), j ->
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(emb) + 1),
+                 i -> emb[i] * (((i * 131 + j * 137) % 2) * 2 - 1))),
+             (a, b) -> a + b)) AS proj
+  FROM e
+)
+SELECT vec_id,
+       {', '.join(f'proj[{j}] AS p{j}' for j in range(1, _PROJ_DIMS + 1))}
+FROM p
+ORDER BY vec_id
+"""
+
+
+@register("embedding_project", oracle=_PROJECT_ORACLE)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64→8 dims, hash-derived ±1 signs.
+    Pure codegen map — no shuffle, no Python: at 100 TB this runs at
+    scan speed and cuts every downstream distance computation 8×. Sign
+    s(i,j) = ((131·i + 137·j) mod 2)·2 − 1 — both parities occur in
+    every row/column, and the inner sum folds left-to-right exactly
+    like DuckDB's list_reduce, making the projected doubles (emitted as
+    one column per output dim — the driver canonicalizer cannot hash
+    arrays) bitwise identical."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    def comp(j):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(col("emb"))),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(col("emb"), i)
+            * ((i * 131 + F.lit(j * 137)) % 2 * 2 - 1).cast("double"),
+        ).alias(f"p{j}")
+
+    return e.select(
+        "vec_id", *[comp(j) for j in range(1, _PROJ_DIMS + 1)]
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_blocked — IVF-cell-blocked near-dup (the sub-quadratic path)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_embedding_blocked")  # rows-only: cell blocking ⇒ recall < 1
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path dedup_embedding_cosine's docstring points at:
+    near-dup pairs WITHIN k-means cells only. Candidates fall from
+    N²/2 to Σ|cell|²/2 (≈ N²/2k for balanced cells) at the price of
+    missing pairs that straddle a cell boundary — the classic
+    recall-for-candidates trade, measured by
+    tests/test_ann_recall.py against the exact block-pair answer.
+
+    Plan: driver-trained centroids on a capped strided sample (the
+    similarity_ann_ivf recipe), one Arrow matmul assignment pass, ONE
+    shuffle on the integer cell id, and an equi-join within cells whose
+    residual predicate (vec_id ordering + exact JVM-fold cosine) never
+    degenerates into a cartesian. Pair emission is output-bounded per
+    cell; skewed cells split under AQE like any hot join key."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n_corpus = e.count()
+    stride = max(1, n_corpus // _IVF_TRAIN_CAP)
+    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    centroids = _train_centroids(sample, _IVF_CELLS)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            # multi-assignment: each vector lands in its 2 nearest cells
+            # (the write-side mirror of query-side nprobe) — boundary
+            # pairs share a cell far more often, roughly doubling recall
+            # for ~4× the candidate volume
+            d2 = cc[None, :] - 2.0 * (X @ C.T)
+            top2 = np.argpartition(d2, 1, axis=1)[:, :2]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), 2),
+                    "emb": pdf["emb"].iloc[np.repeat(np.arange(n), 2)],
+                    "cell": top2.reshape(-1).astype("int32"),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign, schema="vec_id long, emb array<double>, cell int"
+    )
+    nrm = F.sqrt(_dot(col("emb"), col("emb")))
+    a = assigned.select(
+        "cell",
+        col("vec_id").alias("v1"),
+        col("emb").alias("e1"),
+        nrm.alias("n1"),
+    ).filter(col("n1") > 0)
+    b = assigned.select(
+        "cell",
+        col("vec_id").alias("v2"),
+        col("emb").alias("e2"),
+        nrm.alias("n2"),
+    ).filter(col("n2") > 0)
+    pairs = a.join(b, "cell").filter(col("v1") < col("v2"))
+    cos = _dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    return (
+        pairs.select("v1", "v2", cos.alias("cosine"))
+        .filter(col("cosine") >= _NEARDUP_COS)
+        # multi-assignment can surface a pair once per shared cell
+        .dropDuplicates(["v1", "v2"])
+        .orderBy("v1", "v2")
+    )

@@ -247,9 +247,9 @@ WITH i AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s_us, e_us,
+  SELECT user_id, s_us, e_us, event_id,
          CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
-                                   ORDER BY s_us, event_id
+                                   ORDER BY s_us, e_us, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                             AND 1 PRECEDING) >= s_us
               THEN 0 ELSE 1 END AS new_i
@@ -257,7 +257,8 @@ flagged AS (
 ),
 isl AS (
   SELECT user_id, s_us, e_us,
-         SUM(new_i) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+         SUM(new_i) OVER (PARTITION BY user_id
+                          ORDER BY s_us, e_us, event_id
                           ROWS UNBOUNDED PRECEDING) AS island_id
   FROM flagged
 )
@@ -282,11 +283,12 @@ def intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse that partitioning, so the sort is paid once. All arithmetic
     is integer micros (the minute-duration round happens BEFORE any
     accumulation), so there is no float-fold divergence anywhere.
-    Ordering note: the island flag orders by (s_us, event_id) — unique
-    per user — and the cumulative island counter by (s_us, e_us);
-    duplicate (s_us, e_us) pairs can swap under the second ordering,
-    but a row's island id is insensitive to order WITHIN the island,
-    so the grouped result is still deterministic."""
+    Ordering note: BOTH windows share the one total order
+    (s_us, e_us, event_id) — a flag window ordered differently from
+    the counter window mislabels islands when two intervals tie on
+    start (hypothesis-caught in tests/test_island_frontier_props.py:
+    the flag lands on one row, the running sum visits the other
+    first)."""
     i = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -296,11 +298,12 @@ def intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.round(col("value") * 60_000_000).cast("long")
         ).alias("e_us"),
     )
-    prev = Window.partitionBy("user_id").orderBy("s_us", "event_id").rowsBetween(
+    order = ["s_us", "e_us", "event_id"]
+    prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     new_i = F.when(F.max("e_us").over(prev) >= col("s_us"), 0).otherwise(1)
-    run = Window.partitionBy("user_id").orderBy("s_us", "e_us").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     isl = i.withColumn("new_i", new_i).withColumn(

@@ -65,11 +65,12 @@ def test_interval_islands_match_sweep(spark, ivs):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, s_us long, e_us long"
     )
-    prev = Window.partitionBy("user_id").orderBy("s_us", "event_id").rowsBetween(
+    order = ["s_us", "e_us", "event_id"]
+    prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     new_i = F.when(F.max("e_us").over(prev) >= col("s_us"), 0).otherwise(1)
-    run = Window.partitionBy("user_id").orderBy("s_us", "e_us").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     got = (
