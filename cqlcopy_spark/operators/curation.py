@@ -317,8 +317,8 @@ def _bpe_learn(
     words: DataFrame, steps: int = _BPE_STEPS
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Greedy BPE merge learning over a (token, cnt) vocabulary: returns
-    the ordered merge list and the final per-word symbol table (PERSISTED
-    — the caller owns unpersisting it).
+    the ordered merge list and the final per-word symbol table (LAZY —
+    see the note at the return site).
 
     Split the work by where it is cheap: pair statistics live on a
     CAPPED vocabulary head (top-65k words by count — ~1 MB) collected
@@ -369,8 +369,10 @@ def _bpe_learn(
     for _, pair, _ in merges:
         a, b = pair.split(" ")
         syms = syms.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
-    syms = syms.persist()
-    syms.count()
+    # returned LAZY: bpe_train_merges needs only the driver-local merge
+    # list (materializing the table there would waste a whole corpus-
+    # scan job on a result it discards), and bpe_segment_docs consumes
+    # the table exactly once, so neither caller needs a persist
     return merges, syms
 
 
@@ -388,8 +390,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not SQL-expressible (data-dependent iteration), so no oracle:
     rows-only driver check + tests/test_curation.py parity against a
     pure-Python reference implementation."""
-    merges, syms = _bpe_learn(_bpe_word_counts(spark, sf_dir))
-    syms.unpersist()
+    merges, _ = _bpe_learn(_bpe_word_counts(spark, sf_dir))
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
     ).orderBy("merge_rank")

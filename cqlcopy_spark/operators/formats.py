@@ -342,7 +342,7 @@ c AS (
   FROM s
 )
 SELECT source, lang, n_rows,
-       CAST((cum_rows - n_rows) / {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST((cum_rows - n_rows) // {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
        CAST(cum_rows - n_rows AS BIGINT) AS bin_start_row
 FROM c
 ORDER BY source, lang
@@ -363,9 +363,13 @@ def layout_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction planning is cheap even when the rewrite it drives is
     not. The executing rewrite is `repartitionByRange(bin)` + write
     with maxRecordsPerFile, reusing layout_zorder's write path. All
-    integer arithmetic; the floor division is exact in both engines
-    (DuckDB integer `/` on BIGINT truncates via the CAST, matching
-    Spark's long division on nonnegative operands)."""
+    integer arithmetic; the bin quotient is explicit FLOOR division on
+    both sides — DuckDB's `/` on BIGINT is FLOAT division and CAST
+    rounds half away from zero, so the oracle must use `//` (a slice
+    ending past the .5 point of a bin would otherwise round up and
+    disagree with Spark's floor; fixture slices never cross a bin at
+    sf0.01, which is exactly why this latent divergence needed fixing
+    by inspection rather than by a red driver row)."""
     s = (
         table(spark, sf_dir, "documents")
         .groupBy("source", "lang")

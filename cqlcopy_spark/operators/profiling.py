@@ -107,8 +107,17 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("column_name")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
-    return plain.join(F.broadcast(dist), "column_name").select(
-        "column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
+    # LEFT join: an all-NULL (or empty-table) column produces no row in
+    # the distinct branch — an inner join would silently drop exactly
+    # the most broken column from the profile; the oracle emits its
+    # n_distinct = 0 row either way
+    return plain.join(F.broadcast(dist), "column_name", "left").select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_s",
+        "max_s",
     )
 
 

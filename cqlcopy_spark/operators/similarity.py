@@ -743,13 +743,20 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _emb_double("embedding").alias("emb")
     )
     def comp(j):
-        return F.aggregate(
+        # size guard: Spark's sequence(1, 0) yields DESCENDING [1, 0]
+        # (not empty), so an empty embedding would index element_at(emb,
+        # 0) and crash where DuckDB's range(1, 1) folds to 0.0 — the
+        # same trap the BPE pair builder guards against
+        fold = F.aggregate(
             F.sequence(F.lit(1), F.size(col("emb"))),
             F.lit(0.0),
             lambda acc, i: acc
             + F.element_at(col("emb"), i)
             * ((i * 131 + F.lit(j * 137)) % 2 * 2 - 1).cast("double"),
-        ).alias(f"p{j}")
+        )
+        return F.when(F.size(col("emb")) >= 1, fold).otherwise(F.lit(0.0)).alias(
+            f"p{j}"
+        )
 
     return e.select(
         "vec_id", *[comp(j) for j in range(1, _PROJ_DIMS + 1)]
@@ -813,7 +820,8 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.mapInPandas(
         assign, schema="vec_id long, emb array<double>, cell int"
-    )
+    ).persist()  # self-joined below: without this the Arrow assign pass
+    # (and the scan feeding it) executes once per join side (CLAUDE.md)
     nrm = F.sqrt(_dot(col("emb"), col("emb")))
     a = assigned.select(
         "cell",
