@@ -135,12 +135,65 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
-    """Real decode path — enabled when an imaging library ships.
+    """Real decode path — stdlib/numpy container parsing, no imaging
+    library required for the formats whose structure is simple enough
+    to read directly:
 
-    STUB: the container deliberately has no PIL/opencv/librosa
-    (environment constraint); the Spark-side contract (binary in, typed
-    features out, Arrow batches) is exercised via _decode_fake."""
-    raise NotImplementedError("no imaging library in this environment")
+    - PNG:  IHDR width/height (big-endian u32 at offsets 16/20)
+    - GIF:  logical-screen width/height (little-endian u16 at 6/8)
+    - BMP:  BITMAPINFOHEADER dims; for UNCOMPRESSED 24-bit payloads the
+            pixel array is decoded for the true mean luma
+            (0.299R + 0.587G + 0.114B over all pixels, numpy)
+    - WAV:  (sample_rate, channels, n_sample_frames) mapped onto the
+            (width, height, n_frames) feature slots; luma 0.0
+
+    Compressed codecs (JPEG, video) still need a real imaging/av
+    library — those raise, and callers fall back to _decode_fake (the
+    deterministic stand-in that keeps the full pipeline testable in
+    this container). mean_luma is 0.0 where only the header is
+    parseable: honest metadata, no fabricated pixel stats."""
+    import struct
+
+    import numpy as np
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h), 1, 0.0
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), 1, 0.0
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off, = struct.unpack("<I", payload[10:14])
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp, = struct.unpack("<H", payload[28:30])
+        comp, = struct.unpack("<I", payload[30:34])
+        h_abs = abs(h)
+        if bpp == 24 and comp == 0:
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=h_abs * stride, offset=off
+            ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+            # BMP stores BGR
+            luma = float(
+                (
+                    0.114 * px[:, :, 0].astype(np.float64)
+                    + 0.587 * px[:, :, 1]
+                    + 0.299 * px[:, :, 2]
+                ).mean()
+                / 255.0
+            )
+            return int(w), h_abs, 1, luma
+        return int(w), h_abs, 1, 0.0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels, = struct.unpack("<H", payload[22:24])
+        rate, = struct.unpack("<I", payload[24:28])
+        block_align, = struct.unpack("<H", payload[32:34])
+        data_size, = struct.unpack("<I", payload[40:44])
+        frames = data_size // max(block_align, 1)
+        return int(rate), int(channels), int(frames), 0.0
+    raise NotImplementedError(
+        "compressed codec — needs an imaging/av library (PIL/pyav)"
+    )
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int, int, float]:

@@ -820,26 +820,63 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.mapInPandas(
         assign, schema="vec_id long, emb array<double>, cell int"
-    ).persist()  # self-joined below: without this the Arrow assign pass
-    # (and the scan feeding it) executes once per join side (CLAUDE.md)
-    nrm = F.sqrt(_dot(col("emb"), col("emb")))
-    a = assigned.select(
-        "cell",
-        col("vec_id").alias("v1"),
-        col("emb").alias("e1"),
-        nrm.alias("n1"),
-    ).filter(col("n1") > 0)
-    b = assigned.select(
-        "cell",
-        col("vec_id").alias("v2"),
-        col("emb").alias("e2"),
-        nrm.alias("n2"),
-    ).filter(col("n2") > 0)
-    pairs = a.join(b, "cell").filter(col("v1") < col("v2"))
-    cos = _dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    )
+
+    # Within-cell scoring runs as ONE numpy kernel per cell (the exact
+    # block-pair discipline): dgemm prefilter, then the exact
+    # left-to-right IEEE fold on margin survivors only, so borderline
+    # cosines agree bit-for-bit with dedup_embedding_cosine — the
+    # subset/recall pins in tests/test_ann_recall.py depend on that.
+    # (A per-pair JVM `aggregate` fold here was ~4× slower end-to-end:
+    # interpreted HOF lambdas per candidate pair, the trap _lsh_banded's
+    # docstring documents.)
+    def _seq_norm(X):
+        acc = np.zeros(X.shape[0])
+        for k in range(X.shape[1]):
+            acc += X[:, k] * X[:, k]
+        return np.sqrt(acc)
+
+    margin = 1e-6
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "v1": pd.Series(dtype="int64"),
+                "v2": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        ids = pdf["vec_id"].to_numpy()
+        nrm = _seq_norm(X)
+        ok = nrm > 0
+        X, ids, nrm = X[ok], ids[ok], nrm[ok]
+        if len(ids) < 2:
+            return empty
+        denom = nrm[:, None] * nrm[None, :]
+        approx = (X @ X.T) / denom
+        i, j = np.nonzero(
+            (approx >= _NEARDUP_COS - margin) & (ids[:, None] < ids[None, :])
+        )
+        if not len(i):
+            return empty
+        acc = np.zeros(len(i))
+        Xi, Xj = X[i], X[j]
+        for k in range(X.shape[1]):
+            acc += Xi[:, k] * Xj[:, k]
+        cos = acc / denom[i, j]
+        keep = cos >= _NEARDUP_COS
+        return pd.DataFrame(
+            {"v1": ids[i][keep], "v2": ids[j][keep], "cosine": cos[keep]}
+        )
+
     return (
-        pairs.select("v1", "v2", cos.alias("cosine"))
-        .filter(col("cosine") >= _NEARDUP_COS)
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, schema="v1 long, v2 long, cosine double")
         # multi-assignment can surface a pair once per shared cell
         .dropDuplicates(["v1", "v2"])
         .orderBy("v1", "v2")

@@ -58,3 +58,97 @@ def test_decode_features_row_aligned(spark):
         got = by_id[r["doc_id"]]
         assert (got["width"], got["height"], got["n_frames"]) == (w, h, n)
         assert abs(got["mean_luma"] - luma) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# real container decoding (stdlib/numpy parsing — no imaging lib)
+# ---------------------------------------------------------------------------
+
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _bmp24(pixels):
+    """pixels: row-major list of rows of (r, g, b), bottom-up written."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # BMP stores bottom-up
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (stride - len(line))
+    off = 54
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def _wav(rate=16000, channels=2, frames=100):
+    import struct
+
+    block = channels * 2  # 16-bit PCM
+    data = b"\x00" * (frames * block)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_real_decode_parses_png_gif_bmp_wav():
+    import pytest
+
+    from cqlcopy_spark.operators.multimodal import _decode_real
+
+    assert _decode_real(_png(640, 480)) == (640, 480, 1, 0.0)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert _decode_real(gif) == (320, 200, 1, 0.0)
+    # 2×2 BMP: white, black / black, white → mean luma exactly 0.5
+    w, h, n, luma = _decode_real(
+        _bmp24([[(255, 255, 255), (0, 0, 0)], [(0, 0, 0), (255, 255, 255)]])
+    )
+    assert (w, h, n) == (2, 2, 1)
+    assert luma == pytest.approx(0.5)
+    assert _decode_real(_wav(16000, 2, 100)) == (16000, 2, 100, 0.0)
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_decode_features_real_path_through_spark(spark):
+    """use_real=True flows the stdlib container parsers through the same
+    Arrow mapInPandas stage as the stub kernel."""
+    import pytest
+
+    from cqlcopy_spark.operators.multimodal import decode_features
+
+    rows = [
+        (1, _png(100, 50)),
+        (2, _bmp24([[(255, 255, 255), (0, 0, 0)], [(0, 0, 0), (255, 255, 255)]])),
+        (3, _wav(8000, 1, 42)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_features(df, use_real=True).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (100, 50)
+    assert got[2]["mean_luma"] == pytest.approx(0.5)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (8000, 1, 42)
