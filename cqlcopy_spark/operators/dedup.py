@@ -162,8 +162,9 @@ def _hashed_gram_rows(d: DataFrame) -> DataFrame:
     The shingle+hash step runs as an Arrow-batched pandas kernel — the
     all-builtin formulation (transform/element_at/concat_ws/xxhash64
     lambdas, interpreted per element) spent ~4s at sf0.1 on what the
-    kernel does in ~0.3s; the hash (crc32 pair → 64 bits, same recipe
-    as dedup_simhash) is deterministic across runs and workers."""
+    kernel does in ~0.3s; the hash (a crc32 pair packed into 64 bits —
+    dedup_simhash uses a different, SQL-mirrored fold recipe) is
+    deterministic across runs and workers."""
 
     def _gram_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zlib import crc32
@@ -283,13 +284,13 @@ def _with_minhash_sig(d: DataFrame) -> DataFrame:
     array_min folds then reference `hashes` as a cheap attribute instead
     of re-running the shingle+hash chain 32× per row (which made this
     operator ~50× slower before staging)."""
-    # Docs with NO grams (<3 tokens) cannot minhash: array_min([]) is
-    # null, every band key collapses to "" (a quadratic mega-bucket), and
-    # the verify Jaccard hits 0/0. They produce no pairs in the oracle's
-    # inverted index either, so dropping them here preserves parity.
+    # Gram-less docs (<3 tokens) would break minhash (array_min([]) is
+    # null → every band key "" → one quadratic mega-bucket), but they
+    # cannot reach here: _staged_gram_expr filters size(toks) >= n, so
+    # every _with_grams row has ≥ 1 gram (pinned by
+    # test_gram_builders_handle_short_docs) — no re-filter needed.
     hashed = (
         _with_grams(d)
-        .filter(F.size(col("grams")) > 0)
         .select(
             "doc_id",
             "grams",
@@ -326,12 +327,17 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic. (A pair at J ≈ 0.5 could legitimately be missed by
     LSH; that divergence-vs-oracle is the documented recall trade.)"""
     d = table(spark, sf_dir, "documents")
-    # Persist: both self-join sides consume the signatures; without it the
-    # 32-permutation signature chain is evaluated twice.
+    # Persist: the bucket self-join and BOTH verify-side hash lookups
+    # consume this; without it the 32-permutation signature chain (and
+    # the gram kernel feeding it) replays per consumer.
     docs = _with_minhash_sig(d).persist()
+    # The banded rows carry ONLY (doc_id, band, key): shipping the full
+    # gram-hash array into all 8 band rows × both join sides multiplied
+    # the bucket shuffle by ~16× the array width — at 100 TB the shuffle
+    # was all duplicated arrays. The arrays re-attach AFTER candidate
+    # dedup, once per surviving pair side, from the persisted docs.
     bands = docs.select(
         "doc_id",
-        "hashes",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
@@ -354,18 +360,19 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (col("a.key") == col("b.key"))
             & (col("a.doc_id") < col("b.doc_id")),
         )
-        .select(
-            col("a.doc_id").alias("d1"),
-            col("b.doc_id").alias("d2"),
-            col("a.hashes").alias("g1"),
-            col("b.hashes").alias("g2"),
-        )
+        .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])  # a pair may collide in several bands
+    )
+    hashes = docs.select("doc_id", "hashes")
+    verif = cand.join(
+        hashes.select(col("doc_id").alias("d1"), col("hashes").alias("g1")), "d1"
+    ).join(
+        hashes.select(col("doc_id").alias("d2"), col("hashes").alias("g2")), "d2"
     )
     common = F.size(F.array_intersect(col("g1"), col("g2")))
     union = F.size(col("g1")) + F.size(col("g2")) - common
     jac = common.cast("double") / union
-    return cand.select("d1", "d2", jac.alias("jaccard")).filter(
+    return verif.select("d1", "d2", jac.alias("jaccard")).filter(
         col("jaccard") >= _JACCARD_THRESHOLD
     )
 
@@ -501,7 +508,6 @@ def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
     # Labels for edge endpoints only; edges are symmetric, so every node
     # here has ≥ 1 neighbor and the per-round join can be inner.
     labels = edges.select("u").distinct().withColumn("label", col("u")).persist()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
 
     converged = False
     for _ in range(_CC_MAX_ROUNDS):
@@ -510,18 +516,24 @@ def _cc_min_label_loop(pairs: DataFrame) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neigh_min, "u")
-            .select("u", F.least(col("label"), col("nmin")).alias("label"))
-            .persist()
-        )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        joined = labels.join(neigh_min, "u").persist()
+        new_labels = joined.select(
+            "u", F.least(col("label"), col("nmin")).alias("label")
+        ).persist()
+        # Convergence = no label strictly decreased this round. (The
+        # earlier SUM(label)-unchanged test overflows int64 exactly on
+        # the big-graph path this loop exists for — ~1e10 nodes × 1e10
+        # ids: ANSI mode aborts the job, wraparound could in principle
+        # alias two different states. The changed-count is overflow-free
+        # and monotone like the labels themselves.)
+        n_changed = joined.filter(col("nmin") < col("label")).count()
+        new_labels.count()  # materialize off the still-cached join
+        joined.unpersist()
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = new_sum
 
     edges.unpersist()
     if not converged:

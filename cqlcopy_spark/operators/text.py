@@ -132,10 +132,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word scoring per language; argmax with a fixed priority
     order so ties are deterministic. Pure map — no shuffle at all."""
     d = table(spark, sf_dir, "documents")
+    # stage the split once: the CASE chain references each score up to 4
+    # times and each score embeds a filter over the tokens — unstaged,
+    # the text would re-split ~14× per row if codegen CSE doesn't fire
+    staged = d.select("doc_id", "lang", _tokens().alias("toks"))
+
     def _score(words):
         # NB: no default-arg closure — PySpark binds a Column to EVERY
         # parameter of a higher-order-function lambda, defaults included.
-        return F.size(F.filter(_tokens(), lambda t: t.isin(*words)))
+        return F.size(F.filter(col("toks"), lambda t: t.isin(*words)))
 
     scores = {lg: _score(_MARKERS[lg]) for lg in _PRIORITY}
     pred = F.lit("zh")
@@ -151,7 +156,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
         "en",
     ).otherwise(pred)
-    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+    return staged.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 # ---------------------------------------------------------------------------
@@ -172,10 +177,13 @@ QUALITY_SQL = (
 )
 
 
-def quality_expr():
-    """Spark twin of QUALITY_SQL (same ops in the same order)."""
-    n_tokens = F.size(_tokens())
-    n_types = F.size(F.array_distinct(_tokens()))
+def quality_expr(toks=None):
+    """Spark twin of QUALITY_SQL (same ops in the same order). Pass a
+    staged token-array Column to avoid re-splitting `text` per term —
+    the values are identical either way; only the split count changes."""
+    toks = _tokens() if toks is None else toks
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
     return (n_types.cast("double") / n_tokens) * 0.6 + F.least(
         n_tokens / F.lit(256.0), F.lit(1.0)
     ) * 0.4
@@ -204,16 +212,19 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-data filter actually uses (repetition and length are the
     two cheapest junk signals). Pure map work."""
     d = table(spark, sf_dir, "documents")
-    n_tokens = F.size(_tokens())
-    n_types = F.size(F.array_distinct(_tokens()))
+    # stage the split once (the gopher-rules discipline in this file:
+    # codegen CSE is not trusted to dedupe the 8 embedded splits)
+    staged = d.select("doc_id", "n_chars", _tokens().alias("toks"))
+    n_tokens = F.size(col("toks"))
+    n_types = F.size(F.array_distinct(col("toks")))
     chars = col("n_chars").cast("double")
     ttr = n_types.cast("double") / n_tokens
-    return d.select(
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         ttr.alias("type_token_ratio"),
         ((chars - n_tokens + 1) / n_tokens).alias("avg_token_len"),
-        quality_expr().alias("quality"),
+        quality_expr(col("toks")).alias("quality"),
     )
 
 
@@ -1184,7 +1195,8 @@ big AS (
   GROUP BY 1, 2
 )
 SELECT t1, t2, c_xy, u1.c AS c_x, u2.c AS c_y,
-       CAST(c_xy * total.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS score
+       CAST(c_xy AS DOUBLE) * CAST(total.n AS DOUBLE)
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS score
 FROM big, total
 JOIN ucnt u1 ON big.t1 = u1.tok
 JOIN ucnt u2 ON big.t2 = u2.tok
@@ -1233,9 +1245,14 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(uni.withColumnRenamed("tok", "t2").withColumnRenamed("c", "c_y")), "t2")
         .select(
             "t1", "t2", "c_xy", "c_x", "c_y",
+            # cast each factor BEFORE multiplying: the int64 products
+            # overflow at corpus scale (N ~ 1e14 × c_xy ~ 1e10 > 2^63 —
+            # ANSI abort or wrapped ordering); as doubles each factor is
+            # exact below 2^53 and the rounded products are identical in
+            # both engines (oracle uses the same one-cast-per-factor form)
             (
-                (col("c_xy") * col("n")).cast("double")
-                / (col("c_x") * col("c_y")).cast("double")
+                col("c_xy").cast("double") * col("n").cast("double")
+                / (col("c_x").cast("double") * col("c_y").cast("double"))
             ).alias("score"),
         )
     )
@@ -1301,8 +1318,6 @@ def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first aggregate."""
     d = table(spark, sf_dir, "documents")
     quality = quality_expr()
-    from cqlcopy_spark.functions.portable import portable_token
-
     split = F.when(portable_token(col("doc_id")) % 100 < 90, "train").otherwise("eval")
     q = d.select(
         F.least(
@@ -1310,7 +1325,10 @@ def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         split.alias("split"),
     )
-    binned = q.groupBy("bin", "split").agg(F.count("*").alias("n"))
+    # three consumers (grid + the two split totals): without the persist
+    # the corpus scan + tokenize + quality score replays once per branch
+    # — the same multi-consumer shape tfidf_top_terms persists `tf` for
+    binned = q.groupBy("bin", "split").agg(F.count("*").alias("n")).persist()
     grid = (
         binned.groupBy("bin")
         .pivot("split", ["train", "eval"])
