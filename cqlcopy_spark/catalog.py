@@ -25,9 +25,16 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at ANY scale factor — their
-#: cardinality is fixed (5 regions, 25 nations) or grows sub-linearly.
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+#: region/nation have FIXED cardinality (5 / 25 rows) — safe to
+#: broadcast-hint at any scale factor. supplier/part/customer scale
+#: LINEARLY with SF (verified against the fixture generator: 10×/SF
+#: steps), so new code must NOT broadcast-hint them — an explicit hint
+#: is honored unconditionally (no AQE size fallback) and would hit the
+#: 8 GB broadcast limit at production SF; leave them unhinted and AQE
+#: broadcasts while small, flipping to a shuffle join beyond the
+#: threshold.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+SF_SCALING_DIMS = frozenset({"supplier", "part", "customer"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -109,20 +116,32 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor. For pre-1970 (negative) nanos an engine truncating toward zero
     would diverge by 1µs on non-whole values; the fixtures are all
     post-epoch (2024+), so this is unexercised."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf removed/renamed: fall through to the dtype branch
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, LongType):
+    return normalize_event_ts(df, "timestamp_ntz")
+
+
+def normalize_event_ts(df: DataFrame, target: str) -> DataFrame:
+    """THE ns→µs truncation contract, shared by the batch loader above
+    and the streaming file source (streaming/windows._events_stream) so
+    the rule cannot drift between them — every *_matches_batch replay
+    test presumes both paths read identical ts values. int64-nanos
+    input floor-divides in INTEGER space (`div`; ns-since-epoch exceeds
+    double's 2^53 exactness); native timestamp input just re-tags to
+    `target` ("timestamp_ntz" for the batch/oracle path, "timestamp"
+    for watermark eligibility on the streaming path — same instant
+    under the UTC session TZ either way)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast(target)
         )
-    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df.withColumn("ts", F.col("ts").cast(target))
 
 
 _REGISTERED_CONF = "spark.cqlcopy.registeredSfDir"

@@ -132,9 +132,14 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region/nation. Physical shape: ONE shuffle join
     (lineitem ⋈ orders on orderkey, both large) and three broadcast hash
     joins for customer/nation/region — the fact table is never shuffled
-    for a dimension lookup. customer grows with SF but stays ~GB at 100 TB
-    lineitem (TPC-H ratios) — still broadcastable; if not, AQE falls back
-    to shuffle join only for that edge."""
+    for a dimension lookup. nation/region are HINTED (cardinality is
+    fixed, broadcast at any SF); customer is deliberately UNHINTED —
+    it scales with SF, and an explicit broadcast() hint is honored
+    unconditionally (no AQE size fallback exists for hints), which at
+    100 TB would hit the 8 GB broadcast limit. Unhinted, AQE broadcasts
+    it while small and flips that one edge to a shuffle join when it
+    outgrows the threshold (join_q10_returned encodes the same
+    posture)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").filter(
         (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -145,7 +150,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     return (
         li.join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -528,9 +533,11 @@ def join_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     defining constraint c_nationkey = s_nationkey links two DIFFERENT
     dimension branches of the star — it can't push into either scan and
     survives as a join filter. Physical shape at scale: the one big
-    shuffle is lineitem ⋈ orders on orderkey; customer, supplier,
-    nation, region are broadcast (region's filter prunes nations before
-    the broadcast), so the fact rows cross the network exactly once."""
+    shuffle is lineitem ⋈ orders on orderkey; supplier, nation, region
+    are hinted broadcasts (region's filter prunes nations first);
+    customer is UNHINTED — it scales linearly with SF and explicit
+    hints have no size fallback, so AQE broadcasts it while small and
+    flips that edge to a shuffle join beyond the threshold."""
     o = table(spark, sf_dir, "orders").filter(
         (col("o_orderdate") >= F.lit("1996-01-01"))
         & (col("o_orderdate") < F.lit("1997-01-01"))
@@ -543,7 +550,7 @@ def join_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = col("l_extendedprice") * (1 - col("l_discount"))
     return (
         li.join(o, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(c, col("o_custkey") == col("c_custkey"))
         .join(
             broadcast(s),
             (col("l_suppkey") == col("s_suppkey"))

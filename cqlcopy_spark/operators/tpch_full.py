@@ -105,20 +105,28 @@ def _supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _regional_nations(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """nation ⋈ region-filter → (n_nationkey, n_name): THE one-region
+    pruning recipe. One definition feeds the supplier-side
+    (_regional_suppliers, Q2/Q11) AND the customer-side (Q8) so a
+    join-shape change cannot silently diverge between them."""
+    return (
+        table(spark, sf_dir, "nation")
+        .join(
+            table(spark, sf_dir, "region").filter(col("r_name") == region),
+            col("n_regionkey") == col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+
+
 def _regional_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
     """Suppliers pruned to one region via broadcast(nation ⋈ region) →
     (s_suppkey, s_name, n_name): the region-filter recipe Q2/Q11 share."""
     return (
         table(spark, sf_dir, "supplier")
         .join(
-            broadcast(
-                table(spark, sf_dir, "nation")
-                .join(
-                    table(spark, sf_dir, "region").filter(col("r_name") == region),
-                    col("n_regionkey") == col("r_regionkey"),
-                )
-                .select("n_nationkey", "n_name")
-            ),
+            broadcast(_regional_nations(spark, sf_dir, region)),
             col("s_nationkey") == col("n_nationkey"),
         )
         .select("s_suppkey", "s_name", "n_name")
@@ -254,12 +262,7 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer")
         .join(
             broadcast(
-                table(spark, sf_dir, "nation")
-                .join(
-                    table(spark, sf_dir, "region").filter(col("r_name") == _Q8_REGION),
-                    col("n_regionkey") == col("r_regionkey"),
-                )
-                .select("n_nationkey")
+                _regional_nations(spark, sf_dir, _Q8_REGION).select("n_nationkey")
             ),
             col("c_nationkey") == col("n_nationkey"),
         )

@@ -160,7 +160,11 @@ def stream_type_counts_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAP_US = 30 * 60 * 1_000_000  # session gap, matches windows.py
+# Session gap DERIVED from the windowed sessionizer's constant so the
+# two sessionization surfaces cannot silently disagree.
+from cqlcopy_spark.streaming.windows import _GAP_MIN as _WINDOWS_GAP_MIN
+
+_GAP_US = _WINDOWS_GAP_MIN * 60 * 1_000_000
 
 
 def sessionize_stateful(stream: DataFrame) -> DataFrame:

@@ -125,12 +125,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         except FileExistsError:
             pass
     src = spark.readStream.schema(schema).parquet(stage)
-    if isinstance(ts_type, T.LongType):
-        # int64 nanos: floor-divide ns→µs in integer space (catalog._events)
-        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # native µs mapping (TIMESTAMP or TIMESTAMP_NTZ): session TZ is UTC, so
-    # the cast re-tags the same instant for watermark eligibility
-    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # ONE truncation contract with the batch loader (catalog.
+    # normalize_event_ts): the replay-parity tests presume both paths
+    # read identical ts values. "timestamp" (not ntz) for watermark
+    # eligibility — same instant under the UTC session TZ.
+    from cqlcopy_spark.catalog import normalize_event_ts
+
+    return normalize_event_ts(src, "timestamp")
 
 
 def stream_tumbling_agg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -289,3 +289,19 @@ def test_streaming_ohlc_matches_batch(spark):
     batch = _canon(stream_ohlc(spark, SF_SMALL).toPandas())
     stream = _canon(_run_stream(stream_ohlc_streaming(spark, SF_SMALL), "ohlc_t"))
     pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_streaming_sliding_matches_batch(spark):
+    """Overlapping (sliding) event-time windows must stream: the Expand
+    that assigns each event to its overlapping windows interacts with
+    the watermark, so replaying the fixture must reproduce the batch
+    result exactly (this was the one streaming variant with no replay
+    test)."""
+    from cqlcopy_spark.streaming.windows import (
+        stream_sliding_agg,
+        stream_sliding_agg_streaming,
+    )
+
+    batch = _canon(stream_sliding_agg(spark, SF_SMALL).toPandas())
+    stream = _canon(_run_stream(stream_sliding_agg_streaming(spark, SF_SMALL), "slide_t"))
+    pd.testing.assert_frame_equal(batch, stream)
