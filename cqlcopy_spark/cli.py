@@ -168,7 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load_write_input(
     spark: SparkSession, args: argparse.Namespace, cfg: CopyConfig
-) -> DataFrame:
+) -> "tuple[DataFrame, str | None]":
+    """Returns (df, spool_path): spool_path is the stdin temp file to
+    unlink AFTER the job consumes it (None for a real file input) — the
+    caller owns the cleanup because the DataFrame reads it lazily."""
     from cqlcopy_spark.sources.csv_source import (
         cast_dynamic,
         csv_read_options,
@@ -188,9 +191,13 @@ def _load_write_input(
         ) as tmp:
             tmp.write(sys.stdin.read())
             path = tmp.name
+    spool = path if args.input == "-" else None
 
     def _dynamic_with_budget(schema: T.StructType) -> DataFrame:
-        raw = parse_csv_dynamic(spark, path, args.columns, cfg)
+        # persist: the budget count AND the downstream consumer both
+        # execute the Python RFC-4180 parse lineage — unpersisted, the
+        # dominant per-line cost runs twice (CLAUDE.md persist rule)
+        raw = parse_csv_dynamic(spark, path, args.columns, cfg).persist()
         bad = raw.filter(col("_parse_error").isNotNull()).count()
         if 0 <= cfg.max_parse_errors < bad:
             raise ValueError(
@@ -205,8 +212,8 @@ def _load_write_input(
     if args.types:
         schema = _schema_from_types(args.columns, args.types)
         if args.dynamic:
-            return _dynamic_with_budget(schema)
-        return read_csv(spark, path, schema, cfg)
+            return _dynamic_with_budget(schema), spool
+        return read_csv(spark, path, schema, cfg), spool
     if args.dynamic:
         raise ValueError("--dynamic requires --types (the target schema)")
     # Inference path (SURVEY.md §7 notes this is a semantic upgrade over
@@ -239,7 +246,7 @@ def _load_write_input(
             for c, f in zip(args.columns, data_fields)
         ]
     )
-    return _dynamic_with_budget(schema)
+    return _dynamic_with_budget(schema), spool
 
 
 def _emit_stdout_csv(df: DataFrame, is_str: list[bool], cfg: CopyConfig, out) -> int:
@@ -289,7 +296,8 @@ def run_write(spark: SparkSession, args: argparse.Namespace) -> int:
     from cqlcopy_spark.progress import ProgressReporter
     from cqlcopy_spark.sinks.csv_sink import repartition_for_workers
 
-    df = repartition_for_workers(_load_write_input(spark, args, cfg), cfg)
+    loaded, spool = _load_write_input(spark, args, cfg)
+    df = repartition_for_workers(loaded, cfg)
     # Progress to stderr (the reference's logger also writes there),
     # keeping stdout clean for data.
     reporter = ProgressReporter(
@@ -314,6 +322,15 @@ def run_write(spark: SparkSession, args: argparse.Namespace) -> int:
             if not args.path:
                 raise ValueError("--path is required for the parquet backend")
             df.write.mode("append").parquet(args.path)
+    if spool is not None:
+        # the job above consumed the stdin spool; without this every
+        # piped load leaks its full input in the temp dir
+        import os
+
+        try:
+            os.unlink(spool)
+        except OSError:
+            pass
     return 0
 
 

@@ -60,12 +60,31 @@ M32 = 4294967296  # 2^32
 
 
 def portable_token(key: Column) -> Column:
-    """Deterministic pseudo-token in [0, 2^32) from an integer key column."""
-    return (key.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+    """Deterministic pseudo-token in [0, 2^32) from a NONNEGATIVE integer
+    key column.
+
+    Overflow-free by construction: (key·KNUTH) mod 2^32 is computed via
+    a 16-bit split of (key mod 2^32), so every intermediate stays below
+    2^48 — the naive single multiply exceeds int64 for keys ≥ ~3.47e9
+    (ANSI Spark aborts, DuckDB BIGINT errors, numpy wraps: three
+    different behaviors at production key ranges). Identical values to
+    the naive form wherever that form didn't overflow; paged_source
+    mirrors this arithmetic in numpy."""
+    k1 = key.cast("long") % F.lit(M32)
+    hi = (k1 / F.lit(65536)).cast("long")
+    lo = k1 % F.lit(65536)
+    t1 = (F.lit(KNUTH) * hi) % F.lit(M32)
+    t2 = (t1 * F.lit(65536)) % F.lit(M32)
+    return (t2 + F.lit(KNUTH) * lo) % F.lit(M32)
 
 
 def sql_portable_token(expr: str) -> str:
-    return f"(CAST({expr} AS BIGINT) * {KNUTH}) % {M32}"
+    k1 = f"(CAST({expr} AS BIGINT) % {M32})"
+    hi = f"({k1} // 65536)"
+    lo = f"({k1} % 65536)"
+    t1 = f"(({KNUTH} * {hi}) % {M32})"
+    t2 = f"(({t1} * 65536) % {M32})"
+    return f"(({t2} + {KNUTH} * {lo}) % {M32})"
 
 
 def portable_token_composite(keys: "list[Column]") -> Column:

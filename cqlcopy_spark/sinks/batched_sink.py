@@ -44,8 +44,9 @@ class StagedFile(WriterCommitMessage):
 
 
 class BatchedCsvWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite=False):
         self.path = options["path"]
+        self.overwrite = overwrite
         # defaults come from DEFAULT_CONFIG (the reference's CLI defaults,
         # write.go:35-41) so the sink can't drift from the COPY surface
         self.chunk_size = int(options.get("chunk_size", str(DEFAULT_CONFIG.chunk_size)))
@@ -56,6 +57,15 @@ class BatchedCsvWriter(DataSourceWriter):
             options.get("max_attempts", str(DEFAULT_CONFIG.max_attempts))
         )
         self.backoff_s = float(options.get("backoff_s", str(DEFAULT_CONFIG.backoff_s)))
+        # rendering conventions (op 20/21): without these the staged CSV
+        # could not be re-ingested by the engine's own readers — nulls
+        # must be the null literal (not ""), booleans the configured
+        # lowercase literals (not Python's 'True'), timestamps the
+        # configured layout (not datetime.__str__)
+        self.null_literal = options.get("null_literal", DEFAULT_CONFIG.null_literal)
+        bs = options.get("bool_style", ",".join(DEFAULT_CONFIG.bool_style))
+        self.true_lit, self.false_lit = (x.strip() for x in bs.split(","))
+        self.ts_format = options.get("ts_format", "%Y-%m-%d %H:%M:%S%z")
 
     def write(self, iterator):
         """Task-side: accumulate rows into batches, flush each batch
@@ -100,12 +110,23 @@ class BatchedCsvWriter(DataSourceWriter):
         import csv
         import io
 
+        import datetime as _dt
+
+        def _render(v) -> str:
+            if v is None:
+                return self.null_literal
+            if isinstance(v, bool):
+                return self.true_lit if v else self.false_lit
+            if isinstance(v, _dt.datetime):
+                return v.strftime(self.ts_format)
+            return str(v)
+
         def _csv_line(row) -> str:
             # RFC-4180 quoting (the convention csv_sink/write_csv uses):
             # a bare join corrupts fields containing commas/quotes/newlines
             buf = io.StringIO()
-            csv.writer(buf, lineterminator="\n").writerow(
-                ["" if v is None else str(v) for v in row]
+            csv.writer(buf, lineterminator="\n", quoting=csv.QUOTE_MINIMAL).writerow(
+                [_render(v) for v in row]
             )
             return buf.getvalue()
 
@@ -139,6 +160,14 @@ class BatchedCsvWriter(DataSourceWriter):
         see nothing."""
         import shutil
 
+        if self.overwrite:
+            # honor .mode("overwrite") like every built-in format: stale
+            # part files from a previous job must not survive beside the
+            # new ones (silently appending under an overwrite request
+            # duplicates rows for every downstream reader)
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".csv"):
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
             if m is not None and m.n_rows:
                 os.replace(m.staged_path, os.path.join(self.path, m.final_name))
@@ -148,14 +177,15 @@ class BatchedCsvWriter(DataSourceWriter):
 
     def abort(self, messages):
         # failed tasks contribute None commit messages (pyspark
-        # DataSourceWriter.abort contract) — skip them or the cleanup
-        # loop itself crashes and leaves everything behind
-        for m in messages:
-            if m is not None and m.staged_path and os.path.exists(m.staged_path):
-                os.remove(m.staged_path)
+        # DataSourceWriter.abort contract); their partially-written
+        # stray files carry no message either — clear the WHOLE staging
+        # dir, exactly like commit() does, or orphaned partial data
+        # accumulates across failed runs
+        import shutil
+
         staging = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging) and not os.listdir(staging):
-            os.rmdir(staging)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 class BatchedCsvSinkDataSource(DataSource):
@@ -169,7 +199,7 @@ class BatchedCsvSinkDataSource(DataSource):
         return "cql_batched"
 
     def writer(self, schema, overwrite):
-        return BatchedCsvWriter(self.options)
+        return BatchedCsvWriter(self.options, overwrite=overwrite)
 
 
 def register_batched_sink(spark) -> None:

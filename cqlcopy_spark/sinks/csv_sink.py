@@ -2,10 +2,17 @@
 
 The reference exports with values quoted iff the column's native type is
 string (read.go:181-190) — a type-preserving convention that lets its own
-write path round-trip types. Spark's writer quotes only when necessary, so
-`write_csv` reproduces the convention by (a) stringifying non-string
-columns (op 21, cast.ToString ≡ CAST AS STRING) and (b) leaving string
-columns to Spark's minimal quoting with quote-doubling escape.
+write path round-trip types, INCLUDING a string whose value is the null
+literal (quoted "NULL" is data, bare NULL is SQL null, write.go:214-215).
+Spark's built-in CSV writer cannot express that (minimal quoting leaves
+the value bare; quoteAll also quotes the null replacement), so
+`write_csv` renders lines itself with JVM expressions: strings always
+quoted with quote-doubling escape, other types bare via CAST AS STRING
+(op 21), nulls as the bare literal. The quote-preserving reader
+(parse_csv_dynamic) round-trips the distinction; Spark's schema-first
+CSV reader inherently conflates quoted and bare null literals (univocity
+strips quotes before the nullValue compare) — use the dynamic path when
+that fidelity matters.
 
 `write_batched` reproduces the reference's unlogged-batch grouping
 (write.go:225-251) as data: a per-partition batch index advancing every
@@ -39,27 +46,56 @@ def stringify(df: DataFrame) -> DataFrame:
     )
 
 
+def _render_field(f: "T.StructField", cfg: CopyConfig):
+    """One CSV cell in the reference's type-preserving convention
+    (read.go:181-190): STRING values are ALWAYS quoted (quote-doubling
+    escape), everything else renders bare, and SQL NULL is the bare
+    null literal. Always-quoting strings is load-bearing, not style: a
+    string whose value IS the null literal ('NULL') must stay
+    distinguishable from SQL NULL, and Spark's own CSV writer cannot
+    express that (minimal quoting leaves the value bare; quoteAll also
+    quotes the null replacement — verified both ways)."""
+    c = col(f.name)
+    if isinstance(f.dataType, T.StringType):
+        rendered = F.concat(
+            F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"')
+        )
+    elif isinstance(f.dataType, T.TimestampType):
+        rendered = F.date_format(c, cfg.time_format)
+    elif isinstance(f.dataType, T.TimestampNTZType):
+        rendered = F.date_format(c, cfg.time_format_ntz)
+    else:
+        rendered = c.cast("string")
+    return F.when(c.isNull(), F.lit(cfg.null_literal)).otherwise(rendered)
+
+
 def write_csv(df: DataFrame, path: str, cfg: CopyConfig = DEFAULT_CONFIG) -> None:
     """Op 20: header + RFC-4180 quoting; timestamps in the configured
     layout so the write path can re-ingest its own output.
 
-    ignoreLeading/TrailingWhiteSpace default to TRUE on the writer
-    (unlike the reader) and silently trim string payloads like ' ' —
-    found by the hypothesis round-trip property test; pinned off."""
-    (
-        df.write.mode("overwrite")
-        .options(
-            header=str(cfg.header).lower(),
-            quote='"',
-            escape='"',
-            nullValue=cfg.null_literal,
-            timestampFormat=cfg.time_format,
-            timestampNTZFormat=cfg.time_format_ntz,
-            ignoreLeadingWhiteSpace="false",
-            ignoreTrailingWhiteSpace="false",
-        )
-        .csv(path)
-    )
+    Lines are rendered by JVM expressions (codegen — the per-row cost
+    matches the built-in CSV writer) and written through the text sink;
+    the header rides a thin Arrow stage that prepends one row per
+    PARTITION, matching the reader's drop-first-line-per-file contract.
+    Embedded newlines in string payloads remain out of scope — the
+    line-based reader (parse_csv_dynamic) documents the same bound."""
+    line = F.concat_ws(",", *[_render_field(f, cfg) for f in df.schema.fields])
+    rendered = df.select(line.alias("value"))
+    if cfg.header:
+        import pandas as pd
+
+        header = ",".join(f.name for f in df.schema.fields)
+
+        def _prepend(batches):
+            emitted = False
+            for pdf in batches:
+                if not emitted:
+                    yield pd.DataFrame({"value": [header]})
+                    emitted = True
+                yield pdf
+
+        rendered = rendered.mapInPandas(_prepend, schema="value string")
+    rendered.write.mode("overwrite").text(path)
 
 
 def with_batch_id(df: DataFrame, cfg: CopyConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -203,6 +203,13 @@ def parse_csv_dynamic(
         for pdf in batches:
             rows = []
             for line in pdf["value"]:
+                if line == "":
+                    # blank separator lines are skipped, not arity
+                    # errors: Go's encoding/csv (the reference's reader)
+                    # and Spark's schema-first reader both ignore them —
+                    # counting them against --max-parse-errors would
+                    # make the two ingest paths disagree on one file
+                    continue
                 fields, err = _split_rfc4180(line, ncols)
                 rec: dict[str, object] = {}
                 for i in range(ncols):

@@ -61,35 +61,48 @@ class PagedTokenRangeReader(DataSourceReader):
             tuple(range(i, n_rg, self.n_ranges))
             for i in range(min(self.n_ranges, max(n_rg, 1)))
         ]
-        return [RowGroupSpan(s) for s in spans if s]
+        parts = [RowGroupSpan(s) for s in spans if s]
+        # A zero-row-group file (what writers emit for an empty table)
+        # must still yield ONE partition: pyspark substitutes [None] for
+        # an empty list and read(None) crashes — an empty span instead
+        # flows through read() as zero batches → empty result.
+        return parts or [RowGroupSpan(())]
 
     def read(self, partition):
         """Executor-side: scan ONLY this partition's row groups, keep rows
         whose token is past the resume point, emit Arrow batches of
         ≤ page_size rows — the paged fetch loop.
 
-        Token math mirrors portable_token exactly: int64 multiply with
-        two's-complement wraparound (numpy == JVM long overflow) and
-        C-style remainder keeping the DIVIDEND's sign (np.fmod == Java %
-        == DuckDB %) — numpy's `%` follows the divisor's sign and would
-        diverge for negative keys. NULL keys produce NULL tokens in both
-        SQL engines and are therefore dropped by the `>` comparison;
-        here a validity mask does the same."""
+        Token math mirrors portable_token exactly — the overflow-FREE
+        16-bit decomposition (portable.py): every intermediate stays
+        under 2^48, so the same arithmetic runs without wraparound in
+        numpy int64, Spark ANSI long, and DuckDB BIGINT (the old plain
+        key*KNUTH multiply overflowed int64 for keys ≥ ~3.47e9 — a
+        wrapped token here, an ANSI ARITHMETIC_OVERFLOW in Spark, and a
+        BIGINT error in DuckDB: three-way divergence at production key
+        ranges). NULL keys produce NULL tokens in both SQL engines and
+        are therefore dropped by the `>` comparison; here a validity
+        mask does the same."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(self.path)
+        if not partition.row_groups:
+            return
         for batch in f.iter_batches(row_groups=list(partition.row_groups)):
             key_arr = batch.column(self.key_col)
             valid = ~np.asarray(key_arr.is_null())
-            with np.errstate(over="ignore"):
-                keys = (
-                    key_arr.fill_null(0)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-                tokens = np.fmod(keys * np.int64(KNUTH), np.int64(M32))
+            keys = (
+                key_arr.fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            k1 = keys % np.int64(M32)
+            hi, lo = k1 // np.int64(65536), k1 % np.int64(65536)
+            t1 = (np.int64(KNUTH) * hi) % np.int64(M32)
+            t2 = (t1 * np.int64(65536)) % np.int64(M32)
+            tokens = (t2 + np.int64(KNUTH) * lo) % np.int64(M32)
             mask = valid & (tokens > self.resume_after)
             if not mask.any():
                 continue

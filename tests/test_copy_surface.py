@@ -253,3 +253,86 @@ def test_composite_token_sql_twin_matches_column_form(spark):
             f"SELECT {sql} AS t FROM (SELECT {a} AS a, {b} AS b)"
         ).fetchone()[0]
         assert t == want, (a, b, t, want)
+
+
+def test_null_literal_as_string_data_round_trips(spark, tmp_path):
+    """A STRING whose value is the null literal must survive the export
+    → dynamic-parse round trip distinctly from SQL NULL (write.go
+    214-215 vs read.go 181-190: quoted "NULL" is data, bare NULL is
+    null). Spark's own CSV writer cannot express this — write_csv
+    renders its own lines precisely so this test can pass."""
+    from cqlcopy_spark.config import DEFAULT_CONFIG
+    from cqlcopy_spark.sinks.csv_sink import write_csv
+    from cqlcopy_spark.sources.csv_source import cast_dynamic, parse_csv_dynamic
+
+    df = spark.createDataFrame(
+        [(1, "NULL"), (2, None), (3, "plain")], "id long, name string"
+    )
+    out = str(tmp_path / "nullness")
+    write_csv(df, out, DEFAULT_CONFIG)
+    raw = parse_csv_dynamic(spark, out, ["id", "name"], DEFAULT_CONFIG)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = {
+        r["id"]: r["name"]
+        for r in cast_dynamic(raw, schema, DEFAULT_CONFIG).collect()
+    }
+    assert back == {1: "NULL", 2: None, 3: "plain"}
+
+
+def test_with_batch_id_row_and_byte_epochs(spark):
+    """Ops 10-11 batching arithmetic, previously untested: the row epoch
+    advances every chunk_size rows, the byte epoch every max_batch_kb·
+    1000 octets (write.go:241 divides by 1000), and batch_seq is the max
+    of the two monotone epochs."""
+    from dataclasses import replace
+
+    from cqlcopy_spark.config import DEFAULT_CONFIG
+    from cqlcopy_spark.sinks.csv_sink import with_batch_id
+
+    cfg = replace(DEFAULT_CONFIG, chunk_size=3, max_batch_kb=1)  # 1000 bytes
+    # single partition for a deterministic intra-partition order
+    df = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(10)], "i long, payload string"
+    ).coalesce(1)
+    rows = (
+        with_batch_id(df, cfg)
+        .select("i", "batch_part", "batch_seq")
+        .orderBy("i")
+        .collect()
+    )
+    assert all(r["batch_part"] == rows[0]["batch_part"] for r in rows)
+    seqs = [r["batch_seq"] for r in rows]
+    # row bytes ≈ 100 + len(str(i)) ≈ 101-103 → byte epoch flips near row
+    # 9; chunk_size=3 flips at rows 3/6/9 — row epoch dominates until the
+    # end, and the sequence must be monotone, start at 0, and advance
+    assert seqs[0] == 0
+    assert seqs == sorted(seqs)
+    assert seqs[3] >= 1 and seqs[6] >= 2 and seqs[9] >= 3
+    # byte epoch alone: huge rows trip the byte threshold before chunk_size
+    big = spark.createDataFrame(
+        [(i, "y" * 600) for i in range(4)], "i long, payload string"
+    ).coalesce(1)
+    bseqs = [
+        r["batch_seq"]
+        for r in with_batch_id(big, cfg).select("i", "batch_seq").orderBy("i").collect()
+    ]
+    assert bseqs[0] == 0 and bseqs[-1] >= 2  # ~600B rows: epoch every ~2 rows
+
+
+def test_stringify_casts_every_non_string(spark):
+    import datetime
+
+    from cqlcopy_spark.sinks.csv_sink import stringify
+
+    df = spark.createDataFrame(
+        [(1, 1.5, True, datetime.datetime(2024, 1, 2, 3, 4, 5), "keep")],
+        "a long, b double, c boolean, d timestamp, e string",
+    )
+    out = stringify(df)
+    assert all(t == "string" for _, t in out.dtypes)
+    r = out.collect()[0]
+    assert (r["a"], r["b"], r["c"], r["e"]) == ("1", "1.5", "true", "keep")
