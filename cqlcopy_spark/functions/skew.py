@@ -30,13 +30,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 
+def _no_salt_collision(df: DataFrame) -> None:
+    # withColumn would silently OVERWRITE a caller's _salt column and
+    # salted_join later drops it — refuse instead (the same guard
+    # scan_token_range applies to its helper column)
+    if "_salt" in df.columns:
+        raise ValueError("input already has a '_salt' column")
+
+
 def with_probe_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:
     """Deterministic uniform salt in [0, n_salts) from a unique column."""
+    _no_salt_collision(df)
     return df.withColumn("_salt", F.pmod(F.xxhash64(col(unique_col)), F.lit(n_salts)))
 
 
 def with_build_salts(df: DataFrame, n_salts: int) -> DataFrame:
     """Replicate each build row once per salt value."""
+    _no_salt_collision(df)
     return df.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -230,8 +230,6 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(col("ts").cast("timestamp")).alias("us"),
         F.get_json_object(col("props"), "$.k").cast("long").alias("k"),
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return e.select(
         "user_id",

@@ -409,7 +409,10 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gracefully to a shuffle join on the word). Compression = chars per
     subword, exact integer ratio both engines would agree on — but the
     op is iterative end-to-end, so it stays rows-only + pytest."""
-    words = _bpe_word_counts(spark, sf_dir)
+    # persist: TWO consumers of the corpus-wide word count — the capped
+    # head collect inside _bpe_learn and the returned plan's vocab join
+    # lineage; unpersisted, the dominant explode+groupBy scan runs twice
+    words = _bpe_word_counts(spark, sf_dir).persist()
     _, syms = _bpe_learn(words)
     vocab = syms.select("token", F.size("syms").alias("n_subwords_word"))
     d = table(spark, sf_dir, "documents")
@@ -427,7 +430,8 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    # materialization note: `out` is lazy — the persisted symbol table
-    # must outlive this function; Spark evicts it with the session (the
-    # 8-step loop would otherwise re-run per action). Bounded: vocab-sized.
+    # `out` is lazy — the persisted WORD-COUNT cache above must outlive
+    # this function so the returned plan's vocab join reads it instead
+    # of re-scanning the corpus; Spark evicts it with the session.
+    # Bounded: vocab-sized.
     return out

@@ -156,10 +156,18 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
 
     import numpy as np
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+    # Length guards on every branch: a TRUNCATED container that passes
+    # its signature check must fall through to NotImplementedError (the
+    # documented fallback contract), not die in struct.unpack —
+    # callers catch NotImplementedError to route to the stand-in kernel.
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+        and len(payload) >= 24
+    ):
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h), 1, 0.0
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return int(w), int(h), 1, 0.0
     if payload[:2] == b"BM" and len(payload) >= 54:
@@ -168,8 +176,8 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
         bpp, = struct.unpack("<H", payload[28:30])
         comp, = struct.unpack("<I", payload[30:34])
         h_abs = abs(h)
-        if bpp == 24 and comp == 0:
-            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if bpp == 24 and comp == 0 and len(payload) >= off + h_abs * stride:
             px = np.frombuffer(
                 payload, dtype=np.uint8, count=h_abs * stride, offset=off
             ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
@@ -183,8 +191,10 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
                 / 255.0
             )
             return int(w), h_abs, 1, luma
+        # header-only (other bpp/compression, or truncated pixel array):
+        # dims are still honestly parseable, pixel stats are not
         return int(w), h_abs, 1, 0.0
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
         channels, = struct.unpack("<H", payload[22:24])
         rate, = struct.unpack("<I", payload[24:28])
         block_align, = struct.unpack("<H", payload[32:34])
@@ -192,7 +202,8 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
         frames = data_size // max(block_align, 1)
         return int(rate), int(channels), int(frames), 0.0
     raise NotImplementedError(
-        "compressed codec — needs an imaging/av library (PIL/pyav)"
+        "compressed codec or truncated container — needs an imaging/av "
+        "library (PIL/pyav) or the stand-in kernel"
     )
 
 
@@ -214,17 +225,23 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
 
     Arrow moves the bytes executor-side in columnar batches; the kernel
     is a pure per-payload function, so this is embarrassingly parallel
-    map work — the partitioning of `df` is preserved, no shuffle."""
+    map work — the partitioning of `df` is preserved, no shuffle. The
+    id column keeps the CALLER'S name in the output (the schema is
+    derived from id_col — a hardcoded 'doc_id' would silently rename a
+    non-default caller's ids)."""
     kernel = _decode_real if use_real else _decode_fake
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + FEATURE_SCHEMA.fields[1:]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [kernel(p) for p in pdf[payload_col]]
             out = pd.DataFrame(feats, columns=["width", "height", "n_frames", "mean_luma"])
-            out.insert(0, "doc_id", pdf[id_col].values)
+            out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------

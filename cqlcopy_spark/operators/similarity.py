@@ -203,12 +203,18 @@ _NEARDUP_COS = 0.4  # this corpus has no planted dups; threshold sits at the top
 
 _NEARDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-n AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e)
+n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n AS (SELECT * FROM n0 WHERE nrm > 0)
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) >= {_NEARDUP_COS}
 """
+# ^ nrm > 0 in the ORACLE too: a zero-norm vector has no cosine, and the
+# two engines would otherwise DISAGREE on it — the numpy kernel's NaN
+# fails every >= compare (pair dropped) while DuckDB orders NaN above
+# all values (pair kept). Every embedding operator applies this filter
+# on both sides for exactly that reason.
 
 
 _BLOCK_ROWS = 8_192  # target rows per block; 8k×64 doubles ≈ 4 MB per side
@@ -320,7 +326,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         Y = np.stack([np.asarray(v, dtype=np.float64) for v in right["emb"]])
         xid = left["vec_id"].to_numpy()
         yid = right["vec_id"].to_numpy()
-        denom = _seq_norm(X)[:, None] * _seq_norm(Y)[None, :]
+        # zero-norm vectors have no cosine — drop them EXPLICITLY (the
+        # oracle filters nrm > 0; relying on NaN-fails-compare here
+        # while DuckDB orders NaN above all values is a divergence trap)
+        nx, ny = _seq_norm(X), _seq_norm(Y)
+        kx, ky = nx > 0, ny > 0
+        if not kx.all():
+            X, xid, nx = X[kx], xid[kx], nx[kx]
+        if not ky.all():
+            Y, yid, ny = Y[ky], yid[ky], ny[ky]
+        if not len(xid) or not len(yid):
+            return _EMPTY
+        denom = nx[:, None] * ny[None, :]
         approx = (X @ Y.T) / denom
         i, j = np.nonzero(
             (approx >= _NEARDUP_COS - _MARGIN) & (xid[:, None] != yid[None, :])

@@ -8,7 +8,10 @@ and DuckDB-verifiable (SURVEY.md §7 step 3).
 
 Option assembly maps each reference flag to its connector equivalent:
 
-  --chunk-size        → spark.cassandra.output.batch.size.rows  (write.go:37)
+  --chunk-size        → (deliberately unmapped: batch.size.rows is
+                         mutually exclusive with batch.size.bytes in the
+                         connector — the byte threshold below carries
+                         the batching contract; see write_options)
   --max-batch-size    → spark.cassandra.output.batch.size.bytes (write.go:38)
   --num-processes     → spark.cassandra.output.concurrent.writes (write.go:35)
   --max-attempts      → spark.cassandra.query.retry.count        (write.go:33)
@@ -27,7 +30,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from cqlcopy_spark.config import DEFAULT_CONFIG, CopyConfig, require_identifiers
-from cqlcopy_spark.functions.portable import portable_token
 
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
