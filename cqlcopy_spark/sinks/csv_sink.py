@@ -57,8 +57,10 @@ def _render_field(f: "T.StructField", cfg: CopyConfig):
     quotes the null replacement — verified both ways)."""
     c = col(f.name)
     if isinstance(f.dataType, T.StringType):
+        # F.replace (literal), NOT regexp_replace: the regex engine cost
+        # 60% extra wall on the whole COPY write path
         rendered = F.concat(
-            F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"')
+            F.lit('"'), F.replace(c, F.lit('"'), F.lit('""')), F.lit('"')
         )
     elif isinstance(f.dataType, T.TimestampType):
         rendered = F.date_format(c, cfg.time_format)
@@ -74,28 +76,29 @@ def write_csv(df: DataFrame, path: str, cfg: CopyConfig = DEFAULT_CONFIG) -> Non
     layout so the write path can re-ingest its own output.
 
     Lines are rendered by JVM expressions (codegen — the per-row cost
-    matches the built-in CSV writer) and written through the text sink;
-    the header rides a thin Arrow stage that prepends one row per
-    PARTITION, matching the reader's drop-first-line-per-file contract.
-    Embedded newlines in string payloads remain out of scope — the
-    line-based reader (parse_csv_dynamic) documents the same bound."""
+    matches the built-in CSV writer) into ONE column whose NAME is the
+    header row, written through the csv sink with an unmatchable
+    separator (SOH) and quote (NUL): the writer emits the pre-rendered
+    line verbatim and its header machinery writes the column name once
+    per part file — exactly the reader's drop-first-line-per-file
+    contract, with no Python stage anywhere (an earlier Arrow
+    header-prepend stage cost ~50% of the COPY path's throughput).
+    Embedded newlines and NUL/SOH control characters in string payloads
+    are out of scope — the line-based reader (parse_csv_dynamic)
+    documents the same bound."""
     line = F.concat_ws(",", *[_render_field(f, cfg) for f in df.schema.fields])
-    rendered = df.select(line.alias("value"))
-    if cfg.header:
-        import pandas as pd
-
-        header = ",".join(f.name for f in df.schema.fields)
-
-        def _prepend(batches):
-            emitted = False
-            for pdf in batches:
-                if not emitted:
-                    yield pd.DataFrame({"value": [header]})
-                    emitted = True
-                yield pdf
-
-        rendered = rendered.mapInPandas(_prepend, schema="value string")
-    rendered.write.mode("overwrite").text(path)
+    header_name = ",".join(f.name for f in df.schema.fields)
+    (
+        df.select(line.alias(header_name))
+        .write.mode("overwrite")
+        .options(
+            header=str(cfg.header).lower(),
+            sep=chr(1),
+            quote=chr(0),
+            nullValue="",
+        )
+        .csv(path)
+    )
 
 
 def with_batch_id(df: DataFrame, cfg: CopyConfig = DEFAULT_CONFIG) -> DataFrame:
