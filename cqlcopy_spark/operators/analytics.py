@@ -1225,3 +1225,78 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_div"),
         mixed_src.try_cast("bigint").alias("mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_incremental_merge — incremental view maintenance (partial-agg merge)
+# ---------------------------------------------------------------------------
+
+# The daily-ingest aggregate pattern: yesterday's materialized partial
+# aggregates + today's batch, MERGED — never a full recompute. The
+# oracle IS the full recompute over the union, so a green row proves
+# the maintenance algebra (count/sum are mergeable; avg derives from
+# them) gives bit-identical results to rebuilding from scratch.
+
+_IVM_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_incremental_merge", oracle=_IVM_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a grouped aggregate: the table is
+    split into a BASE (the standing materialized state, 90% of rows)
+    and a DELTA batch (today's ingest, l_orderkey % 10 == 0), each
+    aggregated independently, then merged per key with the partial-
+    aggregate algebra — n = n_b + n_d, sum = sum_b + sum_d, avg
+    re-derived from the merged sums. The oracle recomputes from the
+    full table, so the hash match IS the maintenance-correctness proof.
+
+    Scale shape: the delta aggregate scans only the batch (pushed-down
+    filter), the merge is a grouped-key-sized FULL OUTER join (a key
+    may exist in only one side), and sums ride exact integer cents so
+    merged and recomputed results agree bitwise. At 100 TB the base agg
+    is a stored table read back, not a scan — the plan shape from the
+    merge onward is identical."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("qc").alias("qty_cents")
+        )
+
+    base = _partial(li.filter(col("l_orderkey") % 10 != 0))
+    delta = _partial(li.filter(col("l_orderkey") % 10 == 0))
+    b = base.select(
+        "l_returnflag", col("n").alias("n_b"), col("qty_cents").alias("s_b")
+    )
+    d = delta.select(
+        "l_returnflag", col("n").alias("n_d"), col("qty_cents").alias("s_d")
+    )
+    merged = b.join(d, "l_returnflag", "full_outer").select(
+        "l_returnflag",
+        (F.coalesce(col("n_b"), F.lit(0)) + F.coalesce(col("n_d"), F.lit(0))).alias(
+            "n"
+        ),
+        (
+            F.coalesce(col("s_b"), F.lit(0)) + F.coalesce(col("s_d"), F.lit(0))
+        ).alias("qty_cents"),
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        "qty_cents",
+        (col("qty_cents").cast("double") / col("n") / F.lit(100.0)).alias("avg_qty"),
+    ).orderBy("l_returnflag")
