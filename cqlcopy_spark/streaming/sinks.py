@@ -65,3 +65,96 @@ def continuous_copy_sink(
     return stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def continuous_agg_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    sum_expr: str,
+    count_col: str = "n",
+    sum_col: str = "total",
+) -> DataStreamWriter:
+    """Continuous incremental maintenance of a grouped aggregate — the
+    streaming twin of agg_incremental_merge: each micro-batch is
+    aggregated to per-key partials (count + exact integer sum) and
+    MERGED into a parquet state table via the partial-aggregate
+    algebra, never a recompute over history.
+
+    Exactly-once under batch replay comes from versioned state: the
+    merged result of batch b is written to state_dir/v=<b> by reading
+    the LATEST version strictly below b — a replayed batch re-derives
+    its version from the same predecessor and overwrites the same
+    directory, so duplicated delivery cannot double-count. Readers take
+    max(v) (the versions also give time travel over the aggregate's
+    history; compact old versions like any snapshot retention policy).
+    State size is grouped-key-bounded — the stream itself is never
+    retained."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # sum_expr must be an EXACT-integer aggregate (e.g. a cents sum):
+        # merge ≡ recompute only holds bitwise for mergeable exact sums
+        delta = batch_df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.expr(sum_expr).alias(sum_col),
+        )
+        prev = None
+        if os.path.isdir(state_dir):
+            versions = [
+                int(m.group(1))
+                for d in os.listdir(state_dir)
+                if (m := re.fullmatch(r"v=(\d+)", d))
+            ]
+            below = [v for v in versions if v < batch_id]
+            if below:
+                prev = spark.read.parquet(
+                    os.path.join(state_dir, f"v={max(below)}")
+                )
+        if prev is None:
+            merged = delta
+        else:
+            b = prev.select(
+                group_col,
+                F.col(count_col).alias("_nb"),
+                F.col(sum_col).alias("_sb"),
+            )
+            d = delta.select(
+                group_col,
+                F.col(count_col).alias("_nd"),
+                F.col(sum_col).alias("_sd"),
+            )
+            merged = b.join(d, group_col, "full_outer").select(
+                group_col,
+                (
+                    F.coalesce(F.col("_nb"), F.lit(0))
+                    + F.coalesce(F.col("_nd"), F.lit(0))
+                ).alias(count_col),
+                (
+                    F.coalesce(F.col("_sb"), F.lit(0))
+                    + F.coalesce(F.col("_sd"), F.lit(0))
+                ).alias(sum_col),
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_agg_state(spark, state_dir: str) -> DataFrame:
+    """Latest version of a continuous_agg_sink state table."""
+    import re
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
