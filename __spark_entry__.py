@@ -42,7 +42,16 @@ def _checked_status() -> dict[str, bool]:
     import json
 
     status: dict[str, bool] = {}
-    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+
+    def _round_no(path: Path) -> int:
+        # NUMERIC ordering: lexicographic sort puts r100 before r11, so
+        # a stale early-round green could override a late-round failure
+        import re as _re
+
+        m = _re.search(r"r(\d+)", path.stem)
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json"), key=_round_no):
         # a malformed round file (valid JSON but not dict-of-dicts, a
         # truncated write, etc.) must degrade to "ignore that file", not
         # crash queries() and take the whole verification round with it

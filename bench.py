@@ -37,7 +37,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # anchored decimal: the greedy [0-9.]+ captured trailing dots from
+    # names like sf0.1.bak and float() then crashed the final print
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 
@@ -85,6 +87,10 @@ def main() -> None:
                 _force(queries[name](spark, warm_dir))
             except Exception:
                 pass  # the timed run will surface any real failure
+        # drop every query's warm-up persist before timing starts — the
+        # first timed query would otherwise run under the accumulated
+        # cache pressure of the whole registry
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

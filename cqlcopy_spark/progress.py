@@ -33,7 +33,12 @@ class ProgressReporter:
         self._freq = max(freq_s, 0.1)  # reference floors at 100ms (write.go:126-128)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        self._samples: list[tuple[float, int]] = []
+        # only the PREVIOUS sample is ever read; a growing list leaked
+        # one tuple per tick for the job's lifetime, and the final
+        # __exit__ emit could interleave with a straggling loop tick —
+        # a lock plus one slot fixes both
+        self._emit_lock = threading.Lock()
+        self._prev: tuple[float, int] | None = None
 
     def __enter__(self) -> "ProgressReporter":
         self._t0 = time.monotonic()
@@ -52,16 +57,17 @@ class ProgressReporter:
             self._emit()
 
     def _emit(self) -> None:
-        now = time.monotonic()
-        done = self.rows.value
-        self._samples.append((now, done))
-        prev_t, prev_n = self._samples[-2] if len(self._samples) > 1 else (self._t0, 0)
-        cur = (done - prev_n) / max(now - prev_t, 1e-9)
-        avg = done / max(now - self._t0, 1e-9)
-        self._report(
-            f"{done} rows done ({self.failures.value} failures), "
-            f"{cur:.0f} rows/s, {avg:.0f} avg rows/s"
-        )
+        with self._emit_lock:
+            now = time.monotonic()
+            done = self.rows.value
+            prev_t, prev_n = self._prev if self._prev else (self._t0, 0)
+            self._prev = (now, done)
+            cur = (done - prev_n) / max(now - prev_t, 1e-9)
+            avg = done / max(now - self._t0, 1e-9)
+            self._report(
+                f"{done} rows done ({self.failures.value} failures), "
+                f"{cur:.0f} rows/s, {avg:.0f} avg rows/s"
+            )
 
     def instrument(self, df: DataFrame) -> DataFrame:
         """Count rows flowing through this point of the plan via

@@ -31,8 +31,9 @@ def retry_call(
     backoff_s: float = DEFAULT_CONFIG.backoff_s,
     sleep: Callable[[float], None] = time.sleep,
 ) -> bool:
-    """Run `fn` up to max_attempts times (0 = infinite, write.go:41),
-    fixed backoff between attempts (write.go:253-265). True on success."""
+    """Run `fn` up to max_attempts times (<= 0 = infinite, matching the
+    config family's -1/0 = unlimited convention; write.go:41), fixed
+    backoff between attempts (write.go:253-265). True on success."""
     attempt = 0
     while True:
         attempt += 1
@@ -40,7 +41,7 @@ def retry_call(
             fn()
             return True
         except Exception:
-            if max_attempts and attempt >= max_attempts:
+            if max_attempts > 0 and attempt >= max_attempts:
                 return False
             sleep(backoff_s)
 
@@ -51,9 +52,17 @@ def write_with_retries(
     cfg: CopyConfig = DEFAULT_CONFIG,
 ) -> int:
     """Generic retrying batched sink for non-connector targets: partitions
-    ≡ workers, `chunk_size`-row batches, per-batch retry, enforced insert
-    budget. Returns the number of failed batches (0 unless budget < 0
-    allows unlimited failures).
+    ≡ workers, batches flush at `chunk_size` rows OR `max_batch_kb`
+    (the reference's dual threshold, write.go:241 — the byte measure is
+    the Σ of stringified field lengths), per-batch retry, enforced
+    insert budget. Returns the count of failed batches when it does not
+    exceed a nonnegative budget; raises InsertBudgetExceeded once the
+    job-wide count does. Budget enforcement is two-level: each TASK
+    aborts as soon as its local failures alone exceed the budget
+    (bounding wasted retries), and the job-wide accumulator check after
+    the action catches totals assembled across tasks — a driver-side
+    raise is the strongest abort Spark offers without task-coordination
+    overhead.
 
     The final partial batch is ALWAYS flushed — fixing the reference's
     dropped-trailing-batch bug (write.go:67,155-159)."""
@@ -61,6 +70,7 @@ def write_with_retries(
     failed = sc.accumulator(0)
     chunk, attempts, backoff = cfg.chunk_size, cfg.max_attempts, cfg.backoff_s
     budget = cfg.max_insert_errors
+    max_bytes = cfg.max_batch_kb * 1000  # write.go:241 divides by 1000
 
     def run_partition(rows: Iterator) -> None:
         from time import sleep  # stdlib only — the closure must not pull
@@ -68,8 +78,11 @@ def write_with_retries(
         # them and executors would need the package importable)
 
         batch: list = []
+        batch_bytes = 0
+        local_failed = 0
 
         def flush() -> None:
+            nonlocal batch_bytes, local_failed
             if not batch:
                 return
             attempt = 0
@@ -79,15 +92,25 @@ def write_with_retries(
                     write_batch(list(batch))
                     break
                 except Exception:
-                    if attempts and attempt >= attempts:
+                    if attempts > 0 and attempt >= attempts:
                         failed.add(1)
+                        local_failed += 1
                         break
                     sleep(backoff)
             batch.clear()
+            batch_bytes = 0
+            if 0 <= budget < local_failed:
+                # this task ALONE exceeds the job budget: abort now
+                # instead of burning max_attempts×backoff on every
+                # remaining batch of a down target
+                raise RuntimeError(
+                    f"insert-error budget exceeded in task: {local_failed}"
+                )
 
         for r in rows:
             batch.append(r)
-            if len(batch) >= chunk:
+            batch_bytes += sum(len(str(v)) for v in r if v is not None)
+            if len(batch) >= chunk or batch_bytes >= max_bytes:
                 flush()
         flush()
 

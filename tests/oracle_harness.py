@@ -34,9 +34,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if kind in "iu":
             df[c] = df[c].astype("int64")
         elif kind == "M":
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif kind == "O" and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-            df[c] = df[c].apply(lambda v: tuple(np.asarray(v).tolist()))
+            # tz-aware (e.g. DuckDB TIMESTAMPTZ) normalizes through UTC
+            # — a bare astype raises on tz-aware input and would crash
+            # the harness instead of producing a verdict
+            s = pd.to_datetime(df[c])
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif kind == "O":
+            # probe past leading nulls; convert null-safely (tuple(None)
+            # raises — a nulled list cell must stay None, not crash)
+            probe = df[c].dropna()
+            if len(probe) and isinstance(probe.iloc[0], (list, np.ndarray)):
+                df[c] = df[c].apply(
+                    lambda v: None
+                    if v is None
+                    else tuple(np.asarray(v).tolist())
+                )
     # stable order-insensitive row order
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
