@@ -95,10 +95,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best = float("inf")
-        for _ in range(2):  # min of 2: steady-state, robust to host noise
+        # min-of-2, escalating to min-of-3 when the query is >1s: the
+        # host shows 3-4× run-to-run jitter (CLAUDE.md), and the >1s
+        # entries are exactly the ones regression triage reads — one
+        # extra rep there separates real plan regressions from noise
+        # at ~5% added bench wall.
+        reps = 0
+        while reps < 2 or (reps < 3 and best > 1.0):
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
+            reps += 1
         timings[name] = round(best, 3)
         # several operators persist() intermediates their callers consume
         # lazily and so can't unpersist themselves; drop the caches here
@@ -111,23 +118,28 @@ def main() -> None:
     # ≥50k inserts/s; copy_roundtrip writes AND re-reads every lineitem
     # row, so rows/copy_roundtrip_sec is a conservative analogue.
     li_rows = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # registry keeps growing round over round — compare
-                # totals only after normalizing by n_queries (or
-                # per-query, which is what the map is for)
-                "n_queries": len(timings),
-                "sf": _sf_from_dir(SF_DIR),
-                "cpus": CPUS,
-                "copy_rows_per_sec": round(li_rows / timings["copy_roundtrip"]),
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # registry keeps growing round over round — compare
+        # totals only after normalizing by n_queries (or
+        # per-query, which is what the map is for)
+        "n_queries": len(timings),
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "copy_rows_per_sec": round(li_rows / timings["copy_roundtrip"]),
+    }
+    print(json.dumps(result))
+    # Round-over-round history: the per-round BENCH_r{N}.json artifacts
+    # truncate the query map, which made r03/r04 regression triage
+    # guesswork — append the FULL map here so every run is comparable.
+    try:
+        with open(os.path.join(_REPO, "BENCH_HISTORY.jsonl"), "a", encoding="utf-8") as f:
+            f.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout contract is what matters
     spark.stop()
 
 

@@ -172,13 +172,6 @@ def _load_write_input(
     """Returns (df, spool_path): spool_path is the stdin temp file to
     unlink AFTER the job consumes it (None for a real file input) — the
     caller owns the cleanup because the DataFrame reads it lazily."""
-    from cqlcopy_spark.sources.csv_source import (
-        cast_dynamic,
-        csv_read_options,
-        parse_csv_dynamic,
-        read_csv,
-    )
-
     path = args.input
     if path == "-":
         # The reference streams stdin unboundedly (write.go:121-156); a
@@ -192,6 +185,41 @@ def _load_write_input(
             tmp.write(sys.stdin.read())
             path = tmp.name
     spool = path if args.input == "-" else None
+
+    def _build() -> DataFrame:
+        return _build_write_df(spark, args, cfg, path)
+
+    if spool is None:
+        return _build(), None
+    try:
+        return _build(), spool
+    except BaseException:
+        # an error between spooling and returning (parse-error budget,
+        # schema validation, Spark analysis) must not leak the piped
+        # input in the temp dir; the success path's cleanup lives in
+        # run_write's finally (the DataFrame reads the spool lazily)
+        _unlink_quiet(spool)
+        raise
+
+
+def _unlink_quiet(path: str) -> None:
+    import os
+
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def _build_write_df(
+    spark: SparkSession, args: argparse.Namespace, cfg: CopyConfig, path: str
+) -> DataFrame:
+    from cqlcopy_spark.sources.csv_source import (
+        cast_dynamic,
+        csv_read_options,
+        parse_csv_dynamic,
+        read_csv,
+    )
 
     def _dynamic_with_budget(schema: T.StructType) -> DataFrame:
         # persist: the budget count AND the downstream consumer both
@@ -212,8 +240,8 @@ def _load_write_input(
     if args.types:
         schema = _schema_from_types(args.columns, args.types)
         if args.dynamic:
-            return _dynamic_with_budget(schema), spool
-        return read_csv(spark, path, schema, cfg), spool
+            return _dynamic_with_budget(schema)
+        return read_csv(spark, path, schema, cfg)
     if args.dynamic:
         raise ValueError("--dynamic requires --types (the target schema)")
     # Inference path (SURVEY.md §7 notes this is a semantic upgrade over
@@ -246,7 +274,7 @@ def _load_write_input(
             for c, f in zip(args.columns, data_fields)
         ]
     )
-    return _dynamic_with_budget(schema), spool
+    return _dynamic_with_budget(schema)
 
 
 def _emit_stdout_csv(df: DataFrame, is_str: list[bool], cfg: CopyConfig, out) -> int:
@@ -297,40 +325,37 @@ def run_write(spark: SparkSession, args: argparse.Namespace) -> int:
     from cqlcopy_spark.sinks.csv_sink import repartition_for_workers
 
     loaded, spool = _load_write_input(spark, args, cfg)
-    df = repartition_for_workers(loaded, cfg)
-    # Progress to stderr (the reference's logger also writes there),
-    # keeping stdout clean for data.
-    reporter = ProgressReporter(
-        spark.sparkContext,
-        report=lambda s: print(s, file=sys.stderr),
-        freq_s=cfg.report_freq_s,
-    )
-    with reporter as rep:
-        df = rep.instrument(df)
-        if args.backend == "cassandra":
-            from cqlcopy_spark.sources.cassandra import copy_to_cassandra
+    try:
+        df = repartition_for_workers(loaded, cfg)
+        # Progress to stderr (the reference's logger also writes there),
+        # keeping stdout clean for data.
+        reporter = ProgressReporter(
+            spark.sparkContext,
+            report=lambda s: print(s, file=sys.stderr),
+            freq_s=cfg.report_freq_s,
+        )
+        with reporter as rep:
+            df = rep.instrument(df)
+            if args.backend == "cassandra":
+                from cqlcopy_spark.sources.cassandra import copy_to_cassandra
 
-            if "." not in args.table and not args.keyspace:
-                raise ValueError(
-                    "--keyspace is required for an unqualified table name"
+                if "." not in args.table and not args.keyspace:
+                    raise ValueError(
+                        "--keyspace is required for an unqualified table name"
+                    )
+                qualified = (
+                    args.table if "." in args.table else f"{args.keyspace}.{args.table}"
                 )
-            qualified = (
-                args.table if "." in args.table else f"{args.keyspace}.{args.table}"
-            )
-            copy_to_cassandra(df, qualified, cfg)
-        else:
-            if not args.path:
-                raise ValueError("--path is required for the parquet backend")
-            df.write.mode("append").parquet(args.path)
-    if spool is not None:
-        # the job above consumed the stdin spool; without this every
-        # piped load leaks its full input in the temp dir
-        import os
-
-        try:
-            os.unlink(spool)
-        except OSError:
-            pass
+                copy_to_cassandra(df, qualified, cfg)
+            else:
+                if not args.path:
+                    raise ValueError("--path is required for the parquet backend")
+                df.write.mode("append").parquet(args.path)
+    finally:
+        # finally, not success-only (r04 ADVICE): a failed validation or
+        # Spark job must not leak the piped input in the temp dir
+        if spool is not None:
+            _unlink_quiet(spool)
     return 0
 
 

@@ -45,6 +45,33 @@ def go_layout_to_java(layout: str) -> str:
     return out
 
 
+# The same Go layout vocabulary as Python strftime tokens, for sinks that
+# render timestamps Python-side (batched_sink's DataSourceWriter receives
+# datetime objects, not Spark columns). Go "-0700" and "Z0700" both map to
+# %z: strftime has no emit-Z-at-UTC token, so Z0700 renders "+0000" at UTC
+# — a numeric offset the read side's layout still parses.
+_GO_TO_STRFTIME = [
+    ("2006", "%Y"),
+    ("01", "%m"),
+    ("02", "%d"),
+    ("15", "%H"),
+    ("04", "%M"),
+    ("05", "%S"),
+    ("-0700", "%z"),
+    ("Z0700", "%z"),
+]
+
+
+def go_layout_to_strftime(layout: str) -> str:
+    """Translate a Go reference-time layout to a Python strftime pattern
+    (same token vocabulary as go_layout_to_java; unknown runes pass
+    through literally)."""
+    out = layout
+    for go, py in _GO_TO_STRFTIME:
+        out = out.replace(go, py)
+    return out
+
+
 IDENTIFIER_RE = re.compile(r"^[0-9A-Za-z_.]+$")
 
 

@@ -60,17 +60,23 @@ M32 = 4294967296  # 2^32
 
 
 def portable_token(key: Column) -> Column:
-    """Deterministic pseudo-token in [0, 2^32) from a NONNEGATIVE integer
-    key column.
+    """Deterministic pseudo-token in [0, 2^32) from ANY int64 key column
+    (negative keys included).
 
     Overflow-free by construction: (key·KNUTH) mod 2^32 is computed via
-    a 16-bit split of (key mod 2^32), so every intermediate stays below
+    a 16-bit split of pmod(key, 2^32), so every intermediate stays below
     2^48 — the naive single multiply exceeds int64 for keys ≥ ~3.47e9
     (ANSI Spark aborts, DuckDB BIGINT errors, numpy wraps: three
-    different behaviors at production key ranges). Identical values to
-    the naive form wherever that form didn't overflow; paged_source
-    mirrors this arithmetic in numpy."""
-    k1 = key.cast("long") % F.lit(M32)
+    different behaviors at production key ranges).
+
+    k1 uses pmod, NOT `%`: Spark/DuckDB `%` follow the DIVIDEND sign, so
+    a negative key would make k1 negative — and then Spark's
+    double-div+cast `hi` (trunc toward zero), DuckDB's `//` (floor), and
+    numpy's divisor-sign `%` (already nonnegative) all disagree. Forcing
+    k1 ∈ [0, 2^32) makes floor == trunc and aligns all three engines;
+    paged_source mirrors this arithmetic in numpy (its `%` is natively
+    pmod for a positive divisor)."""
+    k1 = F.pmod(key.cast("long"), F.lit(M32))
     hi = (k1 / F.lit(65536)).cast("long")
     lo = k1 % F.lit(65536)
     t1 = (F.lit(KNUTH) * hi) % F.lit(M32)
@@ -79,7 +85,9 @@ def portable_token(key: Column) -> Column:
 
 
 def sql_portable_token(expr: str) -> str:
-    k1 = f"(CAST({expr} AS BIGINT) % {M32})"
+    # double-mod = pmod: DuckDB % follows the dividend sign, so negative
+    # keys need the +M32 fold to land in [0, 2^32) like Spark's pmod
+    k1 = f"(((CAST({expr} AS BIGINT) % {M32}) + {M32}) % {M32})"
     hi = f"({k1} // 65536)"
     lo = f"({k1} % 65536)"
     t1 = f"(({KNUTH} * {hi}) % {M32})"

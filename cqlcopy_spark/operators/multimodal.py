@@ -194,13 +194,32 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
         # header-only (other bpp/compression, or truncated pixel array):
         # dims are still honestly parseable, pixel stats are not
         return int(w), h_abs, 1, 0.0
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 44:
-        channels, = struct.unpack("<H", payload[22:24])
-        rate, = struct.unpack("<I", payload[24:28])
-        block_align, = struct.unpack("<H", payload[32:34])
-        data_size, = struct.unpack("<I", payload[40:44])
-        frames = data_size // max(block_align, 1)
-        return int(rate), int(channels), int(frames), 0.0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 20:
+        # Walk the RIFF chunk list instead of assuming the canonical
+        # 44-byte header (r04 ADVICE): a valid file may carry LIST/fact
+        # chunks before 'fmt ' or 'data', and fixed offsets 22/24/32/40
+        # would silently read garbage there. Unlocatable or truncated
+        # fmt/data chunks fall through to NotImplementedError — the
+        # documented stand-in contract.
+        pos = 12
+        fmt = None
+        data_size = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size, = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                channels, = struct.unpack("<H", body[2:4])
+                rate, = struct.unpack("<I", body[4:8])
+                block_align, = struct.unpack("<H", body[12:14])
+                fmt = (channels, rate, block_align)
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
+        if fmt is not None and data_size is not None:
+            channels, rate, block_align = fmt
+            frames = data_size // max(block_align, 1)
+            return int(rate), int(channels), int(frames), 0.0
     raise NotImplementedError(
         "compressed codec or truncated container — needs an imaging/av "
         "library (PIL/pyav) or the stand-in kernel"

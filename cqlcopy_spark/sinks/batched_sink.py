@@ -65,7 +65,17 @@ class BatchedCsvWriter(DataSourceWriter):
         self.null_literal = options.get("null_literal", DEFAULT_CONFIG.null_literal)
         bs = options.get("bool_style", ",".join(DEFAULT_CONFIG.bool_style))
         self.true_lit, self.false_lit = (x.strip() for x in bs.split(","))
-        self.ts_format = options.get("ts_format", "%Y-%m-%d %H:%M:%S%z")
+        # timestamp layout DERIVED from the COPY surface's --time-format
+        # (Go layout → strftime), so this sink renders the same wire form
+        # cfg.time_format re-parses. PySpark hands the Python writer
+        # tz-NAIVE datetimes (session tz UTC): a naive strftime("%z")
+        # renders EMPTY, so _render localizes to UTC first — otherwise
+        # the emitted lines are not re-ingestable under the default
+        # layout (its read side requires an offset).
+        from cqlcopy_spark.config import go_layout_to_strftime
+
+        go_fmt = options.get("time_format_go", DEFAULT_CONFIG.time_format_go)
+        self.ts_format = options.get("ts_format", go_layout_to_strftime(go_fmt))
 
     def write(self, iterator):
         """Task-side: accumulate rows into batches, flush each batch
@@ -118,6 +128,10 @@ class BatchedCsvWriter(DataSourceWriter):
             if isinstance(v, bool):
                 return self.true_lit if v else self.false_lit
             if isinstance(v, _dt.datetime):
+                if v.tzinfo is None and "%z" in self.ts_format:
+                    # session tz is UTC, so naive values ARE UTC instants;
+                    # without this, %z renders as the empty string
+                    v = v.replace(tzinfo=_dt.timezone.utc)
                 return v.strftime(self.ts_format)
             return str(v)
 

@@ -31,7 +31,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from cqlcopy_spark.functions.portable import KNUTH, M32
 
-RING_MAX = M32  # tokens live in (-2^32, 2^32) — sign follows the key
+RING_MAX = M32  # tokens live in [0, 2^32) for ANY key sign (pmod fold)
 
 
 @dataclass

@@ -75,6 +75,7 @@ def continuous_agg_sink(
     sum_expr: str,
     count_col: str = "n",
     sum_col: str = "total",
+    on_new_run: str = "error",
 ) -> DataStreamWriter:
     """Continuous incremental maintenance of a grouped aggregate — the
     streaming twin of agg_incremental_merge: each micro-batch is
@@ -82,21 +83,68 @@ def continuous_agg_sink(
     MERGED into a parquet state table via the partial-aggregate
     algebra, never a recompute over history.
 
-    Exactly-once under batch replay comes from versioned state: the
-    merged result of batch b is written to state_dir/v=<b> by reading
-    the LATEST version strictly below b — a replayed batch re-derives
-    its version from the same predecessor and overwrites the same
-    directory, so duplicated delivery cannot double-count. Readers take
-    max(v) (the versions also give time travel over the aggregate's
-    history; compact old versions like any snapshot retention policy).
-    State size is grouped-key-bounded — the stream itself is never
-    retained."""
+    Exactly-once is scoped to SAME-CHECKPOINT recovery: within one
+    checkpoint lineage, batch ids are stable and a replayed batch id
+    carries the same rows, so writing batch b's merge to state_dir/v=<b>
+    from the latest version strictly below b makes redelivery
+    idempotent (a replay re-derives from the same predecessor and
+    overwrites the same directory). Readers take max(v); the versions
+    also give time travel over the aggregate's history.
+
+    A DIFFERENT checkpoint against existing state is NOT generally safe:
+    batch ids restart and the source may slice files differently, so
+    merging new-run batch b onto old-run v<b state can double-count.
+    The sink records the query id (from the checkpoint metadata) in
+    state_dir/_run.json and, on a mismatch, applies `on_new_run`:
+    "error" (default) refuses to touch the state; "restart" discards
+    the old lineage and recomputes from scratch — correct only when the
+    new run redelivers the FULL input (e.g. availableNow over the same
+    directory). State size is grouped-key-bounded — the stream itself
+    is never retained."""
+    import json
     import re
+    import shutil
 
     from pyspark.sql import functions as F
 
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
+
+    def _query_id() -> str:
+        meta = os.path.join(checkpoint_dir, "metadata")
+        if os.path.isfile(meta):
+            with open(meta, encoding="utf-8") as f:
+                qid = json.load(f).get("id")
+            if qid:
+                return str(qid)
+        return os.path.abspath(checkpoint_dir)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        qid = _query_id()
+        marker = os.path.join(state_dir, "_run.json")
+        same_run = True
+        if os.path.isdir(state_dir):
+            prev_qid = None
+            if os.path.isfile(marker):
+                with open(marker, encoding="utf-8") as f:
+                    prev_qid = json.load(f).get("query_id")
+            if prev_qid is not None and prev_qid != qid:
+                if on_new_run == "error":
+                    raise ValueError(
+                        f"continuous_agg_sink: state at {state_dir!r} belongs to "
+                        f"checkpoint run {prev_qid!r}, not {qid!r}. Merging across "
+                        "runs can double-count (batch ids restart and may slice "
+                        "the source differently). Reuse the original checkpoint, "
+                        "point at a fresh state_dir, or pass on_new_run='restart' "
+                        "to discard the old lineage and recompute from scratch."
+                    )
+                # restart: drop the old lineage so this run's batch 0
+                # starts from an empty predecessor
+                same_run = False
+                for d in os.listdir(state_dir):
+                    if re.fullmatch(r"v=(\d+)", d):
+                        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
         # sum_expr must be an EXACT-integer aggregate (e.g. a cents sum):
         # merge ≡ recompute only holds bitwise for mergeable exact sums
         delta = batch_df.groupBy(group_col).agg(
@@ -104,7 +152,7 @@ def continuous_agg_sink(
             F.expr(sum_expr).alias(sum_col),
         )
         prev = None
-        if os.path.isdir(state_dir):
+        if same_run and os.path.isdir(state_dir):
             versions = [
                 int(m.group(1))
                 for d in os.listdir(state_dir)
@@ -142,6 +190,8 @@ def continuous_agg_sink(
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v={batch_id}")
         )
+        with open(marker, "w", encoding="utf-8") as f:
+            json.dump({"query_id": qid}, f)
 
     return stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -152,6 +152,35 @@ def test_cli_write_parse_budget_enforced(spark, tmp_path):
         )
 
 
+def test_cli_stdin_spool_cleaned_on_error(spark, tmp_path, monkeypatch):
+    """A piped invocation that FAILS (parse budget, here) must not leak
+    the spooled stdin in the temp dir (r04 ADVICE: cleanup ran only on
+    the success path)."""
+    import io as _io
+    import os
+    import tempfile
+
+    spool_dir = tmp_path / "spools"
+    spool_dir.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(spool_dir))
+    monkeypatch.setattr(
+        "sys.stdin", _io.StringIO('"id","name"\n1,ok\n"unterminated,oops\n')
+    )
+    with pytest.raises(ValueError, match="budget"):
+        main(
+            [
+                "write", "items", "id", "name",
+                "--input", "-",
+                "--types", "long,string",
+                "--dynamic",
+                "--max-parse-errors", "0",
+                "--path", str(tmp_path / "never_spool.parquet"),
+            ],
+            spark=spark,
+        )
+    assert os.listdir(spool_dir) == []  # spool unlinked on the error path
+
+
 def test_cli_write_inference_parse_budget_binds(spark, tmp_path):
     """Inference path (no --types): the parse-error budget must bind too.
     r03 ADVICE: the old corrupt-column check was dead code because

@@ -105,6 +105,55 @@ def test_batched_sink_two_phase_commit_roundtrip(spark, tmp_path):
     assert landed == n  # every row, including final partial batches
 
 
+def test_batched_sink_timestamp_roundtrip(spark, tmp_path):
+    """Timestamps staged by the batched sink must carry the UTC offset
+    the default --time-format layout expects ('+0000', Go '-0700'
+    semantics), and re-ingest through the engine's own dynamic parser to
+    the same instants. PySpark hands the Python writer tz-NAIVE
+    datetimes, so a bare strftime('%z') renders empty — the r04 ADVICE
+    regression this pins."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from cqlcopy_spark.catalog import _ship_package
+    from cqlcopy_spark.config import DEFAULT_CONFIG
+    from cqlcopy_spark.sinks.batched_sink import register_batched_sink
+    from cqlcopy_spark.sources.csv_source import cast_dynamic, parse_csv_dynamic
+
+    _ship_package(spark)
+    register_batched_sink(spark)
+    out = str(tmp_path / "ts_sink")
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-06-30 23:59:59")],
+        "id long, s string",
+    ).selectExpr("id", "CAST(s AS TIMESTAMP) AS ts")
+    src.coalesce(1).write.format("cql_batched").option("path", out).mode(
+        "append"
+    ).save()
+    lines = [
+        ln
+        for f in os.listdir(out)
+        if f.endswith(".csv")
+        for ln in open(os.path.join(out, f), encoding="utf-8").read().splitlines()
+    ]
+    assert sorted(lines) == [
+        "1,2024-01-01 00:00:00+0000",
+        "2,2024-06-30 23:59:59+0000",
+    ]
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, header=False)  # sink emits no header
+    raw = parse_csv_dynamic(spark, out, ["id", "ts"], cfg)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    back = cast_dynamic(raw, schema, cfg)
+    got = {r["id"]: r["ts"] for r in back.select("id", "ts").collect()}
+    want = {r["id"]: r["ts"] for r in src.collect()}
+    assert got == want
+
+
 def test_batch_byte_threshold_counts_utf8_octets(tmp_path):
     """The byte threshold must measure UTF-8 octets of the staged
     (quoted) line — codepoint-counting unquoted fields undercounts

@@ -255,6 +255,41 @@ def test_composite_token_sql_twin_matches_column_form(spark):
         assert t == want, (a, b, t, want)
 
 
+def test_token_negative_keys_three_way_agreement(spark):
+    """Negative keys: Spark pmod fold, DuckDB double-mod fold, and
+    paged_source's numpy arithmetic must yield the SAME token — a
+    mismatch means skipped/duplicated rows on resume (the resume-token
+    surface pages arbitrary user key columns, sign included)."""
+    import duckdb
+    import numpy as np
+
+    from cqlcopy_spark.functions.portable import (
+        KNUTH,
+        M32,
+        portable_token,
+        sql_portable_token,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [-1, -(2**31), -(2**33) - 5, -999983, 0, 3, 2**34 + 17]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["t"]
+        for r in df.select("k", portable_token(F.col("k")).alias("t")).collect()
+    }
+    sql = sql_portable_token("k")
+    arr = np.array(keys, dtype=np.int64)
+    k1 = arr % np.int64(M32)  # numpy %: divisor sign → already nonnegative
+    hi, lo = k1 // np.int64(65536), k1 % np.int64(65536)
+    t1 = (np.int64(KNUTH) * hi) % np.int64(M32)
+    t2 = (t1 * np.int64(65536)) % np.int64(M32)
+    np_tok = (t2 + np.int64(KNUTH) * lo) % np.int64(M32)
+    for k, nt in zip(keys, np_tok):
+        duck = duckdb.sql(f"SELECT {sql} AS t FROM (SELECT {k} AS k)").fetchone()[0]
+        assert got[k] == duck == int(nt), (k, got[k], duck, int(nt))
+        assert 0 <= got[k] < M32
+
+
 def test_null_literal_as_string_data_round_trips(spark, tmp_path):
     """A STRING whose value is the null literal must survive the export
     → dynamic-parse round trip distinctly from SQL NULL (write.go

@@ -135,6 +135,29 @@ def test_real_decode_parses_png_gif_bmp_wav():
         _decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
+def test_real_decode_wav_chunk_walk():
+    """Non-canonical RIFF layouts (r04 ADVICE): a LIST chunk before
+    'fmt '/'data' must still parse correctly (the old fixed 44-byte
+    offsets read garbage there), and a WAVE signature with no locatable
+    fmt/data must raise — the stand-in fallback contract."""
+    import struct
+
+    import pytest
+
+    from cqlcopy_spark.operators.multimodal import _decode_real
+
+    canonical = _wav(22050, 1, 7)
+    chunks = canonical[12:]  # 'fmt ' + 'data' chunks
+    list_chunk = b"LIST" + struct.pack("<I", 10) + b"INFOhello\x00"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(list_chunk) + len(chunks)) + b"WAVE"
+    payload += list_chunk + chunks
+    assert _decode_real(payload) == (22050, 1, 7, 0.0)
+    # signature-valid container with no fmt/data → fallback, not garbage
+    no_data = b"RIFF" + struct.pack("<I", 4 + len(list_chunk)) + b"WAVE" + list_chunk
+    with pytest.raises(NotImplementedError):
+        _decode_real(no_data)
+
+
 def test_decode_features_real_path_through_spark(spark):
     """use_real=True flows the stdlib container parsers through the same
     Arrow mapInPandas stage as the stub kernel."""

@@ -207,6 +207,72 @@ def test_pre_session_late_events_gap_merge(spark, tmp_path):
     }
 
 
+def test_cross_batch_late_split_is_the_documented_trade(spark, tmp_path):
+    """CONTRACT PIN (r04 VERDICT item 5): state carries only the OPEN
+    session, so two late events one gap apart that arrive in DIFFERENT
+    micro-batches emit as two 1-event sessions — batch semantics would
+    merge them into one. This is the documented approximation
+    (stateful.py: a closed emission is final; buffering pre-session late
+    events across batches is what session_window's internal buffer
+    buys). If this test starts failing with ONE merged session, the
+    implementation upgraded — update the docstring there and this pin
+    deliberately."""
+    import pandas as pd
+
+    sec = 1_000_000
+    base = 100_000
+    stage = str(tmp_path / "late_xbatch")
+    os.makedirs(stage)
+    f1 = os.path.join(stage, "b1.parquet")
+    f2 = os.path.join(stage, "b2.parquet")
+    f3 = os.path.join(stage, "b3.parquet")
+    # batch 1 opens a session at +10000s
+    pd.DataFrame({"user_id": [1], "us": [(base + 10_000) * sec]}).to_parquet(f1)
+    # batch 2: late +0s — > gap before the open session, emitted closed
+    pd.DataFrame({"user_id": [1], "us": [base * sec]}).to_parquet(f2)
+    # batch 3: late +900s — within one gap of +0s, but that session is
+    # already emitted and gone from state; +50000s leaves the +10000s
+    # session closed by gap
+    pd.DataFrame(
+        {"user_id": [1, 1], "us": [(base + 900) * sec, (base + 50_000) * sec]}
+    ).to_parquet(f3)
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+
+    src = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+        # 3h delay: the late rows must clear Spark's input-side late-row
+        # filter (watermark applied with a one-batch lag) so the test
+        # pins the SESSIONIZER's state contract, not the filter
+        .withWatermark("ts", "3 hours")
+    )
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("late_xbatch_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_xbatch_sessions").collect()
+    }
+    q.stop()
+    # the trade: {+0s, +900s} would be ONE session in batch semantics
+    assert emitted == {
+        (1, base * sec, (base + 1_800) * sec, 1),
+        (1, (base + 900) * sec, (base + 900 + 1_800) * sec, 1),
+        (1, (base + 10_000) * sec, (base + 10_000 + 1_800) * sec, 1),
+    }
+
+
 def test_late_chain_bridges_into_open_session(spark, tmp_path):
     """Two late events where the LATER one is within the gap of the open
     session's start must chain the whole run into ONE open session

@@ -307,12 +307,17 @@ def test_streaming_sliding_matches_batch(spark):
     pd.testing.assert_frame_equal(batch, stream)
 
 
-def test_continuous_agg_sink_maintains_and_survives_replay(spark, tmp_path):
+def test_continuous_agg_sink_maintains_and_guards_cross_run(spark, tmp_path):
     """The streaming IVM twin: replaying events through the continuous
-    aggregate sink must end with state == the batch aggregate, and a
-    FULL REPLAY from a fresh checkpoint over the same input (every
-    micro-batch delivered again) must NOT double-count — versioned
-    predecessor-merge makes redelivery idempotent."""
+    aggregate sink must end with state == the batch aggregate. The
+    exactly-once claim is scoped to SAME-CHECKPOINT recovery (r04
+    ADVICE): a DIFFERENT checkpoint against existing state must be
+    REFUSED by default (batch ids restart and may slice the source
+    differently → double-count risk), and on_new_run='restart' must
+    discard the old lineage and recompute — full redelivery ends at the
+    same answer, not 2× it."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
     from pyspark.sql import functions as F
 
     from cqlcopy_spark.catalog import table
@@ -322,16 +327,19 @@ def test_continuous_agg_sink_maintains_and_survives_replay(spark, tmp_path):
     state = str(tmp_path / "state")
     sum_expr = "sum(cast(round(value * 100) as bigint))"
 
-    def run(ckpt: str) -> None:
+    def run(ckpt: str, **kw) -> None:
         q = continuous_agg_sink(
             _events_stream(spark, SF_SMALL),
             state,
             str(tmp_path / ckpt),
             group_col="event_type",
             sum_expr=sum_expr,
+            **kw,
         ).trigger(availableNow=True).start()
-        q.awaitTermination(120)
-        q.stop()
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
 
     run("ckpt1")
     want = {
@@ -346,11 +354,17 @@ def test_continuous_agg_sink_maintains_and_survives_replay(spark, tmp_path):
         for r in read_agg_state(spark, state).collect()
     }
     assert got1 == want
-    # fresh checkpoint → Spark redelivers every micro-batch with the
-    # same ids over the existing state; counts must not double
-    run("ckpt2")
-    got2 = {
+    # a NEW checkpoint over the old state must refuse to merge by default
+    with pytest.raises(StreamingQueryException, match="belongs to"):
+        run("ckpt2")
+    assert {
+        (r["event_type"], r["n"], r["total"])
+        for r in read_agg_state(spark, state).collect()
+    } == want  # refused run left state untouched
+    # explicit restart: old lineage dropped, full redelivery recomputes
+    run("ckpt3", on_new_run="restart")
+    got3 = {
         (r["event_type"], r["n"], r["total"])
         for r in read_agg_state(spark, state).collect()
     }
-    assert got2 == want
+    assert got3 == want
