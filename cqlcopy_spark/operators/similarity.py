@@ -536,6 +536,120 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# similarity_ann_grid — fully ORACLED ANN (axis-aligned hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+_GRID_TABLES = 6
+_GRID_PLANES = 5
+
+
+def _sql_grid_sig(emb: str, t: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {emb}[{_GRID_PLANES}*{t} + {j + 1}] > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_GRID_PLANES)
+    )
+    return f"({terms})"
+
+
+_GRID_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n AS (SELECT * FROM n0 WHERE nrm > 0),
+s AS (
+  SELECT vec_id, tt.t AS t, {_sql_grid_sig('emb', 'tt.t')} AS sig
+  FROM n CROSS JOIN (SELECT unnest(range(0, {_GRID_TABLES})) AS t) tt
+),
+q AS (SELECT vec_id AS q_id, t, sig FROM s WHERE vec_id < {_N_QUERIES}),
+c AS (
+  SELECT DISTINCT q.q_id, s.vec_id
+  FROM s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id != q.q_id
+),
+sims AS (
+  SELECT c.q_id, c.vec_id AS n_id,
+         {_sql_dot('qq.emb', 'nn.emb')} / (qq.nrm * nn.nrm) AS cosine
+  FROM c
+  JOIN n qq ON qq.vec_id = c.q_id
+  JOIN n nn ON nn.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM sims
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("similarity_ann_grid", oracle=_GRID_ORACLE)
+def similarity_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a FULL value-hash oracle (r04 VERDICT item 4): the same
+    bucket-join → exact-refine → top-k pipeline as similarity_ann_lsh,
+    but the hash family is axis-ALIGNED hyperplanes — table t's m-bit
+    signature is the sign pattern of coordinates [5t, 5t+5) — so the
+    entire pipeline, bucketing included, is expressible in DuckDB SQL
+    and the driver can hash-verify the refined candidate set end to end
+    (random-hyperplane LSH keeps better recall per table but its
+    md5-derived plane matrix is not SQL-portable; that variant stays
+    rows-only with its recall pinned in tests/test_ann_recall.py).
+
+    Scale shape: identical to ann_lsh — signatures are a pure JVM map
+    (element_at + comparisons, no Python), candidates join on the
+    (t, sig) ints so volume ≈ L·N/2^m per query, exact cosine runs only
+    on deduped candidates. The refine fold is the shared left-to-right
+    IEEE order, so doubles match DuckDB bitwise."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
+        col("nrm") > 0
+    )
+    sig_exprs = []
+    for t in range(_GRID_TABLES):
+        s = F.lit(0)
+        for j in range(_GRID_PLANES):
+            s = s + F.when(
+                F.element_at(col("emb"), t * _GRID_PLANES + j + 1) > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        sig_exprs.append(s)
+    sigs = n.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.posexplode(F.array(*sig_exprs)).alias("t", "sig"),
+    )
+    q = sigs.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("q_id"),
+        col("emb").alias("q_emb"),
+        col("nrm").alias("q_nrm"),
+        col("t").alias("q_t"),
+        col("sig").alias("q_sig"),
+    )
+    cands = (
+        sigs.join(
+            broadcast(q),
+            (col("t") == col("q_t"))
+            & (col("sig") == col("q_sig"))
+            & (col("vec_id") != col("q_id")),
+        )
+        .select("q_id", "q_emb", "q_nrm", "vec_id", "emb", "nrm")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    sims = cands.select(
+        "q_id",
+        col("vec_id").alias("n_id"),
+        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(col("cosine").desc(), col("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_quantize — int8 symmetric quantization (vector compression)
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,20 @@ def test_window_ops_single_exchange(spark):
     assert p.count("Window (") == 1, p  # one Window operator serves all four
 
 
+def test_gapfill_linear_lineage_no_join_no_sort(spark):
+    """timeseries_gapfill is the lead-explode formulation: ONE linear
+    lineage (agg shuffle + window shuffle), no join back onto the spine,
+    no InMemoryRelation branch, and no global range sort of the grid —
+    the r04 bench regression came from the spine-join plan's extra
+    exchanges and presentation-only sort."""
+    p = plan_of(QUERIES["timeseries_gapfill"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "InMemoryRelation", "rangepartitioning"):
+        assert node not in p, p
+    assert shuffle_exchanges(p) == 2, p  # hash agg + lead window, nothing else
+    assert "Generate" in p, p  # the explode producing gap rows
+
+
 def test_partitioned_scan_prunes_directories(spark):
     p = plan_of(QUERIES["partitioned_scan_prune"](spark, SF_SMALL))
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
