@@ -878,6 +878,94 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# contamination_substring — exact CHARACTER-substring contamination check
+# ---------------------------------------------------------------------------
+
+_SUB_N = 24  # window length (chars)
+_SUB_STRIDE = 8  # corpus-side sampling stride
+
+
+def _sql_char_windows(stride: int) -> str:
+    # distinct char windows of length _SUB_N starting at 1, 1+stride, …
+    return f"""
+list_distinct(list_transform(
+  range(1, len(text) - {_SUB_N - 1} + 1, {stride}),
+  i -> substr(text, CAST(i AS INT), {_SUB_N})))
+"""
+
+
+@register(
+    "contamination_substring",
+    oracle=f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, unnest({_sql_char_windows(1)}) AS w
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0 AND len(text) >= {_SUB_N}
+),
+corpus AS (
+  SELECT doc_id, unnest({_sql_char_windows(_SUB_STRIDE)}) AS w
+  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0 AND len(text) >= {_SUB_N}
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       MIN(b.bench_id) AS first_bench_id
+FROM corpus c JOIN bench b USING (w)
+GROUP BY c.doc_id
+""",
+)
+def contamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-substring contamination (r04 VERDICT item 7):
+    flags training docs sharing a VERBATIM character run with the
+    held-out set — the check that catches copied eval text whose word
+    tokenization differs (punctuation, casing of neighbors, joined
+    tokens), which the word-8-gram contamination_overlap can miss.
+
+    Guarantee: the bench side indexes EVERY length-24 window, the
+    corpus side samples windows at stride 8, so any shared substring of
+    length ≥ n + s − 1 (31 chars) contains a sampled corpus window that
+    exactly matches a bench window — detection is certain above that
+    length, not probabilistic. The stride is the scale knob: corpus
+    rows ≈ chars/8 instead of chars, and the eval set (tiny by
+    contract) is the side paying full window density. Join shape mirrors
+    contamination_overlap: bench windows BROADCAST, the 100 TB corpus
+    side stays map-only + one aggregation shuffle. In production the
+    window strings would be xxhash64-folded before the join (8-byte
+    keys, same semantics); the raw-string join here keeps the pipeline
+    DuckDB-verifiable end to end."""
+    d = table(spark, sf_dir, "documents")
+
+    def windows(df, stride: int):
+        idx = F.sequence(
+            F.lit(1), F.length("text") - F.lit(_SUB_N - 1), F.lit(stride)
+        )
+        return (
+            df.filter(F.length("text") >= _SUB_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            idx, lambda i: F.substring(col("text"), i, _SUB_N)
+                        )
+                    )
+                ).alias("w"),
+            )
+        )
+
+    bench = windows(d.filter(col("doc_id") % _BENCH_MOD == 0), 1).select(
+        col("doc_id").alias("bench_id"), "w"
+    )
+    corpus = windows(d.filter(col("doc_id") % _BENCH_MOD != 0), _SUB_STRIDE)
+    return (
+        corpus.join(F.broadcast(bench), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(col("bench_id")).alias("n_bench_docs"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pack_sequences — fixed-token-budget sequence packing plan
 # ---------------------------------------------------------------------------
 

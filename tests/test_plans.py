@@ -104,6 +104,17 @@ def test_window_ops_single_exchange(spark):
     assert p.count("Window (") == 1, p  # one Window operator serves all four
 
 
+def test_contamination_substring_broadcasts_eval_set(spark):
+    """The exact-substring contamination check must broadcast the bench
+    (eval-set) windows — shuffling the 100 TB corpus side for this join
+    is the failure mode, and a window-key equi-join must never
+    degenerate into a nested-loop."""
+    p = plan_of(QUERIES["contamination_substring"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_gapfill_linear_lineage_no_join_no_sort(spark):
     """timeseries_gapfill is the lead-explode formulation: ONE linear
     lineage (agg shuffle + window shuffle), no join back onto the spine,
