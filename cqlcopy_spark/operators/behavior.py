@@ -412,3 +412,98 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats — outlier-robust per-group statistics (rank cutoffs)
+# ---------------------------------------------------------------------------
+
+_WINS_P = 0.05  # two-sided trim fraction
+
+
+def _wins_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_davg
+
+    return f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cut AS (
+  SELECT event_type, value,
+         MAX(CASE WHEN rn = CAST(ceil({_WINS_P} * n) AS BIGINT)
+             THEN value END) OVER (PARTITION BY event_type) AS lo,
+         MAX(CASE WHEN rn = n + 1 - CAST(ceil({_WINS_P} * n) AS BIGINT)
+             THEN value END) OVER (PARTITION BY event_type) AS hi
+  FROM r
+),
+clamped AS (
+  SELECT event_type, lo, hi,
+         least(greatest(value, lo), hi) AS v
+  FROM cut
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(lo) AS p05, MIN(hi) AS p95,
+       {sql_davg('v')} AS wins_mean
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("winsorize_stats", oracle=_wins_oracle())
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) per-group mean — the robust-stats
+    step a feature pipeline runs before normalization so a handful of
+    corrupt readings can't drag the scale. Cutoffs are exact RANK
+    statistics (the ceil(p·n)-th smallest / largest value, ordered with
+    an event_id tiebreak), not interpolated quantiles: interpolation
+    formulas differ subtly across engines while "the k-th value" is one
+    comparison — every byte here is value-hash portable. Values are
+    clamped to [p05, p95] and averaged with the decimal-exact davg.
+
+    Scale: ONE shuffle on event_type serves the rank window, the
+    cutoff window aggregates, and the final group-by (same key). Groups
+    at this cardinality (15 types) parallelize across tasks; for a
+    group too large to sort in one task the exact rank is replaced by
+    approx_percentile's t-digest — same plan shape, error-bounded
+    cutoffs (the trade agg_approx already documents)."""
+    from cqlcopy_spark.functions.portable import davg
+
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k = F.ceil(F.lit(_WINS_P) * col("n"))
+    # cutoffs as WINDOW aggregates over the same partition — a
+    # groupBy+join-back would re-execute the rank window's lineage per
+    # side (CLAUDE.md self-join rule); this stays one linear lineage
+    # sharing one event_type exchange
+    cut = r.select(
+        "event_type",
+        "value",
+        F.max(F.when(col("rn") == k, col("value"))).over(wn).alias("lo"),
+        F.max(F.when(col("rn") == col("n") + 1 - k, col("value"))).over(wn).alias("hi"),
+    )
+    clamped = cut.select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(col("value"), col("lo")), col("hi")).alias("v"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            davg(col("v")).alias("wins_mean"),
+        )
+        .orderBy("event_type")
+    )

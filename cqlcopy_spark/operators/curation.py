@@ -435,3 +435,80 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-scanning the corpus; Spark evicts it with the session.
     # Bounded: vocab-sized.
     return out
+
+
+# ---------------------------------------------------------------------------
+# sample_per_group — exact k-per-group deterministic sample, scale-correct
+# ---------------------------------------------------------------------------
+
+_SPG_K = 5  # docs kept per language
+_SPG_MARGIN = 4  # prefilter expects MARGIN*k survivors per group
+
+def _spg_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_portable_token
+
+    tok = sql_portable_token("doc_id")
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+),
+thresh AS (
+  SELECT lang,
+         CAST(floor({_SPG_MARGIN * _SPG_K} * 4294967296.0 / n_g) AS BIGINT) + 1
+           AS tau
+  FROM counts
+),
+survivors AS (
+  SELECT d.lang, d.doc_id, d.source, {tok} AS tok
+  FROM documents d JOIN thresh t USING (lang)
+  WHERE {tok} < t.tau
+),
+ranked AS (
+  SELECT lang, doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok, doc_id) AS rank
+  FROM survivors
+)
+SELECT lang, rank, doc_id, source FROM ranked WHERE rank <= {_SPG_K}
+"""
+
+
+@register("sample_per_group", oracle=_spg_oracle())
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group uniform sample (reservoir-sampling
+    semantics without RNG): rank each group's rows by their portable
+    hash token and keep the k smallest — re-runs, engines, and partition
+    layouts all agree on the exact sample.
+
+    Scale shape — the naive row_number-over-every-group plan sorts
+    ENTIRE groups just to keep k rows; here a hash-threshold prefilter
+    does the heavy lifting: per-group τ ≈ margin·k/n_g of token space
+    passes ~margin·k rows per group (a broadcast join of the tiny
+    group-count table + a map-side filter), and the exact window runs
+    only on those survivors. The 100 TB corpus is scanned once and
+    never shuffled — only ~margin·k rows per group reach the window.
+    The margin makes a short group (< k survivors) vanishingly unlikely
+    (Chernoff: P[< k of expected 4k] < e^{-1.7k}); a production job
+    would assert survivor counts and widen τ on the rare shortfall.
+    Both engines run the identical floor(double-division) threshold
+    arithmetic, so the sample is value-hash verifiable end to end."""
+    from cqlcopy_spark.functions.portable import portable_token
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_g"))
+    tau = (
+        F.floor(F.lit(float(_SPG_MARGIN * _SPG_K) * 4294967296.0) / col("n_g"))
+        .cast("long")
+        + 1
+    ).alias("tau")
+    thresh = counts.select("lang", tau)
+    survivors = (
+        d.join(F.broadcast(thresh), "lang")
+        .withColumn("tok", portable_token(col("doc_id")))
+        .filter(col("tok") < col("tau"))
+    )
+    w = Window.partitionBy("lang").orderBy("tok", "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _SPG_K)
+        .select("lang", "rank", "doc_id", "source")
+    )

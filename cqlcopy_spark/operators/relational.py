@@ -387,6 +387,95 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cdc_apply_changelog — multi-version changelog apply (LWW + deletes)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         0 AS seq, 'B' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U1', o_totalprice * 1.05, 1, 'U'
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U2', o_totalprice * 1.10, 2, 'U'
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 3, 'D'
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 1, 'I'
+  FROM orders WHERE o_orderkey % 25 = 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op AS last_op
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply_changelog", oracle=_CDC_ORACLE)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC changelog application — the multi-VERSION generalization
+    of merge_upsert: a sequenced change stream (two update generations,
+    delete markers, inserts) collapses onto the base snapshot by
+    last-writer-wins. Base rows enter the log at seq 0, so ONE window
+    (row_number over key ORDER BY seq DESC) resolves everything: the
+    newest version wins, a winning delete marker erases the key, and
+    untouched base rows survive as their own winners — no join at all.
+
+    Scale shape: one shuffle on the merge key, identical to what a
+    lakehouse MERGE does under the hood; per-key state is the handful
+    of versions in this batch, never history. Changelog synthesized
+    deterministically from orders (10% updated, 5% updated twice, 2%
+    deleted, 4% inserted) so the oracle is closed-form. seq is unique
+    per key by construction — the window needs no further tiebreak."""
+    from pyspark.sql.window import Window
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _version(pred, status, factor, seq, op, shift=0):
+        src = base.filter(pred)
+        return src.select(
+            (col("o_orderkey") + shift).alias("o_orderkey"),
+            "o_custkey",
+            (F.lit(status) if status else col("o_orderstatus")).alias("o_orderstatus"),
+            (col("o_totalprice") * factor if factor else col("o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    log = (
+        base.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.lit(0).alias("seq"), F.lit("B").alias("op"),
+        )
+        .unionByName(_version(col("o_orderkey") % 10 == 0, "U1", 1.05, 1, "U"))
+        .unionByName(_version(col("o_orderkey") % 20 == 0, "U2", 1.10, 2, "U"))
+        .unionByName(_version(col("o_orderkey") % 50 == 0, None, None, 3, "D"))
+        .unionByName(
+            _version(col("o_orderkey") % 25 == 0, "N", None, 1, "I", shift=100_000_000)
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((col("rn") == 1) & (col("op") != "D"))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            col("op").alias("last_op"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # op 28: set_ops — union / intersect / except over key sets
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,39 @@ def test_window_ops_single_exchange(spark):
     assert p.count("Window (") == 1, p  # one Window operator serves all four
 
 
+def test_cdc_changelog_single_window_no_join(spark):
+    """cdc_apply_changelog resolves base + changelog with ONE window
+    over the merge key — a join-based formulation would shuffle twice
+    and re-execute the base lineage per side."""
+    p = plan_of(QUERIES["cdc_apply_changelog"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert node not in p, p
+    assert shuffle_exchanges(p) == 1, p  # the key window; union is narrow
+
+
+def test_sample_per_group_prefilters_before_window(spark):
+    """sample_per_group: the group-count table broadcasts and the hash
+    threshold filters BEFORE the rank window — the corpus must never be
+    shuffled wholesale into per-group sorts."""
+    p = plan_of(QUERIES["sample_per_group"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # the tok < tau filter must sit below the window (only survivors sort)
+    assert p.index("Filter") < p.index("Window"), p
+
+
+def test_winsorize_single_exchange_no_join(spark):
+    """winsorize_stats: rank window, cutoff windows, and the final
+    aggregate all share ONE event_type exchange; a groupBy+join-back
+    for the cutoffs would double-execute the window lineage."""
+    p = plan_of(QUERIES["winsorize_stats"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, p
+    # one hash exchange on event_type + the final tiny orderBy range
+    assert shuffle_exchanges(p) <= 2, p
+
+
 def test_contamination_substring_broadcasts_eval_set(spark):
     """The exact-substring contamination check must broadcast the bench
     (eval-set) windows — shuffling the 100 TB corpus side for this join
