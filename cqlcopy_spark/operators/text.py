@@ -1448,3 +1448,93 @@ def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_feature_hash — hashing-trick vectorizer (text → fixed-dim counts)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64  # feature-hash buckets
+_FH_PREFIX = 8  # fold the first 8 codepoints per token (dedup.py precedent)
+
+
+def _fh_oracle() -> str:
+    fold = " + ".join(
+        f"(CASE WHEN {k} < length(tok) "
+        f"THEN CAST(ascii(substr(tok, {k + 1}, 1)) AS BIGINT) ELSE 0 END) "
+        f"* {31 ** (_FH_PREFIX - 1 - k)}"
+        for k in range(_FH_PREFIX)
+    )
+    tok_bucket = f"({sql_portable_token(f'({fold})')} % {_FH_DIM})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+b AS (SELECT doc_id, {tok_bucket} AS bucket FROM toks),
+c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+spine AS (
+  SELECT doc_id, unnest(range(0, {_FH_DIM})) AS bucket FROM documents
+),
+f AS (
+  SELECT s.doc_id, s.bucket, COALESCE(c.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+)
+SELECT doc_id,
+       string_agg(CAST(cnt AS VARCHAR), '-' ORDER BY bucket) AS fvec,
+       sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS l2_norm
+FROM f GROUP BY doc_id
+"""
+
+
+@register("embed_feature_hash", oracle=_fh_oracle())
+def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al.'s feature hashing —
+    the no-vocabulary embedder): every token folds to a portable 64-bit
+    code (first-8-codepoint polynomial, dedup.py's recipe) which the
+    ring hash scatters over 64 buckets; a document's vector is its
+    bucket-count histogram plus the L2 norm downstream cosine needs.
+    This is how a pipeline bootstraps embeddings for similarity/dedup
+    when no model-generated vectors exist — the output feeds the same
+    operators the embeddings table does.
+
+    All JVM: token fold is 8 substr/ascii expressions, bucketing is the
+    shared portable_token arithmetic, counts are one (doc, bucket)
+    hash aggregate, and the dense 64-slot vector assembles via
+    map_from_entries + a sequence transform (missing buckets → 0) — no
+    Python, no second scan, two key-compatible shuffles. Wire form: the
+    integer counts join to a '-' string (array columns can't be driver-
+    hashed; float formatting differs between engines, so the DOUBLE
+    norm rides as its own column and the vector stays integer)."""
+    d = table(spark, sf_dir, "documents")
+    tok = col("tok")
+    fold = None
+    for k in range(_FH_PREFIX):
+        term = F.when(
+            F.length(tok) > k, F.ascii(F.substring(tok, k + 1, 1)).cast("long")
+        ).otherwise(F.lit(0)) * F.lit(31 ** (_FH_PREFIX - 1 - k))
+        fold = term if fold is None else fold + term
+    bucket = portable_token(fold) % _FH_DIM
+    counts = (
+        d.select("doc_id", F.explode(F.split(col("text"), " ")).alias("tok"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(col("bucket"), col("cnt")))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda b: F.coalesce(F.element_at(col("m"), b.cast("long")), F.lit(0)),
+    )
+    return dense.select(
+        "doc_id",
+        F.concat_ws("-", F.transform(vec, lambda x: x.cast("string"))).alias("fvec"),
+        F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")
+            )
+        ).alias("l2_norm"),
+    )

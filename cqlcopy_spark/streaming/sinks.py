@@ -67,6 +67,74 @@ def continuous_copy_sink(
     )
 
 
+def _checkpoint_query_id(checkpoint_dir: str) -> str:
+    """Stable identity of a checkpoint lineage: the query id Structured
+    Streaming writes to <checkpoint>/metadata at start (falls back to
+    the checkpoint path before the file exists)."""
+    import json
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if os.path.isfile(meta):
+        with open(meta, encoding="utf-8") as f:
+            qid = json.load(f).get("id")
+        if qid:
+            return str(qid)
+    return os.path.abspath(checkpoint_dir)
+
+
+def _run_guard(state_dir: str, qid: str, on_new_run: str, sink: str) -> bool:
+    """Enforce the cross-run contract shared by the versioned-state
+    sinks: returns True when `qid` continues the recorded lineage. A
+    DIFFERENT lineage either raises (on_new_run='error') or wipes the
+    old v=* versions and returns False (on_new_run='restart') — merging
+    across checkpoint lineages can double-count/misorder because batch
+    ids restart and may slice the source differently."""
+    import json
+    import re
+    import shutil
+
+    marker = os.path.join(state_dir, "_run.json")
+    if not os.path.isdir(state_dir) or not os.path.isfile(marker):
+        return True
+    with open(marker, encoding="utf-8") as f:
+        prev_qid = json.load(f).get("query_id")
+    if prev_qid is None or prev_qid == qid:
+        return True
+    if on_new_run == "error":
+        raise ValueError(
+            f"{sink}: state at {state_dir!r} belongs to checkpoint run "
+            f"{prev_qid!r}, not {qid!r}. Merging across runs can double-count "
+            "(batch ids restart and may slice the source differently). Reuse "
+            "the original checkpoint, point at a fresh state_dir, or pass "
+            "on_new_run='restart' to discard the old lineage and recompute."
+        )
+    for d in os.listdir(state_dir):
+        if re.fullmatch(r"v=(\d+)", d):
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    return False
+
+
+def _write_run_marker(state_dir: str, qid: str) -> None:
+    import json
+
+    with open(os.path.join(state_dir, "_run.json"), "w", encoding="utf-8") as f:
+        json.dump({"query_id": qid}, f)
+
+
+def _latest_version_below(state_dir: str, batch_id: int) -> "int | None":
+    import re
+
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    below = [v for v in versions if v < batch_id]
+    return max(below) if below else None
+
+
 def continuous_agg_sink(
     stream_df: DataFrame,
     state_dir: str,
@@ -101,50 +169,15 @@ def continuous_agg_sink(
     new run redelivers the FULL input (e.g. availableNow over the same
     directory). State size is grouped-key-bounded — the stream itself
     is never retained."""
-    import json
-    import re
-    import shutil
-
     from pyspark.sql import functions as F
 
     if on_new_run not in ("error", "restart"):
         raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
 
-    def _query_id() -> str:
-        meta = os.path.join(checkpoint_dir, "metadata")
-        if os.path.isfile(meta):
-            with open(meta, encoding="utf-8") as f:
-                qid = json.load(f).get("id")
-            if qid:
-                return str(qid)
-        return os.path.abspath(checkpoint_dir)
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        qid = _query_id()
-        marker = os.path.join(state_dir, "_run.json")
-        same_run = True
-        if os.path.isdir(state_dir):
-            prev_qid = None
-            if os.path.isfile(marker):
-                with open(marker, encoding="utf-8") as f:
-                    prev_qid = json.load(f).get("query_id")
-            if prev_qid is not None and prev_qid != qid:
-                if on_new_run == "error":
-                    raise ValueError(
-                        f"continuous_agg_sink: state at {state_dir!r} belongs to "
-                        f"checkpoint run {prev_qid!r}, not {qid!r}. Merging across "
-                        "runs can double-count (batch ids restart and may slice "
-                        "the source differently). Reuse the original checkpoint, "
-                        "point at a fresh state_dir, or pass on_new_run='restart' "
-                        "to discard the old lineage and recompute from scratch."
-                    )
-                # restart: drop the old lineage so this run's batch 0
-                # starts from an empty predecessor
-                same_run = False
-                for d in os.listdir(state_dir):
-                    if re.fullmatch(r"v=(\d+)", d):
-                        shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(state_dir, qid, on_new_run, "continuous_agg_sink")
         # sum_expr must be an EXACT-integer aggregate (e.g. a cents sum):
         # merge ≡ recompute only holds bitwise for mergeable exact sums
         delta = batch_df.groupBy(group_col).agg(
@@ -152,17 +185,10 @@ def continuous_agg_sink(
             F.expr(sum_expr).alias(sum_col),
         )
         prev = None
-        if same_run and os.path.isdir(state_dir):
-            versions = [
-                int(m.group(1))
-                for d in os.listdir(state_dir)
-                if (m := re.fullmatch(r"v=(\d+)", d))
-            ]
-            below = [v for v in versions if v < batch_id]
-            if below:
-                prev = spark.read.parquet(
-                    os.path.join(state_dir, f"v={max(below)}")
-                )
+        if same_run:
+            v = _latest_version_below(state_dir, batch_id)
+            if v is not None:
+                prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
         if prev is None:
             merged = delta
         else:
@@ -190,8 +216,7 @@ def continuous_agg_sink(
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v={batch_id}")
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            json.dump({"query_id": qid}, f)
+        _write_run_marker(state_dir, qid)
 
     return stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -208,3 +233,69 @@ def read_agg_state(spark, state_dir: str) -> DataFrame:
         if (m := re.fullmatch(r"v=(\d+)", d))
     ]
     return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
+
+
+def continuous_cdc_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Continuous CDC materialization — the streaming twin of
+    cdc_apply_changelog: each micro-batch of sequenced change rows
+    (upserts + 'D' delete markers) merges into a keyed parquet snapshot
+    by last-writer-wins on seq_col. Same versioned-state scheme as
+    continuous_agg_sink: batch b merges onto the latest v<b and writes
+    v=<b>, so a same-checkpoint replay re-derives from the same
+    predecessor (exactly-once scoped to same-checkpoint recovery; the
+    _run.json guard refuses or restarts on a foreign checkpoint).
+
+    Delete markers are RETAINED in state as tombstones rather than
+    dropped: a late change with seq below an applied delete must lose
+    to it, which requires the delete's seq to still be present.
+    Readers filter them (read_cdc_state); tombstone compaction is a
+    retention policy over versions, exactly like any snapshot store.
+    State size is keyspace-bounded (one row per live key + tombstone),
+    never stream-length-bounded. Per batch: one window shuffle on the
+    key over (batch ∪ prev-state) — what a lakehouse MERGE runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(state_dir, qid, on_new_run, "continuous_cdc_sink")
+        prev = None
+        if same_run:
+            v = _latest_version_below(state_dir, batch_id)
+            if v is not None:
+                prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+        merged = batch_df if prev is None else prev.unionByName(batch_df)
+        w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_cdc_state(spark, state_dir: str, op_col: str = "op") -> DataFrame:
+    """Latest live snapshot of a continuous_cdc_sink state table
+    (tombstones filtered)."""
+    from pyspark.sql import functions as F
+
+    return read_agg_state(spark, state_dir).filter(F.col(op_col) != "D")

@@ -368,3 +368,74 @@ def test_continuous_agg_sink_maintains_and_guards_cross_run(spark, tmp_path):
         for r in read_agg_state(spark, state).collect()
     }
     assert got3 == want
+
+
+def test_continuous_cdc_sink_lww_tombstones_and_cross_run_guard(spark, tmp_path):
+    """Streaming CDC materialization: last-writer-wins by seq across
+    micro-batches, delete markers persist as tombstones (a late
+    lower-seq change must LOSE to an applied delete or newer update),
+    and the cross-run guard refuses a foreign checkpoint by default /
+    recomputes under on_new_run='restart'."""
+    import os
+    import time
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from cqlcopy_spark.streaming.sinks import continuous_cdc_sink, read_cdc_state
+
+    stage = str(tmp_path / "changes")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    pd.DataFrame(
+        {
+            "key": [1, 2, 3],
+            "seq": [10, 10, 10],
+            "op": ["U", "U", "U"],
+            "val": [10.0, 20.0, 30.0],
+        }
+    ).to_parquet(f1)
+    # batch 2: newer update for 2, delete for 3, insert 4, and a LATE
+    # lower-seq change for 1 that must lose to batch 1's seq 10
+    pd.DataFrame(
+        {
+            "key": [2, 3, 4, 1],
+            "seq": [20, 20, 10, 5],
+            "op": ["U", "D", "U", "U"],
+            "val": [25.0, 0.0, 40.0, 5.0],
+        }
+    ).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    state = str(tmp_path / "cdc_state")
+
+    def run(ckpt: str, **kw) -> None:
+        src = (
+            spark.readStream.schema("key long, seq long, op string, val double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = continuous_cdc_sink(
+            src, state, str(tmp_path / ckpt), key_col="key", seq_col="seq", **kw
+        ).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run("ckpt1")
+    want = {(1, 10.0), (2, 25.0), (4, 40.0)}  # 3 is tombstoned, late 1@5 lost
+    got = {(r["key"], r["val"]) for r in read_cdc_state(spark, state).collect()}
+    assert got == want
+    with pytest.raises(StreamingQueryException, match="belongs to"):
+        run("ckpt2")
+    assert {
+        (r["key"], r["val"]) for r in read_cdc_state(spark, state).collect()
+    } == want
+    run("ckpt3", on_new_run="restart")
+    assert {
+        (r["key"], r["val"]) for r in read_cdc_state(spark, state).collect()
+    } == want
