@@ -507,3 +507,82 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov transition counts
+# ---------------------------------------------------------------------------
+
+_TRANS_TOP = 3  # top transitions kept per source state
+
+_TRANS_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+t AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS out_total FROM c GROUP BY src
+),
+r AS (
+  SELECT c.src, c.dst, c.n, t.out_total,
+         ROW_NUMBER() OVER (PARTITION BY c.src
+                            ORDER BY c.n DESC, c.dst) AS rank
+  FROM c JOIN t ON c.src = t.src
+)
+SELECT src, dst, n, rank,
+       CAST(n AS DOUBLE) / out_total AS p
+FROM r WHERE rank <= {_TRANS_TOP}
+ORDER BY src, rank
+"""
+
+
+@register("event_transitions", oracle=_TRANS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over each user's event sequence: count
+    (state → next-state) transitions and keep each source state's top
+    transitions with their empirical probability — the behavioral
+    fingerprint behind next-action prediction and bot detection.
+
+    Plan: ONE lead() window per user timeline (shuffle on user_id,
+    (ts, event_id) tiebreak makes successor choice deterministic), a
+    (src, dst) hash aggregate, and a per-src window over the tiny
+    transition matrix (|types|² rows) for totals and ranking. The raw
+    event volume passes exactly one exchange; everything after is
+    matrix-sized. p = n/out_total is one exact-integer IEEE division —
+    bitwise portable."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    c = (
+        seq.filter(col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    wr = Window.partitionBy("src").orderBy(col("n").desc(), col("dst"))
+    return (
+        c.withColumn("out_total", F.sum("n").over(wt))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(col("rank") <= _TRANS_TOP)
+        .select(
+            "src",
+            "dst",
+            "n",
+            "rank",
+            (col("n").cast("double") / col("out_total")).alias("p"),
+        )
+        .orderBy("src", "rank")
+    )

@@ -401,3 +401,95 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_trend — closed-form per-key linear trend (least squares)
+# ---------------------------------------------------------------------------
+
+# Day-scaled time since a fixed epoch keeps the regressor well-conditioned;
+# the same literal arithmetic runs in both engines so every IEEE op matches.
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+_US_PER_DAY = 86_400_000_000.0
+
+
+def _trend_oracle() -> str:
+    x = f"((epoch_us(ts) - {_TREND_EPOCH_US}) / {_US_PER_DAY})"
+
+    def osum(expr: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list({expr} ORDER BY event_id)), (a, b) -> a + b)"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         {osum(x)} AS sx,
+         {osum('value')} AS sy,
+         {osum(f'{x} * {x}')} AS sxx,
+         {osum(f'{x} * value')} AS sxy
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM s
+WHERE n >= 2
+ORDER BY user_id
+"""
+
+
+@register("timeseries_trend", oracle=_trend_oracle())
+def timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend over event values — closed-form least
+    squares from moment sums (n, Σx, Σy, Σxx, Σxy), the grouped
+    regression a metrics pipeline runs to rank users/series by drift.
+
+    Float parity: the moment inputs are FULL-PRECISION doubles (day
+    fractions and their products), where the decimal dsum route
+    diverges by a digit-string ulp (similarity.py centroid note) — so
+    every moment is a DETERMINISTIC-ORDER BINARY FOLD: collect each
+    user's terms sorted by event_id, sum sequentially, identical IEEE
+    adds in both engines. One shuffle on user_id; collect_list state is
+    group-sized (a user's events fit a task by assumption — at extreme
+    group sizes switch to the two-level fixed-block fold). The closed
+    form is then pure arithmetic on the grouped row. n ≥ 2 filters
+    degenerate singletons (denominator 0 → engines disagree on inf/NaN
+    semantics)."""
+    e = table(spark, sf_dir, "events")
+    x = (F.unix_micros(col("ts").cast("timestamp")) - F.lit(_TREND_EPOCH_US)) / F.lit(
+        _US_PER_DAY
+    )
+
+    def osum(vals):
+        ordered = F.transform(F.array_sort(vals), lambda s: s["v"])
+        return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
+
+    def kv(expr):
+        return F.collect_list(F.struct(col("event_id").alias("k"), expr.alias("v")))
+
+    terms = e.select(
+        "user_id", "event_id", x.alias("x"), col("value").alias("y")
+    )
+    s = (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            osum(kv(col("x"))).alias("sx"),
+            osum(kv(col("y"))).alias("sy"),
+            osum(kv(col("x") * col("x"))).alias("sxx"),
+            osum(kv(col("x") * col("y"))).alias("sxy"),
+        )
+        .filter(col("n") >= 2)
+    )
+    n, sx, sy, sxx, sxy = col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "user_id",
+        "n",
+        slope.alias("slope_per_day"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("user_id")
