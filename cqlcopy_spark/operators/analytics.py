@@ -1300,3 +1300,71 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_cents",
         (col("qty_cents").cast("double") / col("n") / F.lit(100.0)).alias("avg_qty"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# decile_bands — equal-frequency binning (per-group NTILE band profile)
+# ---------------------------------------------------------------------------
+
+_BANDS = 10
+
+_BANDS_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         NTILE({_BANDS}) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS band
+  FROM events
+)
+SELECT event_type, band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(value ORDER BY event_id)), (a, b) -> a + b)
+         / COUNT(*) AS band_mean
+FROM r
+GROUP BY event_type, band
+ORDER BY event_type, band
+"""
+
+
+@register("decile_bands", oracle=_BANDS_ORACLE)
+def decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning (feature-engineering quantile bands):
+    each group's values split into 10 same-size rank bands via NTILE
+    over the (value, event_id)-tiebroken order, then a per-band profile
+    (count, bounds, mean). This is the binning a feature pipeline
+    prefers over equal-width histograms for skewed measures —
+    agg_histogram covers the equal-width variant.
+
+    Portability: NTILE's bucket rule (first n mod k buckets take the
+    extra row) is the same in both engines given a total tiebroken
+    order; band means use the deterministic-order binary fold (values
+    are full-precision doubles — the decimal route diverges, see
+    similarity.py's centroid note). Plan: ONE shuffle on event_type
+    serves the rank window and the (type, band) aggregate (band is a
+    subkey); groups at this cardinality sort within tasks — the same
+    at-extreme-scale caveat and approx_percentile fallback as
+    winsorize_stats."""
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    band = F.ntile(_BANDS).over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(col("event_id").alias("k"), col("value").alias("v")))
+        ),
+        lambda s: s["v"],
+    )
+    fold = F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        e.withColumn("band", band)
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            (fold / F.count(F.lit(1))).alias("band_mean"),
+        )
+        .orderBy("event_type", "band")
+    )

@@ -512,3 +512,108 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rank") <= _SPG_K)
         .select("lang", "rank", "doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# url_canonical — URL canonicalization + variant collapse
+# ---------------------------------------------------------------------------
+
+# Synthetic noisy URLs (corpus carries none): four doc_id-adjacent docs
+# share one logical page behind case, tracking-param, param-order, and
+# fragment noise — the variant mix a crawl actually produces.
+
+
+def _url_canon_oracle() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+         || source || '.example.org/' || lang || '/p' || CAST(doc_id // 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                  ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([^?#]+)', 1)) AS base,
+         regexp_extract(url, '[?]([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+         base || (
+           CASE WHEN len(list_filter(string_split(query, '&'),
+                                     p -> p <> '' AND p NOT LIKE 'utm_%')) > 0
+                THEN '?' || array_to_string(
+                       list_sort(list_filter(string_split(query, '&'),
+                                             p -> p <> '' AND p NOT LIKE 'utm_%')),
+                       '&')
+                ELSE '' END) AS canonical
+  FROM parts
+)
+SELECT canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(doc_id) AS first_doc
+FROM canon
+GROUP BY canonical
+ORDER BY canonical
+"""
+
+
+@register("url_canonical", oracle=_url_canon_oracle())
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-dedup step before exact URL
+    dedup: lowercase the scheme+host+path, drop the fragment, strip
+    utm_* tracking parameters, and SORT the surviving query params so
+    param order can't split a logical page. Four adjacent doc_ids
+    synthesize variants of one page (case noise on even ids, tracking
+    params + fragment noise on others), so each canonical collapses a
+    small variant group — n_variants > 1 proves the collapse fired.
+
+    Pure map + one canonical-key aggregate: regexp splits, list
+    filter/sort, and concatenation are identical JVM/DuckDB dialect
+    surface (anchored regex, no lookaround; binary string sort on
+    ASCII params). At crawl scale this is a scan + one shuffle of
+    distinct canonicals."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://www.")
+        ),
+        col("source"),
+        F.lit(".example.org/"),
+        col("lang"),
+        F.lit("/p"),
+        F.floor(col("doc_id") / 4).cast("long").cast("string"),
+        F.when(
+            col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(col("doc_id") % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    parts = d.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, r"^([^?#]+)", 1)).alias("base"),
+        F.regexp_extract(url, r"[?]([^#]*)", 1).alias("query"),
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(col("query"), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    canonical = F.concat(
+        col("base"),
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        parts.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical")
+    )

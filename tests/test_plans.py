@@ -104,6 +104,35 @@ def test_window_ops_single_exchange(spark):
     assert p.count("Window (") == 1, p  # one Window operator serves all four
 
 
+def test_trend_single_aggregation_exchange(spark):
+    """timeseries_trend: five ordered-fold moments in ONE grouped
+    aggregation — one user_id exchange plus the final tiny orderBy."""
+    p = plan_of(QUERIES["timeseries_trend"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, p
+    assert shuffle_exchanges(p) <= 2, p
+
+
+def test_event_transitions_one_raw_exchange(spark):
+    """event_transitions: the raw event volume passes exactly one
+    exchange (the user timeline window); everything after operates on
+    the |types|^2 transition matrix."""
+    p = plan_of(QUERIES["event_transitions"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window (") == 3, p  # lead + total + rank
+    assert shuffle_exchanges(p) <= 4, p  # user window, (src,dst) agg, src window, orderBy
+
+
+def test_feature_hash_all_jvm_two_shuffles(spark):
+    """embed_feature_hash: token fold, bucketing, and vector assembly
+    are all JVM expressions — no Python stage — over two key-compatible
+    hash aggregations."""
+    p = plan_of(QUERIES["embed_feature_hash"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert shuffle_exchanges(p) <= 2, p  # (doc,bucket) agg + doc agg
+
+
 def test_cdc_changelog_single_window_no_join(spark):
     """cdc_apply_changelog resolves base + changelog with ONE window
     over the merge key — a join-based formulation would shuffle twice
