@@ -280,3 +280,62 @@ def stream_user_stats_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def event_transitions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form of operators/behavior.event_transitions'
+    sequencing stage: per-user (src → dst) transition rows with
+    CROSS-BATCH adjacency — each user's state is the FRONTIER (last
+    linked event's (us, event_id, type)), so the first event of a new
+    micro-batch links to the last event of the previous one instead of
+    restarting the chain. Downstream aggregation (counts, top-k,
+    probabilities) is an ordinary batch rollup over the emitted pairs.
+
+    Late-arrival contract (the sessionizer's trade, pinned the same
+    way): an event at or before the frontier arrives too late to splice
+    into an already-emitted adjacency — it is DROPPED, exactly like a
+    watermark-late row. Within a batch, events sort by (us, event_id)
+    first, so intra-batch disorder is handled fully.
+
+    Scale: state is one fixed-width row per user; shuffle on user_id
+    only. The update function is NESTED for cloudpickle by-value
+    serialization (CLAUDE.md UDF rule)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cqlcopy_spark.streaming.windows import _events_stream
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        out_src: list[str] = []
+        out_dst: list[str] = []
+        last = state.get if state.exists else None  # (us, event_id, type)
+        if len(rows):
+            rows = rows.sort_values(["us", "event_id"])
+            for us, eid, et in zip(rows["us"], rows["event_id"], rows["event_type"]):
+                us, eid = int(us), int(eid)
+                if last is not None:
+                    if (us, eid) <= (last[0], last[1]):
+                        continue  # at/behind the frontier: late, dropped
+                    out_src.append(last[2])
+                    out_dst.append(et)
+                last = (us, eid, et)
+            state.update(last)
+        yield pd.DataFrame(
+            {"user_id": key[0], "src": out_src, "dst": out_dst}
+        )
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(col("ts")).alias("us"),
+        "event_id",
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, src string, dst string",
+        stateStructType="us long, event_id long, event_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

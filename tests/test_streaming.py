@@ -439,3 +439,85 @@ def test_continuous_cdc_sink_lww_tombstones_and_cross_run_guard(spark, tmp_path)
     assert {
         (r["key"], r["val"]) for r in read_cdc_state(spark, state).collect()
     } == want
+
+
+def test_streaming_transitions_match_batch_pairs(spark, tmp_path):
+    """event_transitions_streaming replayed in two time-split
+    micro-batches must emit exactly the batch lead()-derived transition
+    multiset — including the pairs that SPAN the batch boundary (those
+    only exist because the frontier state carries across batches)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.catalog import table
+    from cqlcopy_spark.streaming.stateful import event_transitions_streaming
+
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    rows = events.collect()
+    lo = min(r["us"] for r in rows)
+    hi = max(r["us"] for r in rows)
+    split = lo + (hi - lo) * 2 // 3
+
+    stage = str(tmp_path / "trans")
+    os.makedirs(stage)
+    cols = ["user_id", "event_type", "us", "event_id"]
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    events.filter(col("us") <= split).toPandas()[cols].to_parquet(f1)
+    events.filter(col("us") > split).toPandas()[cols].to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    import cqlcopy_spark.streaming.stateful as st
+    import cqlcopy_spark.streaming.windows as wins
+
+    src = (
+        spark.readStream.schema("user_id long, event_type string, us long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(col("us")))
+    )
+    # route the staged two-batch stream through the operator
+    orig = wins._events_stream
+    try:
+        wins._events_stream = lambda _spark, _sf: src
+        stream_df = event_transitions_streaming(spark, SF_SMALL)
+    finally:
+        wins._events_stream = orig
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("trans_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT src, dst FROM trans_t").collect():
+        got[(r["src"], r["dst"])] = got.get((r["src"], r["dst"]), 0) + 1
+    q.stop()
+
+    # batch expectation: lead over each user's (us, event_id) timeline
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    want = defaultdict(int)
+    n_boundary = 0
+    for uid, evs in per_user.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            want[(a[2], b[2])] += 1
+            if a[0] <= split < b[0]:
+                n_boundary += 1
+    assert n_boundary > 0  # the boundary-spanning pairs are the point
+    assert got == dict(want)
