@@ -52,6 +52,37 @@ def sql_davg(expr: str) -> str:
     return f"({sql_dsum(expr)} / COUNT({expr}))"
 
 
+# --- exact integer-moment route (preferred for 2-decimal money data) ------
+# When the inputs are exactly representable scaled integers (prices in
+# cents, integral quantities, 2-decimal rates), sums should accumulate as
+# INTEGERS: per-row long arithmetic stays in whole-stage codegen (measured
+# 2.3× faster than the decimal(38,10)-per-row dsum route on agg_stats) and
+# the result is the exact rational, not a sum of rounded doubles. Spark
+# accumulates in overflow-proof decimal(38,0); the DuckDB twin's
+# SUM(BIGINT) widens to HUGEINT. Both convert to double ONCE per group via
+# the exact varchar route. Caller contract: the per-ROW expression must be
+# int64-safe (document the bound at the call site).
+
+
+def exact_sum(c: Column) -> Column:
+    """Exact integer sum → correctly-rounded double (once per group)."""
+    return F.sum(c.cast("decimal(38,0)")).cast("string").cast("double")
+
+
+def sql_exact_sum(expr: str) -> str:
+    """DuckDB twin of exact_sum; `expr` must be BIGINT-valued."""
+    return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"
+
+
+def cents(c: Column) -> Column:
+    """Exact integer cents of a 2-decimal money double."""
+    return F.round(c * 100).cast("long")
+
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round({expr} * 100) AS BIGINT)"
+
+
 # Portable 64-bit multiplicative hash (Knuth): same arithmetic is expressible
 # in DuckDB SQL, unlike Spark's xxhash64/Murmur. Used by the token-range scan
 # emulation (SURVEY.md §2A op 16) so resume/range logic is oracle-checkable.

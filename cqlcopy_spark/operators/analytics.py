@@ -31,7 +31,7 @@ from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
 from cqlcopy_spark.catalog import table
-from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.functions.portable import (cents, dsum, exact_sum, sql_cents, sql_dsum, sql_exact_sum)
 from cqlcopy_spark.plans.registry import register
 
 _DEC = "decimal(38,10)"
@@ -73,7 +73,7 @@ _CUBE_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
        COUNT(*) AS n_items,
-       {sql_dsum('l_quantity')} AS sum_qty
+       {sql_exact_sum('CAST(l_quantity AS BIGINT)')} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -88,7 +88,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         gid.cast("int").alias("gid"),
         F.count("*").alias("n_items"),
-        dsum(col("l_quantity")).alias("sum_qty"),
+        # quantities are integral: exact long accumulation (portable.py
+        # exact-sum route), 4x cheaper than the decimal-per-row path
+        # under Expand's row multiplication
+        exact_sum(col("l_quantity").cast("long")).alias("sum_qty"),
     )
 
 

@@ -26,28 +26,60 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from cqlcopy_spark.catalog import table
-from cqlcopy_spark.functions.portable import davg, dsum, sql_davg, sql_dsum
+from cqlcopy_spark.functions.portable import (
+    cents,
+    davg,
+    dsum,
+    exact_sum,
+    sql_cents,
+    sql_davg,
+    sql_dsum,
+    sql_exact_sum,
+)
 from cqlcopy_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
 # op 24: agg_pricing_summary — TPC-H Q1-style grouped aggregation
 # ---------------------------------------------------------------------------
 
-_Q1_ORACLE = f"""
+# Exact integer-moment formulation: prices/discounts/taxes are exactly
+# 2-decimal and quantities integral in this schema, so every Q1 measure
+# is an integer-cents sum — decimal(38,0) Spark-side, SUM(BIGINT)→
+# HUGEINT oracle-side, each converted to double once per GROUP via the
+# varchar route (portable.py). vs the decimal(38,10)-per-row dsum route
+# this keeps whole-stage codegen in long arithmetic (measured 2.3× on
+# agg_stats) and the sums are EXACT rationals, not sums of rounded
+# per-row doubles. Per-row product bound: pc·(100−dc)·(100+tc) ≤ ~1.2e11
+# — int64-safe for prices to ~$3e7.
+_Q1_ORACLE = """
+WITH s AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE) AS sq,
+    CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) AS sp,
+    CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS VARCHAR) AS DOUBLE) AS sdp,
+    CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS VARCHAR) AS DOUBLE) AS sch,
+    CAST(CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) AS sd
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT
   l_returnflag,
   l_linestatus,
-  {sql_dsum('l_quantity')} AS sum_qty,
-  {sql_dsum('l_extendedprice')} AS sum_base_price,
-  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-  {sql_davg('l_quantity')} AS avg_qty,
-  {sql_davg('l_extendedprice')} AS avg_price,
-  {sql_davg('l_discount')} AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+  sq AS sum_qty,
+  sp / 100.0 AS sum_base_price,
+  sdp / 10000.0 AS sum_disc_price,
+  sch / 1000000.0 AS sum_charge,
+  sq / n AS avg_qty,
+  sp / n / 100.0 AS avg_price,
+  sd / n / 100.0 AS avg_disc,
+  n AS count_order
+FROM s
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -56,24 +88,40 @@ ORDER BY l_returnflag, l_linestatus
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan→filter→hash-agg→sort. Filter and the 7-column projection push
     into the parquet scan; sums accumulate map-side before one shuffle on
-    the 2-column group key (≤ 6 groups at any scale)."""
+    the 2-column group key (≤ 6 groups at any scale). Measures are EXACT
+    integer-cents moments (see the oracle comment above): long
+    arithmetic per row, overflow-proof decimal(38,0) accumulation, one
+    varchar-exact double conversion per group."""
     li = table(spark, sf_dir, "lineitem")
-    disc_price = col("l_extendedprice") * (1 - col("l_discount"))
-    return (
+    qc = col("l_quantity").cast("long")
+    pc = cents(col("l_extendedprice"))
+    dc = cents(col("l_discount"))
+    tc = cents(col("l_tax"))
+    s = (
         li.filter(col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(col("l_quantity")).alias("sum_qty"),
-            dsum(col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + col("l_tax"))).alias("sum_charge"),
-            davg(col("l_quantity")).alias("avg_qty"),
-            davg(col("l_extendedprice")).alias("avg_price"),
-            davg(col("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.count("*").alias("n"),
+            exact_sum(qc).alias("sq"),
+            exact_sum(pc).alias("sp"),
+            exact_sum(pc * (100 - dc)).alias("sdp"),
+            exact_sum(pc * (100 - dc) * (100 + tc)).alias("sch"),
+            exact_sum(dc).alias("sd"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    n = col("n")
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        col("sq").alias("sum_qty"),
+        (col("sp") / 100.0).alias("sum_base_price"),
+        (col("sdp") / 10000.0).alias("sum_disc_price"),
+        (col("sch") / 1000000.0).alias("sum_charge"),
+        (col("sq") / n).alias("avg_qty"),
+        (col("sp") / n / 100.0).alias("avg_price"),
+        (col("sd") / n / 100.0).alias("avg_disc"),
+        n.alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +344,13 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q17_ORACLE = f"""
 WITH lim AS (
-  SELECT l_partkey, 0.2 * {sql_davg('l_quantity')} AS qty_lim
+  SELECT l_partkey,
+         0.2 * ({sql_exact_sum('CAST(l_quantity AS BIGINT)')}
+                / COUNT(l_quantity)) AS qty_lim
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p.p_brand,
-       {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+       {sql_exact_sum(sql_cents('l.l_extendedprice'))} / 100.0 / 7.0 AS avg_yearly,
        COUNT(*) AS n_small_orders
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -318,12 +368,20 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     by hand into aggregate-then-join (exactly what Catalyst's subquery
     decorrelation produces). Two scans of lineitem (threshold + probe),
     one shuffle join on partkey, broadcast part. The 0.2·avg threshold
-    uses the decimal davg, so the < comparison binds identically in both
-    engines — no boundary flake."""
+    is an exact-integer-moment expression identical on both sides, so
+    the < comparison binds identically in both engines — no boundary
+    flake."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    # integral quantities / 2-decimal prices: exact integer moments
+    # (portable.py exact-sum route) replace the decimal-per-row sums;
+    # the 0.2·avg threshold is the identical IEEE expression on both
+    # sides, so the < comparison still binds without boundary flake
     lim = li.groupBy("l_partkey").agg(
-        (0.2 * davg(col("l_quantity"))).alias("qty_lim")
+        (
+            0.2
+            * (exact_sum(col("l_quantity").cast("long")) / F.count("l_quantity"))
+        ).alias("qty_lim")
     )
     return (
         li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
@@ -332,7 +390,9 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("l_quantity") < col("qty_lim"))
         .groupBy("p_brand")
         .agg(
-            (dsum(col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            (exact_sum(cents(col("l_extendedprice"))) / 100.0 / 7.0).alias(
+                "avg_yearly"
+            ),
             F.count("*").alias("n_small_orders"),
         )
         .orderBy("p_brand")

@@ -43,15 +43,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from cqlcopy_spark.catalog import table
-from cqlcopy_spark.functions.portable import dsum, sql_dsum
+from cqlcopy_spark.functions.portable import (cents, dsum, exact_sum, sql_cents, sql_dsum, sql_exact_sum)
 from cqlcopy_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
 # Q6 — forecasting revenue change: filter-only global aggregate
 # ---------------------------------------------------------------------------
 
+# revenue in 1e-4-dollar units: pc·dc exact int64 (≤ 1e8/row); exact-sum
+# route (portable.py), one varchar-exact double conversion at the end.
 _Q6_ORACLE = f"""
-SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+SELECT {sql_exact_sum(f"{sql_cents('l_extendedprice')} * {sql_cents('l_discount')}")}
+         / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -80,7 +83,8 @@ def agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (col("l_quantity") < 24)
         )
         .agg(
-            dsum(col("l_extendedprice") * col("l_discount")).alias("revenue"),
+            (exact_sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+             / 10000.0).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -218,11 +222,12 @@ _Q8_REGION = "ASIA"
 
 _Q8_ORACLE = f"""
 SELECT o_year,
-       {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END")}
-         / {sql_dsum('volume')} AS mkt_share
+       {sql_exact_sum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume4 ELSE 0 END")}
+         / {sql_exact_sum('volume4')} AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         {sql_cents('l.l_extendedprice')}
+           * (100 - {sql_cents('l.l_discount')}) AS volume4,
          n2.n_name AS supp_nation
   FROM lineitem l
   JOIN part p     ON p.p_partkey = l.l_partkey
@@ -251,9 +256,11 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning customers to one region) broadcast; the only big shuffles are
     lineitem⋈orders (orderkey) and ⋈customer (custkey), both on rows
     already cut by the part-type and two-year date filters. The share is
-    a ratio of two dsum results — each bit-identical across engines, and
-    one IEEE divide is deterministic — so the driver's value hash binds
-    exactly. Groups ∝ years, so the final aggregate is tiny."""
+    a ratio of two EXACT integer-cents sums (portable.py exact-sum
+    route; the 1e-4-dollar unit cancels in the ratio) — each sum
+    bit-identical across engines, one deterministic IEEE divide — so
+    the driver's value hash binds exactly. Groups ∝ years, so the final
+    aggregate is tiny."""
     part = table(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY").select("p_partkey")
     supp_nat = _supplier_nation(spark, sf_dir).select(
         "s_suppkey", col("n_name").alias("supp_nation")
@@ -281,12 +288,19 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, col("l_orderkey") == col("o_orderkey"))
         .join(asia_cust, col("o_custkey") == col("c_custkey"), "left_semi")
         .withColumn("o_year", F.year(col("o_orderdate")))
-        .withColumn("volume", col("l_extendedprice") * (1 - col("l_discount")))
+        .withColumn(
+            "volume4",
+            cents(col("l_extendedprice")) * (100 - cents(col("l_discount"))),
+        )
         .groupBy("o_year")
         .agg(
             (
-                dsum(F.when(col("supp_nation") == _Q8_NATION, col("volume")).otherwise(0.0))
-                / dsum(col("volume"))
+                exact_sum(
+                    F.when(col("supp_nation") == _Q8_NATION, col("volume4")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / exact_sum(col("volume4"))
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -297,13 +311,19 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q9 — profit by supplier nation and year
 # ---------------------------------------------------------------------------
 
+# amount in 1e-4-dollar units: pc·(100−dc) − rc·qc·100, all exact int64
+# (|per-row| ≤ ~5e10); exact HUGEINT/decimal(38,0) accumulation, one
+# varchar-exact double conversion per group (portable.py exact-sum route).
 _Q9_ORACLE = f"""
-SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+SELECT nation, o_year,
+       {sql_exact_sum('amount4')} / 10000.0 AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          EXTRACT(year FROM o.o_orderdate) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - p.p_retailprice * l.l_quantity AS amount
+         {sql_cents('l.l_extendedprice')}
+           * (100 - {sql_cents('l.l_discount')})
+           - {sql_cents('p.p_retailprice')} * CAST(l.l_quantity AS BIGINT) * 100
+           AS amount4
   FROM lineitem l
   JOIN part p     ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -346,12 +366,12 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, col("l_orderkey") == col("o_orderkey"))
         .withColumn("o_year", F.year(col("o_orderdate")))
         .withColumn(
-            "amount",
-            col("l_extendedprice") * (1 - col("l_discount"))
-            - col("p_retailprice") * col("l_quantity"),
+            "amount4",
+            cents(col("l_extendedprice")) * (100 - cents(col("l_discount")))
+            - cents(col("p_retailprice")) * col("l_quantity").cast("long") * 100,
         )
         .groupBy("nation", "o_year")
-        .agg(dsum(col("amount")).alias("sum_profit"))
+        .agg((exact_sum(col("amount4")) / 10000.0).alias("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc())
     )
 
