@@ -544,10 +544,10 @@ canon AS (
   SELECT doc_id,
          base || (
            CASE WHEN len(list_filter(string_split(query, '&'),
-                                     p -> p <> '' AND p NOT LIKE 'utm_%')) > 0
+                                     p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
                 THEN '?' || array_to_string(
                        list_sort(list_filter(string_split(query, '&'),
-                                             p -> p <> '' AND p NOT LIKE 'utm_%')),
+                                             p -> p <> '' AND NOT starts_with(p, 'utm_'))),
                        '&')
                 ELSE '' END) AS canonical
   FROM parts

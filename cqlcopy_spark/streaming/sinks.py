@@ -277,7 +277,15 @@ def continuous_cdc_sink(
             if v is not None:
                 prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
         merged = batch_df if prev is None else prev.unionByName(batch_df)
-        w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+        # Secondary op_col ASC tiebreak: the contract says seq is unique
+        # per key (the batch twin guarantees it by construction), but if
+        # a producer violates it the merge must still be deterministic
+        # across runs/engines — 'D' < 'I' < 'U' in binary order, so at
+        # equal seq the delete marker wins (the conservative resolution:
+        # the tombstone survives and late lower-seq changes still lose).
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).asc()
+        )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -322,6 +322,53 @@ def test_driver_query_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     assert set(order) == set(names)
 
 
+def test_driver_query_rotation_rotates_greens_by_freshness(tmp_path, monkeypatch):
+    """Once the whole registry is green, rank() must NOT collapse to fixed
+    registry order (the r5 verdict's finding): green entries are ordered
+    last-checked-round ASCENDING so the driver's 50-entry window sweeps
+    the registry oldest-check-first, and a green entry whose implementing
+    module changed after its check is fronted ahead of all other greens."""
+    import importlib.util
+    import json
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = list(mod.queries())
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    a, b, c = names[0], names[1], names[2]
+    # b checked (green) in r01, a checked (green) in r02, c never checked
+    p1 = tmp_path / "CORRECTNESS_r01.json"
+    p2 = tmp_path / "CORRECTNESS_r02.json"
+    p1.write_text(json.dumps({b: ok}))
+    p2.write_text(json.dumps({a: ok}))
+    now = time.time()
+    os.utime(p1, (now - 200, now - 200))
+    os.utime(p2, (now - 100, now - 100))
+    monkeypatch.setattr(mod, "_REPO", str(tmp_path))
+    monkeypatch.setattr(mod, "_module_mtime", lambda fn: now - 1000)
+
+    order = list(mod.queries())
+    # unchecked c stays ahead of both greens; b (r01) outranks a (r02)
+    assert order.index(c) < order.index(b) < order.index(a)
+    assert order[-2:] == [b, a]
+
+    # now b's implementing module "changes" after its check: fronted
+    # ahead of every other green (but still behind unchecked entries)
+    monkeypatch.setattr(
+        mod, "_module_mtime", lambda fn: now if fn is mod.all_queries()[b] else now - 1000
+    )
+    order2 = list(mod.queries())
+    assert order2.index(c) < order2.index(b) < order2.index(a)
+    first_green = min(order2.index(a), order2.index(b))
+    assert order2[first_green] == b
+
+
 def test_every_query_plan_is_hygienic(spark):
     """Blanket sweep over the whole registry: no query may plan a
     cartesian product (except join_cross, which demonstrates one on a

@@ -441,6 +441,54 @@ def test_continuous_cdc_sink_lww_tombstones_and_cross_run_guard(spark, tmp_path)
     } == want
 
 
+def test_continuous_cdc_sink_equal_seq_tiebreak_is_deterministic(spark, tmp_path):
+    """Contract violation path: two change rows for the same key with
+    EQUAL seq must resolve deterministically (op ASC secondary sort →
+    'D' < 'I' < 'U', so the delete marker wins the tie and 'I' beats
+    'U'), never by partition-visit order."""
+    import os
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import (
+        continuous_cdc_sink,
+        read_agg_state,
+        read_cdc_state,
+    )
+
+    stage = str(tmp_path / "changes")
+    os.makedirs(stage)
+    pd.DataFrame(
+        {
+            "key": [1, 1, 2, 2],
+            "seq": [10, 10, 7, 7],
+            "op": ["U", "D", "U", "I"],
+            "val": [11.0, 0.0, 22.0, 20.0],
+        }
+    ).to_parquet(os.path.join(stage, "b1.parquet"))
+
+    state = str(tmp_path / "cdc_state")
+    src = spark.readStream.schema("key long, seq long, op string, val double").parquet(
+        stage
+    )
+    q = (
+        continuous_cdc_sink(
+            src, state, str(tmp_path / "ckpt"), key_col="key", seq_col="seq"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    live = {(r["key"], r["op"], r["val"]) for r in read_cdc_state(spark, state).collect()}
+    assert live == {(2, "I", 20.0)}  # key 1's tie resolved to the delete
+    full = {(r["key"], r["op"]) for r in read_agg_state(spark, state).collect()}
+    assert full == {(1, "D"), (2, "I")}
+
+
 def test_streaming_transitions_match_batch_pairs(spark, tmp_path):
     """event_transitions_streaming replayed in two time-split
     micro-batches must emit exactly the batch lead()-derived transition
