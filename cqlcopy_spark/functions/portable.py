@@ -83,6 +83,150 @@ def sql_cents(expr: str) -> str:
     return f"CAST(round({expr} * 100) AS BIGINT)"
 
 
+# --- two-level fixed-block ordered fold (full-precision float sums) -------
+# For FULL-PRECISION doubles the decimal dsum route diverges by a 1-ulp
+# digit-string artifact (similarity.py's centroid note), so grouped sums of
+# raw float data use a DETERMINISTIC-ORDER BINARY FOLD: both engines add the
+# same terms in the same order, bit-identical by IEEE determinism. The naive
+# form (collect the whole group, sort, fold) holds one GROUP-sized list in a
+# single aggregation buffer — the one OOM shape a hot key can hit at 100×.
+#
+# block_fold_agg bounds that state with a fixed-depth fold TREE: rows get a
+# rank within their group (row_number over the caller's unique order key),
+# blocks of `block` consecutive ranks fold first (level 1, ≤ block terms of
+# state), `block` block-sums fold per super-block (level 2, ≤ block terms),
+# and the super-block sums fold per group (level 3, ≤ n/block² terms). With
+# block=64 a 10^9-row group tops out at ~244k level-3 terms (a few MB) while
+# groups ≥ 65 rows — including the sf0.01 fixtures — genuinely exercise the
+# multi-block path the driver hash-verifies. The SQL twin emits the SAME
+# tree, so every IEEE add matches; when a level folds a single element the
+# result equals the flat fold exactly (0.0 + x == x), which keeps small
+# groups bit-identical with the pre-tree formulation.
+#
+# Plan shape: the rank window shuffles on hash(group); every subsequent
+# groupBy clusters on a SUPERSET of the window keys, so HashPartitioning
+# (group) satisfies each ClusteredDistribution — ONE exchange total for
+# window + all three fold levels (pinned in test_plans.py).
+
+BLOCK = 64
+
+
+def _fold_ordered(key: Column, val: Column) -> Column:
+    """Sequential IEEE left-fold of val in key order (collect→sort→add)."""
+    lst = F.collect_list(F.struct(key.alias("k"), val.alias("v")))
+    ordered = F.transform(F.array_sort(lst), lambda s: s["v"])
+    return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def block_fold_agg(
+    df,
+    group_cols: "list[str]",
+    order_col: str,
+    sums: "dict[str, Column]",
+    mins: "dict[str, Column] | None" = None,
+    maxs: "dict[str, Column] | None" = None,
+    count_alias: str = "n",
+    block: int = BLOCK,
+):
+    """Group df by group_cols with bounded-memory deterministic float sums.
+
+    Returns a DataFrame[group_cols…, count_alias, *sums, *mins, *maxs]
+    where each `sums` column is the three-level block fold of its per-row
+    expression in order_col order (order_col MUST be unique per group),
+    and mins/maxs are plain MIN/MAX of their expressions (combined
+    per-level — order-insensitive, so levels don't change them). Use
+    sql_block_fold_agg for the DuckDB twin; results are bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    mins, maxs = mins or {}, maxs or {}
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    d = (
+        df.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_b1", F.floor(F.col("_rn") / block))
+        .withColumn("_b2", F.floor(F.col("_rn") / (block * block)))
+    )
+    l1 = d.groupBy(*group_cols, "_b2", "_b1").agg(
+        F.count(F.lit(1)).alias(count_alias),
+        *[_fold_ordered(F.col("_rn"), e).alias(nm) for nm, e in sums.items()],
+        *[F.min(e).alias(nm) for nm, e in mins.items()],
+        *[F.max(e).alias(nm) for nm, e in maxs.items()],
+    )
+    l2 = l1.groupBy(*group_cols, "_b2").agg(
+        F.sum(count_alias).alias(count_alias),
+        *[_fold_ordered(F.col("_b1"), F.col(nm)).alias(nm) for nm in sums],
+        *[F.min(nm).alias(nm) for nm in mins],
+        *[F.max(nm).alias(nm) for nm in maxs],
+    )
+    return l2.groupBy(*group_cols).agg(
+        F.sum(count_alias).alias(count_alias),
+        *[_fold_ordered(F.col("_b2"), F.col(nm)).alias(nm) for nm in sums],
+        *[F.min(nm).alias(nm) for nm in mins],
+        *[F.max(nm).alias(nm) for nm in maxs],
+    )
+
+
+def sql_block_fold_agg(
+    source: str,
+    group_cols: "list[str]",
+    order_expr: str,
+    sums: "dict[str, str]",
+    mins: "dict[str, str] | None" = None,
+    maxs: "dict[str, str] | None" = None,
+    count_alias: str = "n",
+    block: int = BLOCK,
+) -> str:
+    """DuckDB twin of block_fold_agg: a complete SELECT over `source`
+    (any SELECT or WITH…SELECT; it is inlined as a subquery — DuckDB
+    supports nested CTEs) producing the identical fold tree. Counts are
+    CAST AS BIGINT at each SUM so the rollup stays int64 on both sides.
+    """
+    mins, maxs = mins or {}, maxs or {}
+    g = ", ".join(group_cols)
+
+    def fold(key: str, val: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list({val} ORDER BY {key})), (a, b) -> a + b)"
+        )
+
+    l1_cols = ", ".join(
+        [f"COUNT(*) AS {count_alias}"]
+        + [f"{fold('_rn', e)} AS {nm}" for nm, e in sums.items()]
+        + [f"MIN({e}) AS {nm}" for nm, e in mins.items()]
+        + [f"MAX({e}) AS {nm}" for nm, e in maxs.items()]
+    )
+    l2_cols = ", ".join(
+        [f"CAST(SUM({count_alias}) AS BIGINT) AS {count_alias}"]
+        + [f"{fold('_b1', nm)} AS {nm}" for nm in sums]
+        + [f"MIN({nm}) AS {nm}" for nm in mins]
+        + [f"MAX({nm}) AS {nm}" for nm in maxs]
+    )
+    l3_cols = ", ".join(
+        [f"CAST(SUM({count_alias}) AS BIGINT) AS {count_alias}"]
+        + [f"{fold('_b2', nm)} AS {nm}" for nm in sums]
+        + [f"MIN({nm}) AS {nm}" for nm in mins]
+        + [f"MAX({nm}) AS {nm}" for nm in maxs]
+    )
+    return f"""
+WITH _bf_r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {order_expr}) - 1 AS _rn
+  FROM ({source}) _bf_src
+),
+_bf_l1 AS (
+  SELECT {g}, _rn // {block * block} AS _b2, _rn // {block} AS _b1, {l1_cols}
+  FROM _bf_r GROUP BY {g}, _b2, _b1
+),
+_bf_l2 AS (
+  SELECT {g}, _b2, {l2_cols}
+  FROM _bf_l1 GROUP BY {g}, _b2
+)
+SELECT {g}, {l3_cols}
+FROM _bf_l2 GROUP BY {g}
+"""
+
+
 # Portable 64-bit multiplicative hash (Knuth): same arithmetic is expressible
 # in DuckDB SQL, unlike Spark's xxhash64/Murmur. Used by the token-range scan
 # emulation (SURVEY.md §2A op 16) so resume/range logic is oracle-checkable.

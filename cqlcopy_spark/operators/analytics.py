@@ -1118,6 +1118,167 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_quantiles_merge — mergeable quantile summaries (shard → global)
+# ---------------------------------------------------------------------------
+
+# The quantile companion to sketch_distinct_users' HLL (r5 VERDICT item
+# 7): per-shard COMPRESSED RANK SUMMARIES (the classic Munro-Paterson /
+# MRL construction — keep the values at ranks ceil(i·n_s/k), weight each
+# by the rank gap it covers) merge into a global weighted summary whose
+# rank error is provably ≤ Σ ceil(n_s/k) ≈ N/k + S. Unlike HLL/KLL the
+# whole construction is deterministic comparison-and-integer arithmetic,
+# so this sketch gets a FULL value-hash oracle, not a rows-only check.
+# Error-bound + mergeability-under-resharding pins: tests/test_approx.py.
+
+_QSK_K = 32  # summary points kept per shard
+_QSK_SHARDS = 8  # shards per group (stand-in for partitions/days at scale)
+_QSK_PS = (0.5, 0.9, 0.99)
+
+
+def _qsk_oracle() -> str:
+    k, s = _QSK_K, _QSK_SHARDS
+    picks = ", ".join(
+        # DuckDB ceil() returns DOUBLE and / on BIGINT is float division
+        # (CLAUDE.md): integer ceil via (a + b - 1) // b, and the p·N
+        # target via ceil() on the SAME IEEE product both engines compute
+        f"MIN(CASE WHEN cumw >= CAST(ceil({p} * total_w) AS BIGINT) "
+        f"THEN value END) AS p{int(p * 100)}"
+        for p in _QSK_PS
+    )
+    return f"""
+WITH sharded AS (
+  SELECT event_type, event_id, value,
+         ((event_id % {s}) + {s}) % {s} AS shard
+  FROM events
+),
+r AS (
+  SELECT event_type, shard, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, shard
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, shard) AS ns
+  FROM sharded
+),
+kept AS (
+  -- keep rank rn iff rn = ceil(i*ns/k) for some i, i.e. an integer i
+  -- lies in ((rn-1)*k/ns, rn*k/ns]: floor-div strictly increases.
+  -- This keeps rank ns ALWAYS, so weights sum to ns exactly.
+  SELECT event_type, shard, value, rn, ns
+  FROM r
+  WHERE (rn * {k}) // ns > ((rn - 1) * {k}) // ns
+),
+weighted AS (
+  SELECT event_type, shard, value, rn,
+         rn - COALESCE(LAG(rn) OVER (PARTITION BY event_type, shard
+                                     ORDER BY rn), 0) AS weight
+  FROM kept
+),
+merged AS (
+  SELECT event_type, value, shard, rn, weight,
+         SUM(weight) OVER (PARTITION BY event_type
+                           ORDER BY value, shard, rn) AS cumw,
+         SUM(weight) OVER (PARTITION BY event_type) AS total_w
+  FROM weighted
+)
+SELECT event_type,
+       CAST(MIN(total_w) AS BIGINT) AS n,
+       {picks},
+       CAST(MIN(total_w) // {k} + {s} AS BIGINT) AS rank_err_bound
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("sketch_quantiles_merge", oracle=_qsk_oracle())
+def sketch_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch rollup — the shard→global quantile a
+    100 TB profiling pass actually runs: each (group, shard) builds a
+    k-point compressed rank summary (value at every ceil(i·n_s/k)-th
+    rank, weighted by the rank gap it covers — weights sum to n_s
+    EXACTLY, so the merged count is exact, the HLL-union-is-exact
+    analogue), summaries union into a shards×k-row table per group, and
+    a weighted cumulative-rank walk answers any quantile with rank
+    error ≤ N/k + S regardless of data skew.
+
+    At scale: the only event-volume shuffle is the (group, shard) rank
+    window; everything after operates on summaries (S·k rows per
+    group). Summaries persist as tiny tables and re-merge across any
+    rollup (shard→day→month) without touching raw data — the same
+    mergeability contract as sketch_distinct_users, but with a FULL
+    value-hash oracle because the construction is pure comparisons +
+    int arithmetic (pmod sharding per CLAUDE.md; integer ceil-div via
+    (a+b-1)//b on both engines; the p·N target is the same IEEE
+    product both engines ceil)."""
+    return _quantile_summary(
+        table(spark, sf_dir, "events").select("event_type", "event_id", "value"),
+        _QSK_K,
+        _QSK_SHARDS,
+    )
+
+
+def _quantile_summary(e: DataFrame, k: int, s: int) -> DataFrame:
+    """Core of sketch_quantiles_merge, parameterized so tests can pin
+    the error bound under different shardings (merge-of-parts must stay
+    within N/k + S for ANY partitioning of the rows into shards)."""
+    sharded = e.withColumn("shard", F.pmod(col("event_id"), F.lit(s)))
+    wr = Window.partitionBy("event_type", "shard").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type", "shard")
+    r = sharded.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "ns", F.count(F.lit(1)).over(wn)
+    )
+
+    def floor_div(a, b):
+        # exact while a < 2^53 (double division of exact ints): rn·k at
+        # 100 TB group sizes stays far under that; avoids Spark's
+        # DecimalType long/long `/`
+        return F.floor(a / b).cast("long")
+
+    # keep rank rn iff rn = ceil(i·ns/k) for some i ⇔ an integer lies in
+    # ((rn-1)·k/ns, rn·k/ns] ⇔ the floor-div strictly increases. Rank ns
+    # is always kept, so per-shard weights sum to ns EXACTLY (the
+    # HLL-union-is-exact analogue; pinned in test_approx.py).
+    kept = r.filter(
+        floor_div(col("rn") * k, col("ns"))
+        > floor_div((col("rn") - 1) * k, col("ns"))
+    )
+    wl = Window.partitionBy("event_type", "shard").orderBy("rn")
+    weighted = kept.select(
+        "event_type",
+        "shard",
+        "value",
+        "rn",
+        (col("rn") - F.coalesce(F.lag("rn").over(wl), F.lit(0))).alias("weight"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("value", "shard", "rn")
+    wt = Window.partitionBy("event_type")
+    merged = weighted.select(
+        "event_type",
+        "value",
+        F.sum("weight").over(wm).alias("cumw"),
+        F.sum("weight").over(wt).alias("total_w"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                col("cumw") >= F.ceil(F.lit(p) * col("total_w")), col("value")
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in _QSK_PS
+    ]
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.min("total_w").alias("n"),
+            *picks,
+            (F.floor(F.min("total_w") / k) + F.lit(s)).cast("long").alias(
+                "rank_err_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # skyline_pareto — 2-D Pareto frontier (dominance skyline)
 # ---------------------------------------------------------------------------
 
@@ -1323,24 +1484,29 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BANDS = 10
 
-_BANDS_ORACLE = f"""
-WITH r AS (
-  SELECT event_type, event_id, value,
-         NTILE({_BANDS}) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS band
-  FROM events
-)
-SELECT event_type, band,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       MIN(value) AS lo,
-       MAX(value) AS hi,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list(value ORDER BY event_id)), (a, b) -> a + b)
-         / COUNT(*) AS band_mean
-FROM r
-GROUP BY event_type, band
+def _bands_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_block_fold_agg
+
+    inner = sql_block_fold_agg(
+        f"""SELECT event_type, event_id, value,
+       NTILE({_BANDS}) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS band
+FROM events""",
+        ["event_type", "band"],
+        "event_id",
+        sums={"_s": "value"},
+        mins={"lo": "value"},
+        maxs={"hi": "value"},
+    )
+    return f"""
+WITH s AS ({inner})
+SELECT event_type, band, n, lo, hi, _s / n AS band_mean
+FROM s
 ORDER BY event_type, band
 """
+
+
+_BANDS_ORACLE = _bands_oracle()
 
 
 @register("decile_bands", oracle=_BANDS_ORACLE)
@@ -1354,32 +1520,32 @@ def decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Portability: NTILE's bucket rule (first n mod k buckets take the
     extra row) is the same in both engines given a total tiebroken
-    order; band means use the deterministic-order binary fold (values
-    are full-precision doubles — the decimal route diverges, see
-    similarity.py's centroid note). Plan: ONE shuffle on event_type
-    serves the rank window and the (type, band) aggregate (band is a
-    subkey); groups at this cardinality sort within tasks — the same
-    at-extreme-scale caveat and approx_percentile fallback as
-    winsorize_stats."""
+    order; band means use the deterministic-order fixed-block fold tree
+    (portable.block_fold_agg — values are full-precision doubles, the
+    decimal route diverges, see similarity.py's centroid note), which
+    also bounds task state under a hot event_type to max(block,
+    n/block²) instead of the band's whole value list. Plan: ONE
+    shuffle on event_type serves the ntile window, the fold's rank
+    window, and all three (type, band)-keyed fold levels."""
+    from cqlcopy_spark.functions.portable import block_fold_agg
+
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     band = F.ntile(_BANDS).over(
         Window.partitionBy("event_type").orderBy("value", "event_id")
     )
-    ordered = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(col("event_id").alias("k"), col("value").alias("v")))
-        ),
-        lambda s: s["v"],
+    s = block_fold_agg(
+        e.withColumn("band", band),
+        ["event_type", "band"],
+        "event_id",
+        sums={"_s": col("value")},
+        mins={"lo": col("value")},
+        maxs={"hi": col("value")},
     )
-    fold = F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
-    return (
-        e.withColumn("band", band)
-        .groupBy("event_type", "band")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-            (fold / F.count(F.lit(1))).alias("band_mean"),
-        )
-        .orderBy("event_type", "band")
-    )
+    return s.select(
+        "event_type",
+        "band",
+        "n",
+        "lo",
+        "hi",
+        (col("_s") / col("n")).alias("band_mean"),
+    ).orderBy("event_type", "band")

@@ -422,35 +422,36 @@ _WINS_P = 0.05  # two-sided trim fraction
 
 
 def _wins_oracle() -> str:
-    from cqlcopy_spark.functions.portable import sql_davg
+    from cqlcopy_spark.functions.portable import sql_block_fold_agg
 
-    return f"""
-WITH r AS (
+    inner = sql_block_fold_agg(
+        f"""WITH r AS (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
   FROM events
 ),
 cut AS (
-  SELECT event_type, value,
-         MAX(CASE WHEN rn = CAST(ceil({_WINS_P} * n) AS BIGINT)
+  SELECT event_type, event_id, value,
+         MAX(CASE WHEN rn = CAST(ceil({_WINS_P} * cnt) AS BIGINT)
              THEN value END) OVER (PARTITION BY event_type) AS lo,
-         MAX(CASE WHEN rn = n + 1 - CAST(ceil({_WINS_P} * n) AS BIGINT)
+         MAX(CASE WHEN rn = cnt + 1 - CAST(ceil({_WINS_P} * cnt) AS BIGINT)
              THEN value END) OVER (PARTITION BY event_type) AS hi
   FROM r
-),
-clamped AS (
-  SELECT event_type, lo, hi,
-         least(greatest(value, lo), hi) AS v
-  FROM cut
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       MIN(lo) AS p05, MIN(hi) AS p95,
-       {sql_davg('v')} AS wins_mean
-FROM clamped
-GROUP BY event_type
+SELECT event_type, event_id, lo, hi,
+       least(greatest(value, lo), hi) AS v
+FROM cut""",
+        ["event_type"],
+        "event_id",
+        sums={"_s": "v"},
+        mins={"p05": "lo", "p95": "hi"},
+    )
+    return f"""
+WITH s AS ({inner})
+SELECT event_type, n, p05, p95, _s / n AS wins_mean
+FROM s
 ORDER BY event_type
 """
 
@@ -464,49 +465,62 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an event_id tiebreak), not interpolated quantiles: interpolation
     formulas differ subtly across engines while "the k-th value" is one
     comparison — every byte here is value-hash portable. Values are
-    clamped to [p05, p95] and averaged with the decimal-exact davg.
+    clamped to [p05, p95] and averaged with the deterministic-order
+    fixed-block fold tree (portable.block_fold_agg): clamped values are
+    raw full-precision doubles, for which the decimal davg route can
+    diverge by a digit-string ulp — the same reasoning as decile_bands
+    and timeseries_trend (this fixture's 2-decimal values happened to
+    make davg safe, but the fold makes it safe by construction).
 
     Scale: ONE shuffle on event_type serves the rank window, the
-    cutoff window aggregates, and the final group-by (same key). Groups
-    at this cardinality (15 types) parallelize across tasks; for a
-    group too large to sort in one task the exact rank is replaced by
-    approx_percentile's t-digest — same plan shape, error-bounded
-    cutoffs (the trade agg_approx already documents)."""
-    from cqlcopy_spark.functions.portable import davg
+    cutoff window aggregates, the fold's rank window, and all three
+    fold levels (same key throughout). For a group too large to sort
+    in one task the exact rank is replaced by approx_percentile's
+    t-digest — same plan shape, error-bounded cutoffs (the trade
+    agg_approx already documents)."""
+    from cqlcopy_spark.functions.portable import block_fold_agg
 
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     wr = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = e.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+        "cnt", F.count(F.lit(1)).over(wn)
     )
-    k = F.ceil(F.lit(_WINS_P) * col("n"))
+    k = F.ceil(F.lit(_WINS_P) * col("cnt"))
     # cutoffs as WINDOW aggregates over the same partition — a
     # groupBy+join-back would re-execute the rank window's lineage per
     # side (CLAUDE.md self-join rule); this stays one linear lineage
     # sharing one event_type exchange
     cut = r.select(
         "event_type",
+        "event_id",
         "value",
         F.max(F.when(col("rn") == k, col("value"))).over(wn).alias("lo"),
-        F.max(F.when(col("rn") == col("n") + 1 - k, col("value"))).over(wn).alias("hi"),
+        F.max(F.when(col("rn") == col("cnt") + 1 - k, col("value")))
+        .over(wn)
+        .alias("hi"),
     )
     clamped = cut.select(
         "event_type",
+        "event_id",
         "lo",
         "hi",
         F.least(F.greatest(col("value"), col("lo")), col("hi")).alias("v"),
     )
-    return (
-        clamped.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lo").alias("p05"),
-            F.min("hi").alias("p95"),
-            davg(col("v")).alias("wins_mean"),
-        )
-        .orderBy("event_type")
+    s = block_fold_agg(
+        clamped,
+        ["event_type"],
+        "event_id",
+        sums={"_s": col("v")},
+        mins={"p05": col("lo"), "p95": col("hi")},
     )
+    return s.select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        (col("_s") / col("n")).alias("wins_mean"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

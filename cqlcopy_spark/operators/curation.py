@@ -523,6 +523,33 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fragment noise — the variant mix a crawl actually produces.
 
 
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a URL column: lowercase everything before the
+    first '?' or '#', drop the fragment, strip utm_* tracking params
+    (LITERAL prefix — not a LIKE pattern, so utmx=/utm1= survive), and
+    binary-sort the surviving query params. Pure JVM expression; the
+    pure-Python twin lives in tests/test_url_property.py and fuzzes
+    this against scheme-case/param-order/fragment/utm permutations."""
+    base = F.lower(F.regexp_extract(url, r"^([^?#]+)", 1))
+    # lazy [^#]*? pins the match to a '?' BEFORE any '#': a '?' inside
+    # the fragment ("x#frag?a=1") must NOT resurrect as a query string
+    # (latent bug found by the property fuzz; both engines' regex
+    # dialects — Java and RE2 — agree on lazy quantifiers)
+    query = F.regexp_extract(url, r"^[^#]*?[?]([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    return F.concat(
+        base,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+        ).otherwise(F.lit("")),
+    )
+
+
 def _url_canon_oracle() -> str:
     return """
 WITH u AS (
@@ -537,7 +564,7 @@ WITH u AS (
 parts AS (
   SELECT doc_id, url,
          lower(regexp_extract(url, '^([^?#]+)', 1)) AS base,
-         regexp_extract(url, '[?]([^#]*)', 1) AS query
+         regexp_extract(url, '^[^#]*?[?]([^#]*)', 1) AS query
   FROM u
 ),
 canon AS (
@@ -591,25 +618,8 @@ def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("?a=1&b=2")),
         F.when(col("doc_id") % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    parts = d.select(
-        "doc_id",
-        F.lower(F.regexp_extract(url, r"^([^?#]+)", 1)).alias("base"),
-        F.regexp_extract(url, r"[?]([^#]*)", 1).alias("query"),
-    )
-    kept = F.array_sort(
-        F.filter(
-            F.split(col("query"), "&"),
-            lambda p: (p != "") & ~p.startswith("utm_"),
-        )
-    )
-    canonical = F.concat(
-        col("base"),
-        F.when(
-            F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
-        ).otherwise(F.lit("")),
-    )
     return (
-        parts.select("doc_id", canonical.alias("canonical"))
+        d.select("doc_id", canonical_url(url).alias("canonical"))
         .groupBy("canonical")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

@@ -414,25 +414,22 @@ _US_PER_DAY = 86_400_000_000.0
 
 
 def _trend_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_block_fold_agg
+
     x = f"((epoch_us(ts) - {_TREND_EPOCH_US}) / {_US_PER_DAY})"
-
-    def osum(expr: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list({expr} ORDER BY event_id)), (a, b) -> a + b)"
-        )
-
+    inner = sql_block_fold_agg(
+        "SELECT user_id, event_id, ts, value FROM events",
+        ["user_id"],
+        "event_id",
+        sums={
+            "sx": x,
+            "sy": "value",
+            "sxx": f"{x} * {x}",
+            "sxy": f"{x} * value",
+        },
+    )
     return f"""
-WITH s AS (
-  SELECT user_id,
-         COUNT(*) AS n,
-         {osum(x)} AS sx,
-         {osum('value')} AS sy,
-         {osum(f'{x} * {x}')} AS sxx,
-         {osum(f'{x} * value')} AS sxy
-  FROM events
-  GROUP BY user_id
-)
+WITH s AS ({inner})
 SELECT user_id, n,
        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
@@ -451,40 +448,35 @@ def timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float parity: the moment inputs are FULL-PRECISION doubles (day
     fractions and their products), where the decimal dsum route
     diverges by a digit-string ulp (similarity.py centroid note) — so
-    every moment is a DETERMINISTIC-ORDER BINARY FOLD: collect each
-    user's terms sorted by event_id, sum sequentially, identical IEEE
-    adds in both engines. One shuffle on user_id; collect_list state is
-    group-sized (a user's events fit a task by assumption — at extreme
-    group sizes switch to the two-level fixed-block fold). The closed
-    form is then pure arithmetic on the grouped row. n ≥ 2 filters
-    degenerate singletons (denominator 0 → engines disagree on inf/NaN
-    semantics)."""
+    every moment is a DETERMINISTIC-ORDER fold via the fixed-block fold
+    tree (portable.block_fold_agg): identical IEEE adds in both
+    engines, task state bounded by max(block, n/block²) instead of the
+    whole group — a hot user with millions of events no longer
+    materializes its term list in one aggregation buffer. One shuffle
+    on user_id serves the rank window and all three fold levels. The
+    closed form is then pure arithmetic on the grouped row. n ≥ 2
+    filters degenerate singletons (denominator 0 → engines disagree on
+    inf/NaN semantics)."""
+    from cqlcopy_spark.functions.portable import block_fold_agg
+
     e = table(spark, sf_dir, "events")
     x = (F.unix_micros(col("ts").cast("timestamp")) - F.lit(_TREND_EPOCH_US)) / F.lit(
         _US_PER_DAY
     )
-
-    def osum(vals):
-        ordered = F.transform(F.array_sort(vals), lambda s: s["v"])
-        return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
-
-    def kv(expr):
-        return F.collect_list(F.struct(col("event_id").alias("k"), expr.alias("v")))
-
     terms = e.select(
         "user_id", "event_id", x.alias("x"), col("value").alias("y")
     )
-    s = (
-        terms.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            osum(kv(col("x"))).alias("sx"),
-            osum(kv(col("y"))).alias("sy"),
-            osum(kv(col("x") * col("x"))).alias("sxx"),
-            osum(kv(col("x") * col("y"))).alias("sxy"),
-        )
-        .filter(col("n") >= 2)
-    )
+    s = block_fold_agg(
+        terms,
+        ["user_id"],
+        "event_id",
+        sums={
+            "sx": col("x"),
+            "sy": col("y"),
+            "sxx": col("x") * col("x"),
+            "sxy": col("x") * col("y"),
+        },
+    ).filter(col("n") >= 2)
     n, sx, sy, sxx, sxy = col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(

@@ -40,3 +40,65 @@ def test_approx_median_within_tolerance(spark):
     }
     for k, m in exact.items():
         assert abs(approx[k] - m) / m < 0.05, (k, approx[k], m)
+
+
+def test_quantile_sketch_error_bound_and_exact_counts(spark):
+    """sketch_quantiles_merge: the merged summary's count is EXACT (the
+    HLL-union-is-exact analogue — per-shard weights sum to n_s by
+    construction) and every reported quantile's TRUE rank lies within
+    rank_err_bound of its target rank ceil(p·N)."""
+    import duckdb
+
+    rows = all_queries()["sketch_quantiles_merge"](spark, SF_MEDIUM).collect()
+    con = duckdb.connect()
+    exact_n = dict(
+        con.execute(
+            f"SELECT event_type, count(*) FROM '{SF_MEDIUM}/events.parquet' "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(exact_n)
+    for r in rows:
+        assert r["n"] == exact_n[r["event_type"]]
+        for p in (0.5, 0.9, 0.99):
+            est = r[f"p{int(p * 100)}"]
+            # true rank of the estimate = how many of the group's values
+            # are <= it (any tie position is within the same rank run)
+            true_rank = con.execute(
+                f"SELECT count(*) FROM '{SF_MEDIUM}/events.parquet' "
+                "WHERE event_type = ? AND value <= ?",
+                [r["event_type"], est],
+            ).fetchone()[0]
+            import math
+
+            target = math.ceil(p * r["n"])
+            assert abs(true_rank - target) <= r["rank_err_bound"], (
+                r["event_type"], p, est, true_rank, target, r["rank_err_bound"],
+            )
+
+
+def test_quantile_sketch_bound_holds_under_any_resharding(spark):
+    """Mergeability contract: re-partitioning the same rows into a
+    DIFFERENT number of shards changes the summaries and (slightly) the
+    estimates, but the rank-error bound N/k + S must hold for every
+    sharding — that's what makes shard→day→global rollups safe."""
+    import math
+
+    import duckdb
+
+    from cqlcopy_spark.operators.analytics import _QSK_K, _quantile_summary
+
+    e = table(spark, SF_MEDIUM, "events").select("event_type", "event_id", "value")
+    con = duckdb.connect()
+    for s in (1, 4, 16):
+        rows = _quantile_summary(e, _QSK_K, s).collect()
+        for r in rows:
+            for p in (0.5, 0.99):
+                est = r[f"p{int(p * 100)}"]
+                true_rank = con.execute(
+                    f"SELECT count(*) FROM '{SF_MEDIUM}/events.parquet' "
+                    "WHERE event_type = ? AND value <= ?",
+                    [r["event_type"], est],
+                ).fetchone()[0]
+                target = math.ceil(p * r["n"])
+                assert abs(true_rank - target) <= r["rank_err_bound"], (s, r)
