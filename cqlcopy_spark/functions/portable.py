@@ -111,17 +111,10 @@ def sql_cents(expr: str) -> str:
 BLOCK = 64
 
 
-def _fold_ordered(key: Column, val: Column) -> Column:
-    """Sequential IEEE left-fold of val in key order (collect→sort→add)."""
-    lst = F.collect_list(F.struct(key.alias("k"), val.alias("v")))
-    ordered = F.transform(F.array_sort(lst), lambda s: s["v"])
-    return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
-
-
 def block_fold_agg(
     df,
     group_cols: "list[str]",
-    order_col: str,
+    order_col: "str | list[str]",
     sums: "dict[str, Column]",
     mins: "dict[str, Column] | None" = None,
     maxs: "dict[str, Column] | None" = None,
@@ -136,34 +129,85 @@ def block_fold_agg(
     and mins/maxs are plain MIN/MAX of their expressions (combined
     per-level — order-insensitive, so levels don't change them). Use
     sql_block_fold_agg for the DuckDB twin; results are bit-identical.
-    """
-    from pyspark.sql.window import Window
 
+    Build-cost note (measured on timeseries_trend at sf0.1): PySpark
+    analyzes each Dataset EAGERLY, so composing the three fold levels
+    through the DataFrame API re-analyzed a deepening lambda-heavy tree
+    on every plan build — ~0.6s of driver-side Catalyst work per call,
+    doubling the bench wall of every caller. The tree is therefore
+    assembled as ONE Spark-SQL text over a pre-projected temp view
+    (single analysis pass, ~0.1s); the physical plan is identical, and
+    all sums fold in one aggregate pass with a struct accumulator whose
+    per-field add sequence is bitwise-equal to the SQL twin's per-list
+    folds.
+    """
     mins, maxs = mins or {}, maxs or {}
-    w = Window.partitionBy(*group_cols).orderBy(order_col)
-    d = (
-        df.withColumn("_rn", F.row_number().over(w) - F.lit(1))
-        .withColumn("_b1", F.floor(F.col("_rn") / block))
-        .withColumn("_b2", F.floor(F.col("_rn") / (block * block)))
+    names = list(sums)
+    # order_col: one column name or a list (composite order — the
+    # combination must still be unique per group). Passing the order a
+    # caller's plan ALREADY sorts by (e.g. winsorize's (value,
+    # event_id) rank order) lets the fold's rank window reuse that
+    # sort instead of adding one.
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # pre-project every expression to a plain column so the SQL text
+    # only references simple names (callers keep passing Columns)
+    proj = df.select(
+        *group_cols,
+        *[F.col(c).alias(f"_ok{i}") for i, c in enumerate(order_cols)],
+        *[e.alias(f"_v_{nm}") for nm, e in sums.items()],
+        *[e.alias(f"_mn_{nm}") for nm, e in mins.items()],
+        *[e.alias(f"_mx_{nm}") for nm, e in maxs.items()],
     )
-    l1 = d.groupBy(*group_cols, "_b2", "_b1").agg(
-        F.count(F.lit(1)).alias(count_alias),
-        *[_fold_ordered(F.col("_rn"), e).alias(nm) for nm, e in sums.items()],
-        *[F.min(e).alias(nm) for nm, e in mins.items()],
-        *[F.max(e).alias(nm) for nm, e in maxs.items()],
-    )
-    l2 = l1.groupBy(*group_cols, "_b2").agg(
-        F.sum(count_alias).alias(count_alias),
-        *[_fold_ordered(F.col("_b1"), F.col(nm)).alias(nm) for nm in sums],
-        *[F.min(nm).alias(nm) for nm in mins],
-        *[F.max(nm).alias(nm) for nm in maxs],
-    )
-    return l2.groupBy(*group_cols).agg(
-        F.sum(count_alias).alias(count_alias),
-        *[_fold_ordered(F.col("_b2"), F.col(nm)).alias(nm) for nm in sums],
-        *[F.min(nm).alias(nm) for nm in mins],
-        *[F.max(nm).alias(nm) for nm in maxs],
-    )
+    global _BF_VIEW_SEQ
+    _BF_VIEW_SEQ += 1
+    view = f"_bf_input_{_BF_VIEW_SEQ}"
+    proj.createOrReplaceTempView(view)
+
+    g = ", ".join(f"`{c}`" for c in group_cols)
+
+    def _lvl(src: str, keys: str, order: str, first: bool) -> str:
+        if first:
+            payload = ", ".join(f"`_v_{nm}` AS `{nm}`" for nm in names)
+            cnt = "COUNT(1)"
+            mn = ", ".join(f"MIN(`_mn_{nm}`) AS `{nm}`" for nm in mins)
+            mx = ", ".join(f"MAX(`_mx_{nm}`) AS `{nm}`" for nm in maxs)
+        else:
+            payload = ", ".join(f"`{nm}` AS `{nm}`" for nm in names)
+            cnt = f"SUM(`{count_alias}`)"
+            mn = ", ".join(f"MIN(`{nm}`) AS `{nm}`" for nm in mins)
+            mx = ", ".join(f"MAX(`{nm}`) AS `{nm}`" for nm in maxs)
+        acc0 = ", ".join(f"0.0d AS `{nm}`" for nm in names)
+        merge = ", ".join(f"acc.`{nm}` + s.`{nm}` AS `{nm}`" for nm in names)
+        outs = ", ".join(f"_acc.`{nm}` AS `{nm}`" for nm in names)
+        agg_extras = "".join(f", {x}" for x in (mn, mx) if x)
+        ref_extras = "".join(f", `{nm}`" for nm in [*mins, *maxs])
+        return f"""
+SELECT {keys}, `{count_alias}`, {outs}{ref_extras}
+FROM (
+  SELECT {keys}, {cnt} AS `{count_alias}`,
+         aggregate(array_sort(collect_list(struct({order} AS _k, {payload}))),
+                   struct({acc0}),
+                   (acc, s) -> struct({merge})) AS _acc{agg_extras}
+  FROM ({src})
+  GROUP BY {keys}
+)"""
+
+    ok = ", ".join(f"`_ok{i}`" for i in range(len(order_cols)))
+    base = f"""SELECT *, FLOOR(_rn / {block}) AS _b1,
+       FLOOR(_rn / {block * block}) AS _b2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {ok}) - 1
+             AS _rn
+      FROM {view})"""
+    l1 = _lvl(base, f"{g}, _b2, _b1", "_rn", first=True)
+    l2 = _lvl(l1, f"{g}, _b2", "_b1", first=False)
+    l3 = _lvl(l2, g, "_b2", first=False)
+    out = df.sparkSession.sql(l3)
+    # spark.sql analyzes eagerly, so the view can be dropped right away
+    df.sparkSession.catalog.dropTempView(view)
+    return out
+
+
+_BF_VIEW_SEQ = 0
 
 
 def sql_block_fold_agg(

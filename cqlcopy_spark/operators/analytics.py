@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import broadcast, col
 from pyspark.sql.window import Window
 
 from cqlcopy_spark.catalog import table
@@ -1275,6 +1275,136 @@ def _quantile_summary(e: DataFrame, k: int, s: int) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_heavy_hitters — mergeable frequent-items sketch (shard → global)
+# ---------------------------------------------------------------------------
+
+# Completes the profiling sketch trio (HLL distinct / quantile summary /
+# heavy hitters). Per shard the item counts are EXACT (a groupBy), the
+# shard keeps its top-k items and records the (k+1)-th count as its
+# drop threshold; merging sums kept counts and bounds what the dropped
+# occurrences could add: true_count ∈ [est, est + Σ thresholds of shards
+# that dropped the item] — the Metwally SpaceSaving merge guarantee,
+# here in pure integer arithmetic, so the sketch gets a FULL value-hash
+# oracle (DuckDB twin below). Bounds + resharding pins: test_approx.py.
+
+_HH_K = 16  # items kept per shard
+_HH_SHARDS = 8
+_HH_TOP = 10  # reported heavy hitters
+
+
+def _hh_oracle() -> str:
+    k, s, top = _HH_K, _HH_SHARDS, _HH_TOP
+    return f"""
+WITH c AS (
+  SELECT ((event_id % {s}) + {s}) % {s} AS shard, user_id,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT shard, user_id, cnt,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, user_id) AS rk
+  FROM c
+),
+thr AS (
+  SELECT shard,
+         COALESCE(MAX(CASE WHEN rk = {k} + 1 THEN cnt END), 0) AS thr
+  FROM r GROUP BY shard
+),
+tot AS (SELECT CAST(SUM(thr) AS BIGINT) AS total_thr FROM thr),
+kept AS (SELECT shard, user_id, cnt FROM r WHERE rk <= {k}),
+m AS (
+  SELECT kept.user_id,
+         CAST(SUM(kept.cnt) AS BIGINT) AS est,
+         CAST(SUM(thr.thr) AS BIGINT) AS present_thr
+  FROM kept JOIN thr ON kept.shard = thr.shard
+  GROUP BY kept.user_id
+),
+ranked AS (
+  SELECT m.user_id, m.est,
+         m.est + (tot.total_thr - m.present_thr) AS upper_bound,
+         ROW_NUMBER() OVER (ORDER BY m.est DESC, m.user_id) AS rank
+  FROM m CROSS JOIN tot
+)
+SELECT user_id, est, upper_bound, rank
+FROM ranked WHERE rank <= {top}
+ORDER BY rank
+"""
+
+
+@register("sketch_heavy_hitters", oracle=_hh_oracle())
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items (heavy-hitters) rollup: each shard keeps
+    its exact top-k item counts plus the (k+1)-th count as the drop
+    threshold; the merge sums an item's kept counts (est = a certain
+    LOWER bound on its true count) and adds the thresholds of shards
+    that dropped it (upper_bound — the most its unseen occurrences
+    could contribute). The interval [est, upper_bound] always contains
+    the true count (pinned against exact counts in test_approx.py for
+    every sharding), which is what makes shard→day→global top-N safe
+    without re-scanning raw data — same contract as the HLL and
+    quantile sketches beside it. Shards split by event_id (a
+    data-partition stand-in), so each item's occurrences scatter
+    across shards and the merge genuinely reassembles partial counts —
+    sharding by the item key would make every per-item count exact and
+    the merge vacuous.
+
+    Scale: ONE event-volume shuffle (the (shard, item) exact-count
+    groupBy, map-side partial); the rank window and merge run on the
+    distinct (shard, item) table and the S·k kept rows. The final
+    global rank window orders ≤ S·k rows — driver-trivial. All-integer
+    arithmetic end to end ⇒ full value-hash oracle."""
+    return _heavy_hitters(
+        table(spark, sf_dir, "events").select("event_id", "user_id"),
+        _HH_K,
+        _HH_SHARDS,
+        _HH_TOP,
+    )
+
+
+def _heavy_hitters(e: DataFrame, k: int, s: int, top: int) -> DataFrame:
+    """Core of sketch_heavy_hitters, parameterized so tests can pin the
+    [est, upper_bound] containment guarantee under different shardings."""
+    c = (
+        e.withColumn("shard", F.pmod(col("event_id"), F.lit(s)))
+        .groupBy("shard", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.partitionBy("shard").orderBy(col("cnt").desc(), col("user_id"))
+    r = c.withColumn("rk", F.row_number().over(wr))
+    thr = r.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(col("rk") == k + 1, col("cnt"))), F.lit(0)
+        ).alias("thr")
+    )
+    tot = thr.agg(F.sum("thr").alias("total_thr"))
+    kept = r.filter(col("rk") <= k).select("shard", "user_id", "cnt")
+    m = (
+        kept.join(broadcast(thr), "shard")
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("est"),
+            F.sum("thr").alias("present_thr"),
+        )
+    )
+    wg = Window.orderBy(col("est").desc(), col("user_id"))
+    return (
+        m.crossJoin(broadcast(tot))
+        .select(
+            "user_id",
+            "est",
+            (col("est") + col("total_thr") - col("present_thr")).alias(
+                "upper_bound"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wg))
+        .filter(col("rank") <= top)
+        .orderBy("rank")
     )
 
 

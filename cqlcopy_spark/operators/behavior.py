@@ -440,11 +440,11 @@ cut AS (
              THEN value END) OVER (PARTITION BY event_type) AS hi
   FROM r
 )
-SELECT event_type, event_id, lo, hi,
+SELECT event_type, event_id, value, lo, hi,
        least(greatest(value, lo), hi) AS v
 FROM cut""",
         ["event_type"],
-        "event_id",
+        "value, event_id",
         sums={"_s": "v"},
         mins={"p05": "lo", "p95": "hi"},
     )
@@ -503,14 +503,18 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = cut.select(
         "event_type",
         "event_id",
+        "value",
         "lo",
         "hi",
         F.least(F.greatest(col("value"), col("lo")), col("hi")).alias("v"),
     )
+    # fold order (value, event_id) — the rank order the plan is ALREADY
+    # sorted by from the cutoff windows, so the fold's rank window
+    # reuses that sort instead of re-sorting by event_id
     s = block_fold_agg(
         clamped,
         ["event_type"],
-        "event_id",
+        ["value", "event_id"],
         sums={"_s": col("v")},
         mins={"p05": col("lo"), "p95": col("hi")},
     )

@@ -387,3 +387,131 @@ def layout_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / F.lit(_COMPACT_TARGET_ROWS)).cast("long").alias("bin"),
         start.cast("long").alias("bin_start_row"),
     ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout — space-filling-curve clustering for multi-dim data skipping
+# ---------------------------------------------------------------------------
+
+# The OPTIMIZE ZORDER BY step of a lakehouse table: interleave the bits
+# of two clustering dimensions into a Morton (Z) value and bucket rows
+# by its prefix, so each output file covers a small RANGE OF BOTH
+# dimensions at once — min/max file statistics then prune point/range
+# queries on EITHER dimension, where a single-column sort gives perfect
+# stats on one dimension and useless ones on the other. Pure integer
+# bit arithmetic (shifts/masks < 2^32), identical in both engines, so
+# the layout plan is fully value-hash oracled; the pruning-power
+# assertion vs a linear layout lives in tests/test_zorder.py.
+
+_Z_BITS = 16  # per-dimension bits folded into the Z value
+_Z_PREFIX = 6  # files = z >> (2*BITS - PREFIX)  → up to 2^PREFIX files
+
+
+def _z_interleave_sql(d1: str, d2: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({d1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({d2} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    z = _z_interleave_sql("d1", "d2")
+    shift = 2 * _Z_BITS - _Z_PREFIX
+    top = (1 << _Z_BITS) - 1
+    return f"""
+WITH raw AS (
+  SELECT event_id,
+         user_id AS r1,
+         epoch_us(ts) // 3600000000 AS r2
+  FROM events
+),
+ext AS (
+  SELECT MIN(r1) AS lo1, GREATEST(MAX(r1) - MIN(r1), 1) AS sp1,
+         MIN(r2) AS lo2, GREATEST(MAX(r2) - MIN(r2), 1) AS sp2
+  FROM raw
+),
+d AS (
+  SELECT event_id,
+         ((r1 - lo1) * {top}) // sp1 AS d1,
+         ((r2 - lo2) * {top}) // sp2 AS d2
+  FROM raw CROSS JOIN ext
+),
+z AS (SELECT event_id, d1, d2, {z} >> {shift} AS file_id FROM d)
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+       MIN(d2) AS d2_min, MAX(d2) AS d2_max
+FROM z
+GROUP BY file_id
+ORDER BY file_id
+"""
+
+
+@register("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout plan over events clustered on
+    (user_id, hour): per output file, the row count and both
+    dimensions\' min/max — the skipping statistics a scan planner
+    consults. Dimensions first RESCALE to the data\'s own min/max (the
+    range-based bit allocation real OPTIMIZE ZORDER performs — raw
+    values rarely fill the bit budget), then interleave into a Morton
+    value whose prefix is the file id. Because the Z prefix fixes
+    leading bits of BOTH dimensions, every file\'s d1 AND d2 ranges are
+    narrow (tests/test_zorder.py pins both normalized spans far below
+    the ~1.0 a single-dimension sort leaves on its non-sort dimension).
+
+    Scale: the extent scan is a 1-row broadcast (min/max agg); file
+    assignment is then a PURE MAP (z-prefix bucket — no global sort,
+    unlike rank-based file splitting; file sizes follow data density,
+    which OPTIMIZE-style bin packing evens out downstream —
+    layout_compact_plan is exactly that consumer). One hash aggregate
+    on file_id for the stats. The rescale is exact int64 arithmetic
+    ((x-lo)·65535 fits for any span < 2^47); shifts/masks stay below
+    2^32 — bit-identical across engines; hour = epoch_us // 3.6e9
+    floor-divides identically (µs nonnegative)."""
+    from pyspark.sql.functions import broadcast
+
+    top = (1 << _Z_BITS) - 1
+    raw = table(spark, sf_dir, "events").select(
+        "event_id",
+        col("user_id").alias("r1"),
+        F.floor(
+            F.unix_micros(col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+        ).alias("r2"),
+    )
+    ext = raw.agg(
+        F.min("r1").alias("lo1"),
+        F.greatest(F.max("r1") - F.min("r1"), F.lit(1)).alias("sp1"),
+        F.min("r2").alias("lo2"),
+        F.greatest(F.max("r2") - F.min("r2"), F.lit(1)).alias("sp2"),
+    )
+    def idiv(a, b):
+        # exact integer floor-div (a ≥ 0): subtract the remainder first
+        # so the double division is of an exact multiple — F.floor(a/b)
+        # alone can round up across a boundary where DuckDB's integer
+        # `//` cannot (CLAUDE.md integer-division rule)
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    d = raw.crossJoin(broadcast(ext)).select(
+        "event_id",
+        idiv((col("r1") - col("lo1")) * top, col("sp1")).alias("d1"),
+        idiv((col("r2") - col("lo2")) * top, col("sp2")).alias("d2"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(col("d1"), i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(col("d2"), i).bitwiseAND(1), 2 * i + 1)
+    shift = 2 * _Z_BITS - _Z_PREFIX
+    return (
+        d.withColumn("file_id", F.shiftright(z, shift))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+        .orderBy("file_id")
+    )

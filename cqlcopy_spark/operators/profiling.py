@@ -409,3 +409,62 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity — quasi-identifier re-identification audit
+# ---------------------------------------------------------------------------
+
+# The privacy companion to pii_redact: before a table ships into a
+# training corpus, group it by its QUASI-IDENTIFIERS (attributes that
+# are individually harmless but jointly identifying) and measure each
+# equivalence class — a class smaller than k means its members are
+# re-identifiable within the release. Output is per-class so downstream
+# suppression/generalization can act on exactly the failing classes.
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {_KANON_K} AS violates_k
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
+@register("k_anonymity", oracle=_KANON_ORACLE)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (nation, market segment, account-balance
+    band): every equivalence class with its size and a violates_k flag
+    (class_size < {k}). The balance band is a deliberate
+    generalization step — floor(bal/1000) — showing the
+    coarsen-until-anonymous loop this audit drives; nation × segment
+    alone passes at any realistic k, the banded triple mostly fails,
+    which is exactly the re-identification surface the auditor needs
+    to see.
+
+    Scale: one hash aggregate on the quasi-identifier tuple (map-side
+    partial — class counts crush to |classes| rows regardless of table
+    size). All-integer arithmetic; floor (not trunc) on the band so
+    negative balances agree across engines."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "class_size",
+            (col("class_size") < _KANON_K).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )

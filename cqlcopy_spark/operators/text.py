@@ -1538,3 +1538,99 @@ def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip — corpus-frequency segment removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# The line-dedup step of CCNet/C4-style curation: segments repeated
+# across many documents (headers, footers, navigation, license blurbs)
+# are boilerplate and get stripped from every document BEFORE training.
+# The fixture corpus has no newlines, so "lines" are fixed non-
+# overlapping word windows — the segmentation is a parameter, the
+# corpus-frequency strip is the operator.
+
+_BP_W = 3  # words per segment
+_BP_DF = 3  # strip segments appearing in >= this many distinct docs
+
+_BP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(toks) / {_BP_W}.0) AS BIGINT)),
+                        g -> array_to_string(toks[{_BP_W}*g+1:{_BP_W}*g+{_BP_W}], ' '))
+           AS chunks
+  FROM t
+),
+x AS (SELECT DISTINCT doc_id, unnest(chunks) AS chunk FROM c),
+dfc AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS df FROM x GROUP BY chunk),
+bl AS (SELECT COALESCE(list(chunk), []) AS bl FROM dfc WHERE df >= {_BP_DF})
+SELECT c.doc_id,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws
+       -- of an empty array is '' — a fully-stripped doc must agree
+       COALESCE(array_to_string(list_filter(c.chunks,
+                                   ch -> NOT list_contains(bl.bl, ch)), ' '),
+                '')
+         AS clean_text,
+       CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+       CAST(len(c.chunks)
+            - len(list_filter(c.chunks,
+                              ch -> NOT list_contains(bl.bl, ch))) AS BIGINT)
+         AS n_stripped
+FROM c CROSS JOIN bl
+ORDER BY doc_id
+"""
+
+
+@register("boilerplate_strip", oracle=_BP_ORACLE)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet line-dedup
+    curation step): segment every document into fixed word windows,
+    count each segment's document frequency corpus-wide, and strip
+    segments appearing in ≥ {_BP_DF} distinct documents, reassembling
+    the cleaned text in original order.
+
+    Scale shape: documents are segmented ONCE into a per-doc array
+    (map-only); only the df count explodes segments — a two-phase
+    exact-distinct aggregate ((chunk, doc) dedupe then chunk count, the
+    CLAUDE.md two-phase form, map-side partial both times). The
+    boilerplate SET (the df-distribution head — small by the nature of
+    boilerplate) broadcasts back as one array and the strip +
+    reassembly is a pure map over the chunk arrays: the corpus is
+    never shuffled for reassembly. If the set ever outgrew a
+    broadcast, the fallback is an exploded broadcast anti-join +
+    ordered re-collect (one extra doc_id shuffle)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(_BP_W)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nch - F.lit(1)),
+        lambda g: F.concat_ws(
+            " ", F.slice(toks, (g * _BP_W + 1).cast("int"), _BP_W)
+        ),
+    )
+    c = d.select("doc_id", chunks.alias("chunks"))
+    dfc = (
+        c.select("doc_id", F.explode("chunks").alias("chunk"))
+        .groupBy("chunk", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bl = dfc.filter(col("df") >= _BP_DF).agg(
+        F.collect_set("chunk").alias("bl")
+    )
+    kept = F.filter(
+        col("chunks"), lambda ch: ~F.array_contains(col("bl"), ch)
+    )
+    return (
+        c.crossJoin(F.broadcast(bl))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("chunks").cast("long").alias("n_chunks"),
+            (F.size("chunks") - F.size(kept)).cast("long").alias("n_stripped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -102,3 +102,31 @@ def test_quantile_sketch_bound_holds_under_any_resharding(spark):
                 ).fetchone()[0]
                 target = math.ceil(p * r["n"])
                 assert abs(true_rank - target) <= r["rank_err_bound"], (s, r)
+
+
+def test_heavy_hitters_bounds_contain_truth_under_any_resharding(spark):
+    """sketch_heavy_hitters: for every reported item and EVERY sharding,
+    the true count lies in [est, upper_bound] (est is a certain lower
+    bound — kept per-shard counts are exact; upper adds the drop
+    thresholds of shards that lost the item). s=1 degenerates to exact
+    top-k: est == true and upper == est."""
+    import duckdb
+
+    from cqlcopy_spark.operators.analytics import _HH_K, _heavy_hitters
+
+    e = table(spark, SF_MEDIUM, "events").select("event_id", "user_id")
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"SELECT user_id, count(*) FROM '{SF_MEDIUM}/events.parquet' "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    for s in (1, 4, 16):
+        rows = _heavy_hitters(e, _HH_K, s, 10).collect()
+        assert len(rows) == 10
+        for r in rows:
+            true = exact[r["user_id"]]
+            assert r["est"] <= true <= r["upper_bound"], (s, r, true)
+            if s == 1:
+                assert r["est"] == true == r["upper_bound"]

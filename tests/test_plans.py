@@ -369,6 +369,19 @@ def test_driver_query_rotation_rotates_greens_by_freshness(tmp_path, monkeypatch
     assert order2[first_green] == b
 
 
+def test_boilerplate_strip_reassembles_without_doc_shuffle(spark):
+    """boilerplate_strip: documents are segmented map-side and cleaned
+    by a broadcast of the boilerplate array — the corpus must never
+    shuffle for reassembly. Exchanges budget: (chunk, doc) dedupe +
+    chunk df count + the single-partition gather of the (tiny,
+    df-filtered) boilerplate set into one array + presentation sort
+    = 4; the strip itself is a 1-row broadcast nested loop, never a
+    cartesian."""
+    p = plan_of(QUERIES["boilerplate_strip"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) <= 4, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+
+
 def test_every_query_plan_is_hygienic(spark):
     """Blanket sweep over the whole registry: no query may plan a
     cartesian product (except join_cross, which demonstrates one on a
