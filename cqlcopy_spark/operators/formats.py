@@ -390,20 +390,22 @@ def layout_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zorder_layout — space-filling-curve clustering for multi-dim data skipping
+# layout_zorder_stats — per-file skipping statistics of the Z-ordered layout
 # ---------------------------------------------------------------------------
 
-# The OPTIMIZE ZORDER BY step of a lakehouse table: interleave the bits
-# of two clustering dimensions into a Morton (Z) value and bucket rows
-# by its prefix, so each output file covers a small RANGE OF BOTH
-# dimensions at once — min/max file statistics then prune point/range
-# queries on EITHER dimension, where a single-column sort gives perfect
-# stats on one dimension and useless ones on the other. Pure integer
-# bit arithmetic (shifts/masks < 2^32), identical in both engines, so
-# the layout plan is fully value-hash oracled; the pruning-power
-# assertion vs a linear layout lives in tests/test_zorder.py.
+# Companion to layout_zorder above: that operator produces the row-level
+# Morton clustering KEY (the rewrite's sort key); this one produces what
+# the scan planner actually consumes — per-FILE min/max statistics under
+# a z-PREFIX file assignment (no global sort: the prefix bucket is a
+# pure map, and OPTIMIZE-style bin packing — layout_compact_plan —
+# evens file sizes downstream). Each file covers a small RANGE OF BOTH
+# dimensions at once, so min/max stats prune point/range queries on
+# EITHER dimension, where a single-column sort gives perfect stats on
+# one dimension and useless ones on the other. Pure integer bit
+# arithmetic (shifts/masks < 2^32, shared _Z_BITS grid), identical in
+# both engines → fully value-hash oracled; the pruning-power assertion
+# vs a linear layout lives in tests/test_zorder.py.
 
-_Z_BITS = 16  # per-dimension bits folded into the Z value
 _Z_PREFIX = 6  # files = z >> (2*BITS - PREFIX)  → up to 2^PREFIX files
 
 
@@ -448,9 +450,9 @@ ORDER BY file_id
 """
 
 
-@register("zorder_layout", oracle=_zorder_oracle())
-def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) layout plan over events clustered on
+@register("layout_zorder_stats", oracle=_zorder_oracle())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file skipping statistics of a Z-ordered events layout on
     (user_id, hour): per output file, the row count and both
     dimensions\' min/max — the skipping statistics a scan planner
     consults. Dimensions first RESCALE to the data\'s own min/max (the

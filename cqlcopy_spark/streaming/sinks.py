@@ -307,3 +307,114 @@ def read_cdc_state(spark, state_dir: str, op_col: str = "op") -> DataFrame:
     from pyspark.sql import functions as F
 
     return read_agg_state(spark, state_dir).filter(F.col(op_col) != "D")
+
+
+def continuous_topk_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    k: int = 16,
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Continuous heavy-hitters maintenance — the streaming twin of
+    sketch_heavy_hitters with each MICRO-BATCH playing the shard role:
+    per batch, exact item counts reduce to the batch top-k plus the
+    (k+1)-th count as the batch's drop threshold; the state accumulates
+    est (sum of kept counts — a certain lower bound), present_thr
+    (sum of thresholds of batches that kept the item) and the running
+    total_thr, so any item's true count lies in
+    [est, est + total_thr - present_thr] — the same SpaceSaving-merge
+    containment the batch operator pins, maintained incrementally
+    without ever re-scanning the stream.
+
+    Same versioned-state scheme as continuous_agg_sink (batch b merges
+    onto the latest v<b and writes v=b → same-checkpoint replays are
+    idempotent; the _run.json guard refuses or restarts on a foreign
+    checkpoint). State size is ≤ k new items per batch; a retention
+    pass may drop items whose upper bound falls below the current
+    top-N floor — a policy choice, exactly like tombstone compaction
+    in the CDC sink. The per-batch reduce is one hash aggregate + a
+    TakeOrdered(k+1): executor-side and shuffle-light at any rate."""
+    from pyspark.sql import functions as F
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(state_dir, qid, on_new_run, "continuous_topk_sink")
+        prev = None
+        old_total = 0
+        if same_run:
+            v = _latest_version_below(state_dir, batch_id)
+            if v is not None:
+                prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+                head = prev.select("total_thr").head(1)
+                old_total = head[0]["total_thr"] if head else 0
+
+        c = batch_df.groupBy(F.col(item_col).alias("item")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        ranked = c.orderBy(F.col("cnt").desc(), F.col("item")).limit(k + 1)
+        top = ranked.collect()  # ≤ k+1 rows — TakeOrdered, driver-tiny
+        thr = int(top[k]["cnt"]) if len(top) > k else 0
+        total = old_total + thr
+        # rebuild from the collected head so the item dtype follows the
+        # source column (string keys work as well as int keys)
+        kept = spark.createDataFrame(top[:k], schema=ranked.schema)
+        if prev is None:
+            merged = kept.select(
+                "item",
+                F.col("cnt").alias("est"),
+                F.lit(thr).cast("long").alias("present_thr"),
+            )
+        else:
+            merged = (
+                prev.select("item", "est", "present_thr")
+                .join(kept, "item", "full_outer")
+                .select(
+                    "item",
+                    (
+                        F.coalesce(F.col("est"), F.lit(0))
+                        + F.coalesce(F.col("cnt"), F.lit(0))
+                    ).alias("est"),
+                    (
+                        F.coalesce(F.col("present_thr"), F.lit(0))
+                        + F.when(F.col("cnt").isNotNull(), F.lit(thr)).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias("present_thr"),
+                )
+            )
+        merged.withColumn("total_thr", F.lit(total).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v={batch_id}"))
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_topk_state(spark, state_dir: str, top_n: int = 10) -> DataFrame:
+    """Current heavy hitters from a continuous_topk_sink state: est /
+    upper_bound / rank, mirroring sketch_heavy_hitters' output shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = read_agg_state(spark, state_dir)
+    w = Window.orderBy(F.col("est").desc(), F.col("item"))
+    return (
+        s.select(
+            "item",
+            "est",
+            (F.col("est") + F.col("total_thr") - F.col("present_thr")).alias(
+                "upper_bound"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .orderBy("rank")
+    )

@@ -569,3 +569,75 @@ def test_streaming_transitions_match_batch_pairs(spark, tmp_path):
                 n_boundary += 1
     assert n_boundary > 0  # the boundary-spanning pairs are the point
     assert got == dict(want)
+
+
+def test_continuous_topk_sink_matches_batch_shard_merge(spark, tmp_path):
+    """Streaming heavy hitters: after two micro-batches the state must
+    equal the batch sketch's merge with each BATCH as a shard — est =
+    sum of per-batch kept counts, upper = est + thresholds of batches
+    that dropped the item — and the [est, upper] interval must contain
+    every item's true count. Deterministic end to end."""
+    import os
+    import time
+    from collections import Counter
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import continuous_topk_sink, read_topk_state
+
+    K = 3
+    b1 = [1] * 5 + [2] * 4 + [3] * 3 + [4] * 2 + [5] * 1
+    b2 = [2] * 6 + [6] * 5 + [1] * 2 + [7] * 2 + [3] * 1
+    stage = str(tmp_path / "items")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    pd.DataFrame({"item_id": b1}).to_parquet(f1)
+    pd.DataFrame({"item_id": b2}).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    state = str(tmp_path / "hh_state")
+    src = (
+        spark.readStream.schema("item_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        continuous_topk_sink(
+            src, state, str(tmp_path / "ckpt"), item_col="item_id", k=K
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = {
+        r["item"]: (r["est"], r["upper_bound"])
+        for r in read_topk_state(spark, state, top_n=10).collect()
+    }
+
+    # independent reference merge with batches as shards
+    def shard(batch):
+        c = Counter(batch)
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ordered[:K])
+        thr = ordered[K][1] if len(ordered) > K else 0
+        return kept, thr
+
+    k1, t1 = shard(b1)
+    k2, t2 = shard(b2)
+    total = t1 + t2
+    want = {}
+    for item in set(k1) | set(k2):
+        est = k1.get(item, 0) + k2.get(item, 0)
+        present = (t1 if item in k1 else 0) + (t2 if item in k2 else 0)
+        want[item] = (est, est + (total - present))
+    assert got == want, (got, want)
+
+    truth = Counter(b1) + Counter(b2)
+    for item, (est, upper) in got.items():
+        assert est <= truth[item] <= upper, (item, est, truth[item], upper)

@@ -26,7 +26,7 @@ def _avg_spans(rows):
 
 
 def test_zorder_files_cover_narrow_ranges_on_both_dims(spark):
-    rows = QUERIES["zorder_layout"](spark, SF_MEDIUM).collect()
+    rows = QUERIES["layout_zorder_stats"](spark, SF_MEDIUM).collect()
     assert len(rows) > 8  # the prefix bucketing actually splits files
     s1, s2 = _avg_spans(rows)
     # both dimensions clustered at once — the whole point of Z-order
