@@ -851,36 +851,74 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     output hashable; one shuffle on (label, dim).
 
     Float parity: the means are deterministic-order fixed-block fold
-    trees (portable.block_fold_agg), the same IEEE add sequence as the
-    oracle's mirrored tree — see the oracle comment for why the decimal
-    dsum route fails on full-precision doubles. Task state is bounded
-    by max(block, n/block²) per (label, dim) group instead of the whole
-    group, so a skewed label can't OOM an aggregation buffer; one
-    shuffle on (label, dim) serves the rank window and all three fold
-    levels."""
-    from cqlcopy_spark.functions.portable import block_fold_agg
-
+    trees, the same IEEE add sequence as the oracle's mirrored tree —
+    see the oracle comment for why the decimal dsum route fails on
+    full-precision doubles. The fold runs at the VECTOR level: vectors
+    rank within their label (a window over N rows, not N×dims), blocks
+    of 64 consecutive vectors fold element-wise via zip_with array
+    accumulators, block sums fold per super-block and per label, and
+    only the final 3·|labels| sum-arrays posexplode to (label, dim)
+    rows. Per dim the add sequence (vector-rank order, same block
+    boundaries) is IDENTICAL to a component-level fold, so the
+    component-level oracle verifies it bitwise — but the corpus never
+    explodes: at 100 TB the window and every fold level move N rows
+    instead of 64·N, and task state is one dims-length array per block
+    rather than a group-sized list. Emitted as one Spark-SQL text
+    (portable.block_fold_agg's build-cost note: eager per-Dataset
+    analysis made the DataFrame-API formulation ~0.5s/plan)."""
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.posexplode(_emb_double("embedding")).alias("pos", "comp")
-    ).select(
-        "vec_id",
-        "label",
-        (col("pos") + 1).cast("long").alias("dim"),
-        "comp",
+        "vec_id", "label", _emb_double("embedding").alias("emb")
     )
-    s = block_fold_agg(
-        e,
-        ["label", "dim"],
-        "vec_id",
-        sums={"_sc": col("comp"), "_sq": col("comp") * col("comp")},
-    )
-    return s.select(
-        "label",
-        "dim",
-        (col("_sc") / col("n")).alias("centroid"),
-        (col("_sq") / col("n")).alias("mean_sq"),
-        "n",
-    ).orderBy("label", "dim")
+    global _CENT_VIEW_SEQ
+    _CENT_VIEW_SEQ += 1
+    view = f"_cent_input_{_CENT_VIEW_SEQ}"
+    e.createOrReplaceTempView(view)
+
+    def lvl(src: str, keys: str, order: str, first: bool) -> str:
+        if first:
+            payload = f"struct({order} AS _k, emb AS s, emb AS q)"
+            merge_s = "zip_with(acc.s, x.s, (a, b) -> a + b)"
+            merge_q = "zip_with(acc.q, x.q, (a, b) -> a + b * b)"
+            cnt = "COUNT(1)"
+        else:
+            payload = f"struct({order} AS _k, s, q)"
+            merge_s = "zip_with(acc.s, x.s, (a, b) -> a + b)"
+            merge_q = "zip_with(acc.q, x.q, (a, b) -> a + b)"
+            cnt = "SUM(n)"
+        return f"""
+SELECT {keys}, n, _acc.s AS s, _acc.q AS q
+FROM (
+  SELECT {keys}, n,
+         aggregate(_lst,
+                   named_struct('s', transform(element_at(_lst, 1).s, v -> 0.0d),
+                                'q', transform(element_at(_lst, 1).q, v -> 0.0d)),
+                   (acc, x) -> named_struct('s', {merge_s}, 'q', {merge_q})) AS _acc
+  FROM (
+    SELECT {keys}, {cnt} AS n, array_sort(collect_list({payload})) AS _lst
+    FROM ({src})
+    GROUP BY {keys}
+  )
+)"""
+
+    base = f"""SELECT label, emb, _rn, FLOOR(_rn / 64) AS _b1,
+       FLOOR(_rn / 4096) AS _b2
+FROM (SELECT label, emb,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS _rn
+      FROM {view})"""
+    l1 = lvl(base, "label, _b2, _b1", "_rn", first=True)
+    l2 = lvl(l1, "label, _b2", "_b1", first=False)
+    l3 = lvl(l2, "label", "_b2", first=False)
+    out = spark.sql(f"""
+SELECT label, CAST(z.pos + 1 AS BIGINT) AS dim,
+       z.c.s / n AS centroid, z.c.q / n AS mean_sq, n
+FROM ({l3}) LATERAL VIEW posexplode(arrays_zip(s, q)) z AS pos, c
+ORDER BY label, dim
+""")
+    spark.catalog.dropTempView(view)
+    return out
+
+
+_CENT_VIEW_SEQ = 0
 
 
 # ---------------------------------------------------------------------------

@@ -383,6 +383,42 @@ def test_boilerplate_strip_broadcast_hash_probe(spark):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
 
 
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Scale recipe pin: with runtime bloom filters on, a selective dim
+    filter (orders priority) injects might_contain(bloom_filter_agg(...))
+    into the FACT scan side of the join — rows that can't match are
+    dropped before the shuffle, the lever that turns a 100 TB
+    fact-to-filtered-dim join from full-shuffle into
+    selectivity-proportional. Local fixtures sit far under the 10 GB
+    production thresholds, so the application-side threshold is zeroed
+    for the pin; creation-side stays size-guarded as in production."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, p
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_every_query_plan_is_hygienic(spark):
     """Blanket sweep over the whole registry: no query may plan a
     cartesian product (except join_cross, which demonstrates one on a
