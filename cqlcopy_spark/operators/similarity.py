@@ -1149,3 +1149,50 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["v1", "v2"])
         .orderBy("v1", "v2")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_blocked_verify — precision proof for the cell-blocked near-dup
+# ---------------------------------------------------------------------------
+
+# Same discipline as similarity_ann_verify: dedup_embedding_blocked is
+# rows-only (recall < 1 by design — blocking may miss cross-cell pairs)
+# but its PRECISION claim is exact: every emitted pair must also appear
+# in the exhaustive near-dup answer with the bitwise-identical cosine
+# (within-cell refinement computes the same fold). This query emits the
+# violations of that claim; the oracle is the empty relation, so one
+# false pair or drifted cosine flips the driver verdict. Recall stays
+# pinned in tests/test_ann_recall.py.
+
+_BLOCKED_VERIFY_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS VARCHAR) AS kind
+WHERE 1 = 0
+"""
+
+
+@register("dedup_blocked_verify", oracle=_BLOCKED_VERIFY_ORACLE)
+def dedup_blocked_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable precision proof for dedup_embedding_blocked:
+    recompute the exhaustive near-dup pair set independently
+    (dedup_embedding_cosine's lineage) and emit one row per blocked
+    pair that is NOT in it (phantom pair) or whose cosine differs
+    bitwise (refine drift). Expected EMPTY against an empty-relation
+    oracle. Cost: the blocked pipeline plus the exact block-pair pass —
+    verification-priced, like similarity_ann_verify."""
+    exact = dedup_embedding_cosine(spark, sf_dir).select(
+        "v1", "v2", col("cosine").alias("exact_cosine")
+    )
+    blocked = dedup_embedding_blocked(spark, sf_dir)
+    j = blocked.join(exact, ["v1", "v2"], "left")
+    return (
+        j.filter(~col("cosine").eqNullSafe(col("exact_cosine")))
+        .select(
+            "v1",
+            "v2",
+            F.when(col("exact_cosine").isNull(), F.lit("phantom_pair"))
+            .otherwise(F.lit("cosine_drift"))
+            .alias("kind"),
+        )
+        .orderBy("v1", "v2")
+    )

@@ -418,3 +418,77 @@ def read_topk_state(spark, state_dir: str, top_n: int = 10) -> DataFrame:
         .filter(F.col("rank") <= top_n)
         .orderBy("rank")
     )
+
+
+def compact_state_versions(state_dir: str, keep_last: int = 2) -> "list[int]":
+    """Retention pass for the versioned-state sinks (continuous_agg /
+    continuous_cdc / continuous_topk): each micro-batch writes a FULL
+    snapshot under v=<batch_id>, so only the latest version is needed
+    for correctness — older versions exist for same-checkpoint replay
+    (batch b re-derives from the latest v<b) and operator debugging.
+    Keeping the last `keep_last` versions preserves replay of the most
+    recent batch while bounding disk at keep_last × state size.
+
+    Returns the versions REMOVED. Safe to run between micro-batches or
+    from a janitor job: writers never read versions older than the
+    previous one, and a replayed batch id overwrites its own directory
+    regardless. keep_last must be ≥ 1 (the latest snapshot IS the
+    state)."""
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.isdir(state_dir):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    drop = versions[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+    return drop
+
+
+def compact_cdc_tombstones(
+    spark,
+    state_dir: str,
+    min_live_seq: int,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> int:
+    """Tombstone retention for continuous_cdc_sink state: a delete
+    marker only needs to survive while a LATE change with a lower seq
+    could still arrive — once the producer guarantees nothing below
+    `min_live_seq` will ever be sent (its low-watermark), tombstones
+    below it are dead weight. Rewrites the LATEST version in place with
+    those tombstones dropped (live rows are never touched) and returns
+    the number removed. The caller owns the watermark claim — exactly
+    the contract of a lakehouse VACUUM horizon."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    versions = [
+        int(m.group(1))
+        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    if not versions:
+        return 0
+    latest = os.path.join(state_dir, f"v={max(versions)}")
+    s = spark.read.parquet(latest)
+    dead = (F.col(op_col) == "D") & (F.col(seq_col) < min_live_seq)
+    n_dead = s.filter(dead).count()
+    if n_dead:
+        kept = s.filter(~dead)
+        tmp = latest + ".compact"
+        kept.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(latest)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n_dead

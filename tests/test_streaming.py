@@ -641,3 +641,45 @@ def test_continuous_topk_sink_matches_batch_shard_merge(spark, tmp_path):
     truth = Counter(b1) + Counter(b2)
     for item, (est, upper) in got.items():
         assert est <= truth[item] <= upper, (item, est, truth[item], upper)
+
+
+def test_compact_state_versions_and_cdc_tombstones(spark, tmp_path):
+    """Retention utilities: version compaction keeps the newest
+    `keep_last` snapshots (numeric order — v=10 outlives v=9) and
+    tombstone compaction drops only delete markers BELOW the producer's
+    low-watermark, rewriting the latest version in place."""
+    import os
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import (
+        compact_cdc_tombstones,
+        compact_state_versions,
+        read_agg_state,
+    )
+
+    state = str(tmp_path / "state")
+    for v in (0, 1, 2, 9, 10):
+        os.makedirs(os.path.join(state, f"v={v}"))
+        pd.DataFrame({"x": [v]}).to_parquet(
+            os.path.join(state, f"v={v}", "part.parquet")
+        )
+    assert compact_state_versions(state, keep_last=2) == [0, 1, 2]
+    assert sorted(os.listdir(state)) == ["v=10", "v=9"]
+
+    cdc = str(tmp_path / "cdc")
+    os.makedirs(os.path.join(cdc, "v=7"))
+    pd.DataFrame(
+        {
+            "key": [1, 2, 3, 4],
+            "seq": [3, 9, 12, 11],
+            "op": ["D", "D", "D", "U"],
+            "val": [0.0, 0.0, 0.0, 4.0],
+        }
+    ).to_parquet(os.path.join(cdc, "v=7", "part.parquet"))
+    # low-watermark 10: only key 1 (seq 3) and key 2 (seq 9) tombstones die
+    assert compact_cdc_tombstones(spark, cdc, min_live_seq=10) == 2
+    left = {(r["key"], r["op"]) for r in read_agg_state(spark, cdc).collect()}
+    assert left == {(3, "D"), (4, "U")}
+    # idempotent: second pass removes nothing
+    assert compact_cdc_tombstones(spark, cdc, min_live_seq=10) == 0
