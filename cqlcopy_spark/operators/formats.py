@@ -517,3 +517,55 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution_scan — mergeSchema over drifting parquet producers
+# ---------------------------------------------------------------------------
+
+# Long-lived ingestion directories accumulate files written by EVOLVING
+# producers — early files lack columns later ones carry. The scan-side
+# contract: read every generation in one pass, surface the union schema,
+# null-fill the columns a file predates. The oracle never sees the
+# staged files: the merged result is derivable from the fixture alone
+# (generation = event_id parity), the same identity-oracle trick as the
+# roundtrip queries above.
+
+_EVOLVE_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 2 = 1 THEN value END AS value
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("schema_evolution_scan", oracle=_EVOLVE_ORACLE)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-schema scan over two parquet generations: generation g=1
+    (even event_ids) was written before the `value` column existed;
+    g=2 (odd event_ids) carries it. One mergeSchema read returns the
+    union schema with nulls where a generation predates a column —
+    bit-identical to deriving the same null pattern from the source
+    table (the oracle's CASE).
+
+    Scale: mergeSchema's cost is a FOOTER-ONLY pass over file metadata
+    (schema union on the driver), not a data pass; the scan itself
+    stays columnar + splittable. Production hygiene at 100 TB: pin the
+    merged schema in a catalog after first contact so later reads skip
+    footer merging (spark.read.schema(...)), exactly what this
+    operator's read-back demonstrates is safe."""
+    import shutil
+
+    out = _stage(sf_dir, "evolve")
+    shutil.rmtree(out, ignore_errors=True)
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e.filter(col("event_id") % 2 == 0).select("event_id", "user_id").write.parquet(
+        os.path.join(out, "g=1")
+    )
+    e.filter(col("event_id") % 2 == 1).write.parquet(os.path.join(out, "g=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
