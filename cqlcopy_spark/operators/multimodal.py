@@ -460,3 +460,136 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("n_payloads") > 1)
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — perceptual-hash near-dup over decoded pixels
+# ---------------------------------------------------------------------------
+
+# The image analogue of dedup_fuzzy_minhash: content-digest dedup
+# (multimodal_dedup) only catches BYTE-identical payloads, but an image
+# corpus is full of re-encodes and slightly-retouched copies. The
+# standard first rung is aHash: decode, grayscale, 8×8 block-average,
+# threshold at the mean → a 64-bit signature that is INVARIANT to small
+# pixel noise, so near-identical images collide exactly and dedup is a
+# plain hash groupBy — no pair joins at all. Real pixel math on real
+# containers (the uncompressed-BMP path of _decode_real); the hash
+# kernel is Python-only (no SQL pixel decode) ⇒ rows-only driver check,
+# with a planted-variant recall/precision + independent-reimplementation
+# parity test in tests/test_multimodal_stages.py.
+
+_PHASH_DOCS = 200  # staged images: doc_id < 200, 4 noise variants per base
+
+
+def _ahash64(payload: bytes) -> "int | None":
+    """64-bit average-hash of an uncompressed 24-bit BMP payload (None
+    for undecodable payloads — callers keep them out of dedup rather
+    than colliding them on a sentinel)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off, = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp, = struct.unpack("<H", payload[28:30])
+    comp, = struct.unpack("<I", payload[30:34])
+    h_abs = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if bpp != 24 or comp != 0 or len(payload) < off + h_abs * stride or w < 8 or h_abs < 8:
+        return None
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=h_abs * stride, offset=off
+    ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+    gray = (
+        0.114 * px[:, :, 0].astype(np.float64)
+        + 0.587 * px[:, :, 1]
+        + 0.299 * px[:, :, 2]
+    )
+    # 8×8 block means over near-equal integer bands (i*h//8 boundaries)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        r0, r1 = i * h_abs // 8, (i + 1) * h_abs // 8
+        for j in range(8):
+            c0, c1 = j * w // 8, (j + 1) * w // 8
+            cells[i, j] = gray[r0:r1, c0:c1].mean()
+    bits = (cells > cells.mean()).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement fold into int64 (Arrow rejects uint64 overflow)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _synth_bmp(doc_id: int) -> bytes:
+    """Deterministic 16×16 24-bit BMP: the BASE pattern depends only on
+    doc_id // 4 — each 2×2 aHash cell is uniformly 0 or 255 (md5-mixed
+    per (cell, base)), so every cell mean sits ≥127 gray levels from
+    the global mean — and each of the 4 variants perturbs ONE pixel by
+    ±1, far below any threshold: byte-distinct payloads that perceptual
+    dedup must still collapse, exactly the re-encode/retouch case."""
+    import hashlib
+    import struct
+
+    base = doc_id // 4
+    variant = doc_id % 4
+    w = h = 16
+    cells = [
+        [
+            (hashlib.md5(f"{base}:{i}:{j}".encode()).digest()[0] & 1) * 255
+            for j in range(8)
+        ]
+        for i in range(8)
+    ]
+    cells[0][0], cells[7][7] = 0, 255  # force a mix: mean strictly inside
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            g = cells[y // 2][x // 2]
+            if variant and (x, y) == (2 * variant, 1):
+                g = g + 1 if g == 0 else g - 1
+            row += bytes((g, g, g))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(rows), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return bytes(header + rows)
+
+
+@register("multimodal_phash_dedup")  # rows-only: pixel decode is Python-only
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup groups over a staged image corpus: 4 noise
+    variants per base image (byte-DISTINCT payloads — content-digest
+    dedup finds nothing here) collapse to one aHash each, so the whole
+    dedup is hash → groupBy, output one row per group with its size.
+
+    Scale: synthesis+decode+hash is one Arrow-batched map (payload
+    bytes never shuffle — only 8-byte hashes and ids move, the same
+    bytes-stay-put rule as multimodal_dedup); the groupBy is one
+    shuffle of hash keys. Hamming-tolerant variants (re-crops, heavier
+    edits) band the 64 bits into 4×16-bit LSH keys and verify within
+    buckets — the dedup_fuzzy_minhash shape over image signatures."""
+    base = table(spark, sf_dir, "documents").select("doc_id").filter(
+        col("doc_id") < _PHASH_DOCS
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            hashes = [_ahash64(_synth_bmp(int(i))) for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = base.mapInPandas(kernel, schema="doc_id long, phash long").filter(
+        col("phash").isNotNull()
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_images"), F.min("doc_id").alias("first_doc"))
+        .filter(col("n_images") >= 2)
+        .select(F.hex(col("phash")).alias("phash_hex"), "n_images", "first_doc")
+        .orderBy("first_doc")
+    )

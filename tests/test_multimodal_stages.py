@@ -175,3 +175,55 @@ def test_decode_features_real_path_through_spark(spark):
     assert (got[1]["width"], got[1]["height"]) == (100, 50)
     assert got[2]["mean_luma"] == pytest.approx(0.5)
     assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (8000, 1, 42)
+
+
+def test_phash_dedup_collapses_planted_variants(spark):
+    """multimodal_phash_dedup: 200 byte-DISTINCT staged images (50 base
+    patterns × 4 single-pixel ±1 retouches) must collapse to exactly 50
+    perceptual groups of 4 — byte-level digest dedup finds nothing here
+    (all payloads differ), which is the whole reason aHash exists. Also
+    pins the kernel against an independent pure-Python loop
+    reimplementation (no numpy) on a few payloads."""
+    from cqlcopy_spark.operators.multimodal import _ahash64, _synth_bmp
+    from cqlcopy_spark.plans.registry import all_queries
+
+    rows = all_queries()["multimodal_phash_dedup"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 50
+    assert all(r["n_images"] == 4 for r in rows)
+    assert sorted(r["first_doc"] for r in rows) == [4 * i for i in range(50)]
+
+    # independent reimplementation: plain loops over the BMP bytes
+    import struct
+
+    def ref_ahash(payload):
+        off, = struct.unpack("<I", payload[10:14])
+        w, h = struct.unpack("<ii", payload[18:26])
+        stride = (w * 3 + 3) & ~3
+        gray = [
+            [
+                0.114 * payload[off + y * stride + 3 * x]
+                + 0.587 * payload[off + y * stride + 3 * x + 1]
+                + 0.299 * payload[off + y * stride + 3 * x + 2]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        cells = []
+        for i in range(8):
+            for j in range(8):
+                vals = [
+                    gray[y][x]
+                    for y in range(i * h // 8, (i + 1) * h // 8)
+                    for x in range(j * w // 8, (j + 1) * w // 8)
+                ]
+                cells.append(sum(vals) / len(vals))
+        mean = sum(cells) / len(cells)
+        out = 0
+        for c in cells:
+            out = (out << 1) | (1 if c > mean else 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for d in (0, 1, 7, 42, 199):
+        assert _ahash64(_synth_bmp(d)) == ref_ahash(_synth_bmp(d)), d
