@@ -593,3 +593,118 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.hex(col("phash")).alias("phash_hex"), "n_images", "first_doc")
         .orderBy("first_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_fingerprint — energy-envelope near-dup over decoded PCM
+# ---------------------------------------------------------------------------
+
+# The audio twin of multimodal_phash_dedup: re-encodes and light edits
+# change bytes but not the ENERGY ENVELOPE, so the first-rung audio
+# fingerprint splits the PCM stream into 64 windows and thresholds each
+# window's mean |amplitude| at the global mean — a 64-bit signature
+# invariant to small sample jitter. Real RIFF/PCM parsing (16-bit mono
+# data chunk), Python-only ⇒ rows-only + planted-variant tests.
+
+
+def _audio_fp64(payload: bytes) -> "int | None":
+    """64-bit energy-envelope fingerprint of a 16-bit mono PCM WAV
+    (None when the container/codec doesn't match)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size, = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels = struct.unpack("<HH", body[0:4])
+            bits, = struct.unpack("<H", body[14:16])
+            fmt = (audio_fmt, channels, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt != (1, 1, 16) or not data or len(data) < 2 * 64:
+        return None
+    x = np.abs(
+        np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+            np.float64
+        )
+    )
+    n = len(x)
+    wins = np.array(
+        [x[i * n // 64 : (i + 1) * n // 64].mean() for i in range(64)]
+    )
+    bits64 = wins > wins.mean()
+    out = 0
+    for b in bits64:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono WAV: the base (doc_id // 4) selects a
+    64-window loud/quiet envelope (md5-mixed, amplitudes 0 or 8192 —
+    window means sit half the loud amplitude from the global mean), and
+    each of the 4 variants jitters ONE sample by ±1: byte-distinct
+    streams the envelope fingerprint must still collapse."""
+    import hashlib
+    import struct
+
+    base = doc_id // 4
+    variant = doc_id % 4
+    spw = 32  # samples per window
+    amps = [
+        (hashlib.md5(f"wav:{base}:{w}".encode()).digest()[0] & 1) * 8192
+        for w in range(64)
+    ]
+    amps[0], amps[63] = 0, 8192  # force a mix
+    samples = []
+    for w in range(64):
+        for i in range(spw):
+            samples.append(amps[w] if i % 2 == 0 else -amps[w])
+    if variant:
+        idx = 2 * variant
+        samples[idx] += 1 if samples[idx] <= 0 else -1
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+@register("multimodal_audio_fingerprint")  # rows-only: PCM decode is Python-only
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup groups over staged WAVs: 4 single-sample-jitter
+    variants per base envelope (byte-distinct payloads) collapse to one
+    energy fingerprint each; dedup is fingerprint → groupBy, the same
+    bytes-never-shuffle shape as multimodal_phash_dedup (only 8-byte
+    fingerprints and ids move). Tolerance beyond exact envelopes bands
+    the 64 bits into LSH keys exactly like the image path."""
+    base = table(spark, sf_dir, "documents").select("doc_id").filter(
+        col("doc_id") < _PHASH_DOCS
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            fps = [_audio_fp64(_synth_wav(int(i))) for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    hashed = base.mapInPandas(kernel, schema="doc_id long, fp long").filter(
+        col("fp").isNotNull()
+    )
+    return (
+        hashed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_clips"), F.min("doc_id").alias("first_doc"))
+        .filter(col("n_clips") >= 2)
+        .select(F.hex(col("fp")).alias("fp_hex"), "n_clips", "first_doc")
+        .orderBy("first_doc")
+    )

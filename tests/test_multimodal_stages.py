@@ -227,3 +227,55 @@ def test_phash_dedup_collapses_planted_variants(spark):
 
     for d in (0, 1, 7, 42, 199):
         assert _ahash64(_synth_bmp(d)) == ref_ahash(_synth_bmp(d)), d
+
+
+def test_audio_fingerprint_collapses_planted_variants(spark):
+    """multimodal_audio_fingerprint: 200 byte-distinct staged WAVs
+    (50 envelopes × 4 single-sample jitters) → exactly 50 groups of 4;
+    kernel pinned against an independent loop-only reimplementation,
+    and the synthesized containers parse through the production RIFF
+    walker too (chunk-walk, not fixed offsets)."""
+    import struct
+
+    from cqlcopy_spark.operators.multimodal import (
+        _audio_fp64,
+        _decode_real,
+        _synth_wav,
+    )
+    from cqlcopy_spark.plans.registry import all_queries
+
+    rows = all_queries()["multimodal_audio_fingerprint"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 50
+    assert all(r["n_clips"] == 4 for r in rows)
+    assert sorted(r["first_doc"] for r in rows) == [4 * i for i in range(50)]
+
+    def ref_fp(payload):
+        # independent: locate data chunk with plain scanning
+        pos, data = 12, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size, = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        xs = [
+            abs(struct.unpack("<h", data[2 * i : 2 * i + 2])[0])
+            for i in range(len(data) // 2)
+        ]
+        n = len(xs)
+        wins = []
+        for w in range(64):
+            seg = xs[w * n // 64 : (w + 1) * n // 64]
+            wins.append(sum(seg) / len(seg))
+        mean = sum(wins) / len(wins)
+        out = 0
+        for v in wins:
+            out = (out << 1) | (1 if v > mean else 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for d in (0, 3, 99, 198):
+        assert _audio_fp64(_synth_wav(d)) == ref_fp(_synth_wav(d)), d
+    # container parses through the production decoder as well
+    assert _decode_real(_synth_wav(0)) == (16000, 1, 2048, 0.0)
