@@ -1139,10 +1139,13 @@ def _qsk_oracle() -> str:
     k, s = _QSK_K, _QSK_SHARDS
     picks = ", ".join(
         # DuckDB ceil() returns DOUBLE and / on BIGINT is float division
-        # (CLAUDE.md): integer ceil via (a + b - 1) // b, and the p·N
-        # target via ceil() on the SAME IEEE product both engines compute
-        f"MIN(CASE WHEN cumw >= CAST(ceil({p} * total_w) AS BIGINT) "
-        f"THEN value END) AS p{int(p * 100)}"
+        # (CLAUDE.md): integer ceil via (a + b - 1) // b. The p·N target
+        # CASTs the literal to DOUBLE first: a bare 0.99 is DECIMAL in
+        # DuckDB and the exact decimal product can ceil differently from
+        # Spark's double product when p·N grazes an integer — latent for
+        # these constants (scanned to 5M), forced identical by the cast
+        f"MIN(CASE WHEN cumw >= CAST(ceil(CAST({p} AS DOUBLE) * total_w) "
+        f"AS BIGINT) THEN value END) AS p{int(p * 100)}"
         for p in _QSK_PS
     )
     return f"""

@@ -434,9 +434,11 @@ def _wins_oracle() -> str:
 ),
 cut AS (
   SELECT event_type, event_id, value,
-         MAX(CASE WHEN rn = CAST(ceil({_WINS_P} * cnt) AS BIGINT)
+         -- CAST({_WINS_P} AS DOUBLE): bare decimal literals are DECIMAL
+         -- in DuckDB; the double product must match Spark's IEEE ceil
+         MAX(CASE WHEN rn = CAST(ceil(CAST({_WINS_P} AS DOUBLE) * cnt) AS BIGINT)
              THEN value END) OVER (PARTITION BY event_type) AS lo,
-         MAX(CASE WHEN rn = cnt + 1 - CAST(ceil({_WINS_P} * cnt) AS BIGINT)
+         MAX(CASE WHEN rn = cnt + 1 - CAST(ceil(CAST({_WINS_P} AS DOUBLE) * cnt) AS BIGINT)
              THEN value END) OVER (PARTITION BY event_type) AS hi
   FROM r
 )

@@ -1046,3 +1046,58 @@ def recursive_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sql_pipe_query — Spark 4 SQL pipe syntax (|>) surface
+# ---------------------------------------------------------------------------
+
+# The pipe dialect stages a query top-down (FROM … |> WHERE … |>
+# AGGREGATE …) — the SQL surface ETL authors increasingly write because
+# each stage reads in dataflow order. Same Catalyst plan as the nested
+# form; the oracle states the identical relation in classic SQL, so the
+# check proves dialect equivalence, not just runnability. Arithmetic is
+# hash-safe without the decimal route: l_quantity is integral-valued
+# (sums < 2^53 are EXACT in double regardless of add order) and
+# min/max are picked values.
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_quantity > 10 AND l_discount > 0.02
+|> AGGREGATE COUNT(*) AS n_items,
+             SUM(l_quantity) AS sum_qty,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(l_quantity) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+WHERE l_quantity > 10 AND l_discount > 0.02
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_query", oracle=_PIPE_ORACLE)
+def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax twin of a filtered pricing rollup — value-hash-equal
+    to the classic-SQL oracle, pinning that the |> dialect reaches the
+    same plan and results. One partial-agg shuffle; scan-bound at any
+    scale like every flat aggregate here."""
+    from cqlcopy_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(_PIPE_SQL)
+    # pipe AGGREGATE emits group cols first already; project for a
+    # stable explicit order anyway
+    return df.select(
+        "l_returnflag", "l_linestatus", "n_items", "sum_qty",
+        "min_price", "max_price",
+    )
