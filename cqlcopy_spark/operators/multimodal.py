@@ -708,3 +708,95 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.hex(col("fp")).alias("fp_hex"), "n_clips", "first_doc")
         .orderBy("first_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_scene_cuts — frame-difference scene segmentation
+# ---------------------------------------------------------------------------
+
+# The video leg of the perceptual trio: a "video" payload is a fixed
+# sequence of frames; a SCENE CUT is a frame whose perceptual hash is
+# far (Hamming) from its predecessor's. Shot segmentation is the first
+# pass of every video curation pipeline (sample per scene, dedup per
+# scene, caption per scene). Frames here are the same uncompressed
+# BMPs the real decoder parses, concatenated back to back; the kernel
+# is aHash-per-frame + Hamming against the previous frame — pure pixel
+# math, Python-only ⇒ rows-only + planted-cut tests.
+
+_SCENE_FRAMES = 24  # frames per staged clip
+_SCENE_HAMMING_T = 16  # bits of aHash drift that declare a new scene
+
+
+def _synth_clip(doc_id: int) -> bytes:
+    """Deterministic clip: {_SCENE_FRAMES} concatenated 16×16 BMPs.
+    Scene boundaries are planted at frame indices derived from doc_id
+    (2-4 scenes per clip); frames WITHIN a scene are noise variants of
+    the scene's base pattern (single-pixel ±1 — under the aHash
+    threshold), frames ACROSS a cut use a different base pattern."""
+    cuts = sorted({7 + (doc_id * 5) % 9, 15 + (doc_id * 3) % 7} - {0})
+    scene_starts = [0] + [c for c in cuts if 0 < c < _SCENE_FRAMES]
+    frames = []
+    scene_idx = 0
+    for f in range(_SCENE_FRAMES):
+        if scene_idx + 1 < len(scene_starts) and f >= scene_starts[scene_idx + 1]:
+            scene_idx += 1
+        # base image id unique per (doc, scene); variant cycles per frame
+        frames.append(_synth_bmp((doc_id * 16 + scene_idx) * 4 + f % 4))
+    return b"".join(frames)
+
+
+def _scene_cuts(payload: bytes) -> "list[int]":
+    """Frame indices where a new scene starts (aHash Hamming > T from
+    the previous frame). Frame size is read from the first BMP header."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 6:
+        return []
+    size, = struct.unpack("<I", payload[2:6])
+    n = len(payload) // size
+    cuts = []
+    prev = None
+    for f in range(n):
+        h = _ahash64(payload[f * size : (f + 1) * size])
+        if h is None:
+            continue
+        if prev is not None:
+            ham = bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+            if ham > _SCENE_HAMMING_T:
+                cuts.append(f)
+        prev = h
+    return cuts
+
+
+@register("multimodal_scene_cuts")  # rows-only: pixel decode is Python-only
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over staged clips: per clip, the frame count,
+    detected scene count, and the cut positions (joined string — array
+    columns aren't driver-hashable). The kernel is one Arrow-batched
+    map over payload bytes: at scale, clip bytes never shuffle — only
+    (doc_id, n_scenes, cuts) rows move, and downstream per-scene
+    sampling (sample_frames) keys on these boundaries."""
+    base = table(spark, sf_dir, "documents").select("doc_id").filter(
+        col("doc_id") < _PHASH_DOCS
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            rows = []
+            for i in ids:
+                cuts = _scene_cuts(_synth_clip(int(i)))
+                rows.append(
+                    (int(i), _SCENE_FRAMES, len(cuts) + 1,
+                     "-".join(str(c) for c in cuts))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_scenes", "cut_frames"]
+            )
+
+    return (
+        base.mapInPandas(
+            kernel, schema="doc_id long, n_frames int, n_scenes int, cut_frames string"
+        )
+        .orderBy("doc_id")
+    )

@@ -279,3 +279,25 @@ def test_audio_fingerprint_collapses_planted_variants(spark):
         assert _audio_fp64(_synth_wav(d)) == ref_fp(_synth_wav(d)), d
     # container parses through the production decoder as well
     assert _decode_real(_synth_wav(0)) == (16000, 1, 2048, 0.0)
+
+
+def test_scene_cuts_find_exactly_the_planted_boundaries(spark):
+    """multimodal_scene_cuts: every staged clip's detected cut frames
+    must equal its planted scene boundaries exactly (within-scene
+    single-pixel noise stays under the Hamming threshold; cross-scene
+    pattern switches exceed it), for all 200 clips."""
+    from cqlcopy_spark.operators.multimodal import _SCENE_FRAMES
+    from cqlcopy_spark.plans.registry import all_queries
+
+    rows = all_queries()["multimodal_scene_cuts"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        d = r["doc_id"]
+        expected = sorted({7 + (d * 5) % 9, 15 + (d * 3) % 7})
+        expected = [c for c in expected if 0 < c < _SCENE_FRAMES]
+        got = [int(c) for c in r["cut_frames"].split("-")] if r["cut_frames"] else []
+        assert got == expected, (d, got, expected)
+        assert r["n_scenes"] == len(expected) + 1
+        assert r["n_frames"] == _SCENE_FRAMES
