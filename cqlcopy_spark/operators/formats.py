@@ -409,16 +409,10 @@ def layout_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_PREFIX = 6  # files = z >> (2*BITS - PREFIX)  → up to 2^PREFIX files
 
 
-def _z_interleave_sql(d1: str, d2: str) -> str:
-    terms = []
-    for i in range(_Z_BITS):
-        terms.append(f"((({d1} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({d2} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " + ".join(terms) + ")"
-
-
 def _zorder_oracle() -> str:
-    z = _z_interleave_sql("d1", "d2")
+    # reuse the one Morton-interleave contract (_z_expr_sql) — two
+    # copies over the shared _Z_BITS grid would have to stay in sync
+    z = "(" + _z_expr_sql("d1", "d2") + ")"
     shift = 2 * _Z_BITS - _Z_PREFIX
     top = (1 << _Z_BITS) - 1
     return f"""
@@ -488,17 +482,13 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("r2").alias("lo2"),
         F.greatest(F.max("r2") - F.min("r2"), F.lit(1)).alias("sp2"),
     )
-    def idiv(a, b):
-        # exact integer floor-div (a ≥ 0): subtract the remainder first
-        # so the double division is of an exact multiple — F.floor(a/b)
-        # alone can round up across a boundary where DuckDB's integer
-        # `//` cannot (CLAUDE.md integer-division rule)
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
+    # SQL DIV: exact int64 division at ANY magnitude — the pmod/double
+    # route this replaces was exact only below 2^53, and layout_zorder
+    # above already uses DIV for the same reason (review finding)
     d = raw.crossJoin(broadcast(ext)).select(
         "event_id",
-        idiv((col("r1") - col("lo1")) * top, col("sp1")).alias("d1"),
-        idiv((col("r2") - col("lo2")) * top, col("sp2")).alias("d2"),
+        F.expr(f"(r1 - lo1) * {top} DIV sp1").alias("d1"),
+        F.expr(f"(r2 - lo2) * {top} DIV sp2").alias("d2"),
     )
     z = F.lit(0).cast("long")
     for i in range(_Z_BITS):

@@ -1065,7 +1065,7 @@ _PIPE_SQL = """
 FROM lineitem
 |> WHERE l_quantity > 10 AND l_discount > 0.02
 |> AGGREGATE COUNT(*) AS n_items,
-             SUM(l_quantity) AS sum_qty,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
              MIN(l_extendedprice) AS min_price,
              MAX(l_extendedprice) AS max_price
    GROUP BY l_returnflag, l_linestatus
@@ -1075,7 +1075,7 @@ FROM lineitem
 _PIPE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price
 FROM lineitem
@@ -1089,8 +1089,12 @@ ORDER BY l_returnflag, l_linestatus
 def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipe-syntax twin of a filtered pricing rollup — value-hash-equal
     to the classic-SQL oracle, pinning that the |> dialect reaches the
-    same plan and results. One partial-agg shuffle; scan-bound at any
-    scale like every flat aggregate here."""
+    same plan and results. sum_qty casts the integral-valued double to
+    BIGINT BEFORE summing — raw SUM on doubles is banned (CLAUDE.md)
+    even when today's values happen to be integral, because the
+    exemption would rest on a fixture-content invariant nothing pins.
+    One partial-agg shuffle; scan-bound at any scale like every flat
+    aggregate here."""
     from cqlcopy_spark.catalog import register_views
 
     register_views(spark, sf_dir)

@@ -673,7 +673,15 @@ WHERE 1 = 0
 
 
 def _ann_violations(out: DataFrame, exact: DataFrame, algo: str) -> DataFrame:
-    """Violation rows for one ANN output against the exact pair set."""
+    """Violation rows for one ANN output against the exact pair set.
+    `out` feeds three branches (pair join, rank window, over-k count)
+    and `exact` feeds both variants' joins — persisted per the CLAUDE.md
+    shared-lineage rule. An interleaved A/B at sf0.1 measured persisted
+    ~3.7s vs unpersisted ~4.1s (ReuseExchange dedupes shared SHUFFLE
+    subtrees but not the pre-exchange Python stages — the IVF
+    mapInPandas assignment would re-run per branch, and that cost grows
+    with the corpus)."""
+    out = out.persist()
     ex = exact.select(
         "q_id", "n_id", col("cosine").alias("exact_cosine")
     )
@@ -738,7 +746,7 @@ def similarity_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
             "cosine"
         ),
-    )
+    ).persist()  # two consumers (both variants' pair joins)
     lsh = _ann_violations(similarity_ann_lsh(spark, sf_dir), exact, "lsh")
     ivf = _ann_violations(similarity_ann_ivf(spark, sf_dir), exact, "ivf")
     return lsh.unionByName(ivf).orderBy("algo", "q_id", "n_id", "kind")
@@ -900,8 +908,10 @@ FROM (
   )
 )"""
 
-    base = f"""SELECT label, emb, _rn, FLOOR(_rn / 64) AS _b1,
-       FLOOR(_rn / 4096) AS _b2
+    from cqlcopy_spark.functions.portable import BLOCK
+
+    base = f"""SELECT label, emb, _rn, FLOOR(_rn / {BLOCK}) AS _b1,
+       FLOOR(_rn / {BLOCK * BLOCK}) AS _b2
 FROM (SELECT label, emb,
              ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS _rn
       FROM {view})"""

@@ -431,14 +431,21 @@ def compact_state_versions(state_dir: str, keep_last: int = 2) -> "list[int]":
 
     Returns the versions REMOVED. Safe to run between micro-batches or
     from a janitor job: writers never read versions older than the
-    previous one, and a replayed batch id overwrites its own directory
-    regardless. keep_last must be ≥ 1 (the latest snapshot IS the
-    state)."""
+    previous one. keep_last must be ≥ 2 — a same-checkpoint REPLAY of
+    the latest batch re-derives from the version BELOW it
+    (_latest_version_below), so keeping only the latest would make that
+    replay silently restart the accumulation from the batch alone
+    (review finding: the earlier ≥1 guard contradicted the sinks'
+    replay contract)."""
     import re
     import shutil
 
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: a replayed latest batch merges onto "
+            "the version below it — with only one version kept, that "
+            "replay would silently reset the accumulated state"
+        )
     if not os.path.isdir(state_dir):
         return []
     versions = sorted(
@@ -483,12 +490,20 @@ def compact_cdc_tombstones(
     dead = (F.col(op_col) == "D") & (F.col(seq_col) < min_live_seq)
     n_dead = s.filter(dead).count()
     if n_dead:
-        kept = s.filter(~dead)
-        tmp = latest + ".compact"
-        kept.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(latest)
         import shutil
 
+        kept = s.filter(~dead)
+        tmp = latest + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        # directory-rename swap, NOT overwrite-in-place: overwrite
+        # deletes the live snapshot before the rewrite lands, so a
+        # crash mid-job would leave v=<max> empty/partial (review
+        # finding). Renames are atomic per step; the only crash window
+        # leaves .old intact for manual recovery.
+        old = latest + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(latest, old)
+        os.rename(tmp, latest)
+        shutil.rmtree(old, ignore_errors=True)
     return n_dead

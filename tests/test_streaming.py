@@ -658,12 +658,16 @@ def test_compact_state_versions_and_cdc_tombstones(spark, tmp_path):
         read_agg_state,
     )
 
+    import pytest
+
     state = str(tmp_path / "state")
     for v in (0, 1, 2, 9, 10):
         os.makedirs(os.path.join(state, f"v={v}"))
         pd.DataFrame({"x": [v]}).to_parquet(
             os.path.join(state, f"v={v}", "part.parquet")
         )
+    with pytest.raises(ValueError, match="keep_last must be >= 2"):
+        compact_state_versions(state, keep_last=1)  # replay-unsafe
     assert compact_state_versions(state, keep_last=2) == [0, 1, 2]
     assert sorted(os.listdir(state)) == ["v=10", "v=9"]
 
