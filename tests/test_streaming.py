@@ -687,3 +687,49 @@ def test_compact_state_versions_and_cdc_tombstones(spark, tmp_path):
     assert left == {(3, "D"), (4, "U")}
     # idempotent: second pass removes nothing
     assert compact_cdc_tombstones(spark, cdc, min_live_seq=10) == 0
+
+
+def test_continuous_topk_sink_empty_batch_is_identity(spark, tmp_path):
+    """An empty micro-batch (a trigger firing with a 0-row file) must
+    leave the heavy-hitters state unchanged: no items, threshold 0,
+    total_thr unchanged — not crash on the empty top-(k+1) head."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import continuous_topk_sink, read_topk_state
+
+    stage = str(tmp_path / "items")
+    os.makedirs(stage)
+    f1 = os.path.join(stage, "b1.parquet")
+    f2 = os.path.join(stage, "b2.parquet")
+    pd.DataFrame({"item_id": [1, 1, 2]}).to_parquet(f1)
+    pd.DataFrame({"item_id": pd.array([], dtype="int64")}).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    state = str(tmp_path / "state")
+    src = (
+        spark.readStream.schema("item_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        continuous_topk_sink(
+            src, state, str(tmp_path / "ckpt"), item_col="item_id", k=3
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = {
+        r["item"]: (r["est"], r["upper_bound"])
+        for r in read_topk_state(spark, state, top_n=10).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1)}  # exact — no thresholds ever paid
