@@ -1201,7 +1201,10 @@ def sketch_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY, so the merged count is exact, the HLL-union-is-exact
     analogue), summaries union into a shards×k-row table per group, and
     a weighted cumulative-rank walk answers any quantile with rank
-    error ≤ N/k + S regardless of data skew.
+    error ≤ N/k + S regardless of data skew (with DUPLICATED values the
+    estimate occupies a run of ranks — the guarantee is that the run
+    intersects the target window; test_sketch_property.py fuzzes
+    exactly this form of the claim).
 
     At scale: the only event-volume shuffle is the (group, shard) rank
     window; everything after operates on summaries (S·k rows per
