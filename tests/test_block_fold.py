@@ -142,3 +142,53 @@ def test_block_fold_queries_exercise_multilevel_at_driver_sf():
     ).fetchone()[0]
     assert per_user > BLOCK  # timeseries_trend spans ≥2 blocks
     assert per_type > BLOCK  # winsorize/decile source spans many blocks
+
+
+def test_block_fold_bitwise_parity_fuzz(spark):
+    """Randomized sizes/values (hypothesis): every example builds a
+    multi-group frame of extreme doubles (huge/tiny magnitudes, mixed
+    signs, sub-1 fractions) and asserts BITWISE Spark↔DuckDB equality
+    of the fold tree. Few examples, one Spark job each — the value
+    classes extend the deterministic boundary tests above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, width=64
+    ) | st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 300), st.lists(vals, min_size=0, max_size=0)),
+            min_size=1,
+            max_size=6,
+        ),
+        st.data(),
+    )
+    def run(group_specs, data):
+        rows = []
+        for gi, (n, _) in enumerate(group_specs):
+            draws = data.draw(
+                st.lists(vals, min_size=n, max_size=n), label=f"g{gi}"
+            )
+            for i, v in enumerate(draws):
+                rows.append((f"g{gi}", i, float(v)))
+        pdf = pd.DataFrame(rows, columns=["g", "k", "v"])
+        got = {
+            r["g"]: (r["n"], r["s"])
+            for r in block_fold_agg(
+                spark.createDataFrame(pdf), ["g"], "k", sums={"s": F.col("v")}
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                sql_block_fold_agg("SELECT * FROM t", ["g"], "k", sums={"s": "v"})
+            ).fetchall()
+        }
+        assert got == want  # bitwise: tuple equality on raw doubles
+
+    run()
