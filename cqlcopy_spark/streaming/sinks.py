@@ -507,3 +507,128 @@ def compact_cdc_tombstones(
         os.rename(tmp, latest)
         shutil.rmtree(old, ignore_errors=True)
     return n_dead
+
+
+def continuous_quantile_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 64,
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Continuous mergeable-quantile maintenance — the streaming twin of
+    sketch_quantiles_merge with an EXPLICIT error ledger: each
+    micro-batch reduces to a k-point weighted rank summary (exact rank
+    statistics, weights sum to the batch count), the union with the
+    state summary is recompressed back to k points, and every
+    recompression's worst-case rank slippage (union_weight // k, the
+    gap a kept point can absorb) is ADDED to a persisted err_bound —
+    so the reader reports quantiles with a bound that is true by
+    construction after any number of batches, instead of the fixed
+    N/k + S bound the one-shot batch operator earns. State is k rows +
+    one ledger row regardless of stream length; same versioned-state
+    replay-idempotence and run guard as the other sinks. Per batch the
+    raw data passes ONE sort-free reduce (exact ranks need a sort of
+    the BATCH only, never history)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
+
+    def summarize(df, w_col: str, order_extra: "list[str]"):
+        """k-point weighted summary of (value, weight) rows: cumulative
+        weights W_i in (value, tiebreak) order; keep the rows where
+        floor(W_i·k/W) increases (always keeps the last), weight of a
+        kept row = covered cumulative span. Exact: weights sum to W."""
+        # global-order reduce: the summary NEEDS a total order, but it
+        # runs over state(k rows) ∪ batch — at high-rate streams shard
+        # the batch first (the batch operator's pmod design) and union
+        # the shard summaries before this recompression, paying one
+        # extra ledger term. Ties share a RANGE-frame cumulative weight;
+        # equal values are interchangeable, so the summary is unchanged.
+        wspec = Window.orderBy("value", *order_extra)
+        d = df.withColumn("_cw", F.sum(w_col).over(wspec))
+        total = d.agg(F.max("_cw").alias("_t"))
+        d = d.crossJoin(F.broadcast(total))
+        d = d.withColumn(
+            "_bucket", F.expr(f"_cw * {k} DIV _t")
+        ).withColumn(
+            "_prev_bucket", F.expr(f"(_cw - {w_col}) * {k} DIV _t")
+        )
+        kept = d.filter(
+            (F.col("_bucket") > F.col("_prev_bucket")) | (F.col("_cw") == F.col("_t"))
+        )
+        wl = Window.orderBy("_cw")
+        return kept.select(
+            "value",
+            (F.col("_cw") - F.coalesce(F.lag("_cw").over(wl), F.lit(0))).alias(
+                "weight"
+            ),
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(state_dir, qid, on_new_run, "continuous_quantile_sink")
+        prev = None
+        prev_err = 0
+        if same_run:
+            v = _latest_version_below(state_dir, batch_id)
+            if v is not None:
+                prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+                head = prev.select("err_bound").head(1)
+                prev_err = head[0]["err_bound"] if head else 0
+
+        batch_vals = batch_df.select(F.col(value_col).alias("value")).withColumn(
+            "weight", F.lit(1).cast("long")
+        )
+        n_batch = batch_vals.count()
+        if n_batch == 0 and prev is not None:
+            prev.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v={batch_id}")
+            )
+            _write_run_marker(state_dir, qid)
+            return
+        # batch summary: exact ranks over the batch only (err 0), then
+        # union with state and recompress (err += union_weight DIV k)
+        merged = batch_vals
+        if prev is not None:
+            merged = prev.select("value", "weight").unionByName(batch_vals)
+        summary = summarize(merged, "weight", [])
+        total_w = merged.agg(F.sum("weight").alias("t")).head()["t"]
+        err = prev_err + total_w // k
+        summary.withColumn("err_bound", F.lit(err).cast("long")).withColumn(
+            "total_w", F.lit(total_w).cast("long")
+        ).write.mode("overwrite").parquet(os.path.join(state_dir, f"v={batch_id}"))
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_quantile_state(spark, state_dir: str, ps=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Quantile estimates + the accumulated rank-error bound from a
+    continuous_quantile_sink state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = read_agg_state(spark, state_dir)
+    w = Window.orderBy("value")
+    d = s.withColumn("_cw", F.sum("weight").over(w))
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cw") >= F.ceil(F.lit(float(p)) * F.col("total_w")),
+                F.col("value"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return d.agg(
+        F.max("total_w").alias("n"),
+        *picks,
+        F.max("err_bound").alias("rank_err_bound"),
+    )

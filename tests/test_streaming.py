@@ -733,3 +733,65 @@ def test_continuous_topk_sink_empty_batch_is_identity(spark, tmp_path):
         for r in read_topk_state(spark, state, top_n=10).collect()
     }
     assert got == {1: (2, 2), 2: (1, 1)}  # exact — no thresholds ever paid
+
+
+def test_continuous_quantile_sink_ledger_bound_holds(spark, tmp_path):
+    """Streaming quantile maintenance: after a two-batch replay the
+    state's total weight must equal the exact row count, and every
+    reported quantile's tie-run of true ranks must intersect the target
+    window at the PERSISTED error ledger (which accumulates one
+    union_weight//k term per recompression — true by construction, and
+    the test would catch a ledger that stopped accumulating)."""
+    import math
+    import os
+    import time
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import (
+        continuous_quantile_sink,
+        read_quantile_state,
+    )
+
+    vals1 = [((i * 2654435761) % 997) / 7.0 for i in range(400)]
+    vals2 = [((i * 40503) % 1009) / 3.0 for i in range(350)]
+    stage = str(tmp_path / "vals")
+    os.makedirs(stage)
+    f1, f2 = os.path.join(stage, "b1.parquet"), os.path.join(stage, "b2.parquet")
+    pd.DataFrame({"value": vals1}).to_parquet(f1)
+    pd.DataFrame({"value": vals2}).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    state = str(tmp_path / "q_state")
+    src = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        continuous_quantile_sink(
+            src, state, str(tmp_path / "ckpt"), value_col="value", k=32
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    r = read_quantile_state(spark, state).collect()[0]
+    allv = sorted(vals1 + vals2)
+    assert r["n"] == len(allv)
+    assert r["rank_err_bound"] > 0
+    for p in (0.5, 0.9, 0.99):
+        est = r[f"p{int(p * 100)}"]
+        lo_rank = sum(1 for v in allv if v < est) + 1
+        hi_rank = sum(1 for v in allv if v <= est)
+        target = math.ceil(p * len(allv))
+        b = r["rank_err_bound"]
+        assert lo_rank <= target + b and hi_rank >= target - b, (
+            p, est, lo_rank, hi_rank, target, b,
+        )
