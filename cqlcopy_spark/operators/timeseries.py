@@ -485,3 +485,142 @@ def timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_day"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# timeseries_changepoints — two-sided CUSUM level-shift detection
+# ---------------------------------------------------------------------------
+
+# The metrics-pipeline changepoint pass: flag users whose value series
+# shifts level (sensor drift, behavior change, data-feed breakage).
+# Two-sided CUSUM with allowance k and threshold h is the textbook
+# detector, but its recursion cum_i = max(0, cum_{i-1} + x_i) is NOT a
+# window prefix aggregate. The classic identity unlocks it:
+#   max-reset CUSUM  ==  S_i - min_{j<=i} S_j     (S = plain prefix sum)
+# so the whole detector is two prefix sums + running min/max + lag —
+# one user_id exchange shared by every window. All arithmetic is EXACT
+# integers: cents center on the user mean WITHOUT division by working
+# at n× scale (x_i = n·cents_i - total_cents), with the allowance and
+# threshold scaled by n to match. int64-safe while n·max_cents < 2^63
+# (n < ~2.6e14 rows per user at fixture magnitudes — document, don't
+# guess, per the overflow rule).
+
+_CUSUM_SLACK_CENTS = 500  # allowance k: ignore drifts below $5
+_CUSUM_H_CENTS = 4000  # threshold h: alarm at $40 of accumulated drift
+
+_CHANGEPOINT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(cents) OVER (PARTITION BY user_id) AS total
+  FROM e
+),
+x AS (
+  SELECT user_id, event_id, n,
+         n * cents - total AS xc
+  FROM c
+),
+s AS (
+  SELECT user_id, event_id, n,
+         SUM(xc - {_CUSUM_SLACK_CENTS} * n)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS s_up,
+         SUM(xc + {_CUSUM_SLACK_CENTS} * n)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS s_dn
+  FROM x
+),
+cu AS (
+  SELECT user_id, event_id, n,
+         s_up - MIN(s_up) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS cusum_up,
+         MAX(s_dn) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) - s_dn AS cusum_dn
+  FROM s
+),
+fl AS (
+  SELECT user_id, n, cusum_up, cusum_dn,
+         CASE WHEN cusum_up > {_CUSUM_H_CENTS} * n
+               AND COALESCE(LAG(cusum_up) OVER (PARTITION BY user_id
+                                                ORDER BY event_id), 0)
+                   <= {_CUSUM_H_CENTS} * n THEN 1 ELSE 0 END AS up_cross,
+         CASE WHEN cusum_dn > {_CUSUM_H_CENTS} * n
+               AND COALESCE(LAG(cusum_dn) OVER (PARTITION BY user_id
+                                                ORDER BY event_id), 0)
+                   <= {_CUSUM_H_CENTS} * n THEN 1 ELSE 0 END AS dn_cross
+  FROM cu
+)
+SELECT user_id,
+       CAST(SUM(up_cross) AS BIGINT) AS n_up_shifts,
+       CAST(SUM(dn_cross) AS BIGINT) AS n_dn_shifts,
+       CAST(MAX(cusum_up) AS BIGINT) AS max_cusum_up,
+       CAST(MAX(cusum_dn) AS BIGINT) AS max_cusum_dn
+FROM fl
+GROUP BY user_id
+HAVING SUM(up_cross) + SUM(dn_cross) > 0
+ORDER BY user_id
+"""
+
+
+@register("timeseries_changepoints", oracle=_CHANGEPOINT_ORACLE)
+def timeseries_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM changepoint report: users whose value
+    series crossed the drift threshold, with crossing counts per
+    direction and peak accumulated drift (n-scaled cents — exact
+    integers end to end, see the module comment for the prefix-min
+    identity that makes the max-reset recursion window-expressible).
+
+    Plan: ONE shuffle on user_id serves every window (count/total,
+    both prefix sums, running min/max, both lags) and the final
+    aggregate — the raw event volume crosses the exchange once, the
+    rest is per-partition sort reuse."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(col("value") * 100).cast("long").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    slack, h = _CUSUM_SLACK_CENTS, _CUSUM_H_CENTS
+    x = (
+        e.withColumn("n", F.count(F.lit(1)).over(wu))
+        .withColumn("total", F.sum("cents").over(wu))
+        .withColumn("xc", col("n") * col("cents") - col("total"))
+    )
+    s = x.withColumn(
+        "s_up", F.sum(col("xc") - slack * col("n")).over(wrun)
+    ).withColumn("s_dn", F.sum(col("xc") + slack * col("n")).over(wrun))
+    cu = s.withColumn(
+        "cusum_up", col("s_up") - F.min("s_up").over(wrun)
+    ).withColumn("cusum_dn", F.max("s_dn").over(wrun) - col("s_dn"))
+    thresh = h * col("n")
+    fl = cu.withColumn(
+        "up_cross",
+        (
+            (col("cusum_up") > thresh)
+            & (F.coalesce(F.lag("cusum_up").over(wo), F.lit(0)) <= thresh)
+        ).cast("int"),
+    ).withColumn(
+        "dn_cross",
+        (
+            (col("cusum_dn") > thresh)
+            & (F.coalesce(F.lag("cusum_dn").over(wo), F.lit(0)) <= thresh)
+        ).cast("int"),
+    )
+    return (
+        fl.groupBy("user_id")
+        .agg(
+            F.sum("up_cross").alias("n_up_shifts"),
+            F.sum("dn_cross").alias("n_dn_shifts"),
+            F.max("cusum_up").alias("max_cusum_up"),
+            F.max("cusum_dn").alias("max_cusum_dn"),
+        )
+        .filter(col("n_up_shifts") + col("n_dn_shifts") > 0)
+        .orderBy("user_id")
+    )

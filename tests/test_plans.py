@@ -419,6 +419,17 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
             spark.conf.set(k, v)
 
 
+def test_changepoints_single_user_exchange(spark):
+    """timeseries_changepoints: seven windows (count/total, two prefix
+    sums, running min/max, two lags) and the final aggregate all share
+    ONE user_id exchange — the raw event volume crosses exactly once
+    (+ the presentation sort)."""
+    p = plan_of(QUERIES["timeseries_changepoints"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, p
+    assert shuffle_exchanges(p) <= 2, p
+
+
 def test_every_query_plan_is_hygienic(spark):
     """Blanket sweep over the whole registry: no query may plan a
     cartesian product (except join_cross, which demonstrates one on a
