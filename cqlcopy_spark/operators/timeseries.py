@@ -624,3 +624,86 @@ def timeseries_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("n_up_shifts") + col("n_dn_shifts") > 0)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma — exponential smoothing with exact binary halvings
+# ---------------------------------------------------------------------------
+
+# EWMA's recursion s_i = α·x_i + (1-α)·s_{i-1} is ORDER-DEPENDENT and
+# non-associative — the block fold tree does NOT apply (it needs
+# associative +). Instead the horizon is bounded BY DEFINITION: with
+# α = 1/2 every step is an exact binary halving, and a contribution 128
+# halvings back is below 2^-128 — far under double precision — so the
+# last-128-events fold IS the operator, task state is 128 rows per user
+# by construction, and both engines run the identical fold (Spark
+# aggregate ↔ DuckDB list_reduce), bitwise.
+
+_EWMA_HORIZON = 128
+
+_EWMA_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+),
+tail_w AS (SELECT user_id, event_id, value FROM r WHERE rn <= {_EWMA_HORIZON}),
+agg AS (
+  SELECT user_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(value ORDER BY event_id)),
+                     (acc, v) -> acc / 2 + v / 2) AS ewma,
+         MAX(CASE WHEN event_id = (SELECT MAX(t2.event_id) FROM tail_w t2
+                                   WHERE t2.user_id = tail_w.user_id)
+                  THEN value END) AS last_value,
+         CAST(COUNT(*) AS BIGINT) AS n_window
+  FROM tail_w
+  GROUP BY user_id
+)
+SELECT user_id, n_window, ewma, last_value,
+       abs(last_value - ewma) AS abs_dev
+FROM agg
+ORDER BY user_id
+"""
+
+
+@register("events_ewma", oracle=_EWMA_ORACLE)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-smoothed level (α = 1/2) over the last
+    {H} events, plus the current deviation from it — the smoothing a
+    monitoring pipeline keeps per key for alerting (events_anomaly_
+    zscore is the population-level cousin; this is the sequential one).
+
+    Parity and scale both come from the same design point: α = 1/2
+    makes every fold step an exact halving (no transcendentals), the
+    128-event horizon bounds per-user task state BY DEFINITION (older
+    contributions sit below 2^-128 — beneath double precision, so the
+    truncation loses nothing representable), and the fold sequence is
+    identical in both engines. ONE user_id exchange serves the
+    recency-rank window, the horizon filter, and the fold aggregate."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    wr = Window.partitionBy("user_id").orderBy(col("event_id").desc())
+    tail = e.withColumn("rn", F.row_number().over(wr)).filter(
+        col("rn") <= _EWMA_HORIZON
+    )
+    lst = F.array_sort(
+        F.collect_list(F.struct(col("event_id").alias("k"), col("value").alias("v")))
+    )
+    fold = F.aggregate(
+        F.transform(lst, lambda s: s["v"]),
+        F.lit(0.0),
+        lambda acc, v: acc / 2 + v / 2,
+    )
+    agg = tail.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_window"),
+        fold.alias("ewma"),
+        F.max_by("value", col("event_id")).alias("last_value"),
+    )
+    return agg.select(
+        "user_id",
+        "n_window",
+        "ewma",
+        "last_value",
+        F.abs(col("last_value") - col("ewma")).alias("abs_dev"),
+    ).orderBy("user_id")
