@@ -1685,3 +1685,82 @@ def decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
         (col("_s") / col("n")).alias("band_mean"),
     ).orderBy("event_type", "band")
+
+
+# ---------------------------------------------------------------------------
+# approx_bounds_verify — driver-checkable accuracy claims for agg_approx
+# ---------------------------------------------------------------------------
+
+# agg_approx stays rows-only (sketch register layouts are engine-
+# specific) but its ACCURACY claims are checkable by the same
+# empty-relation discipline as similarity_ann_verify: Spark's sketches
+# are DETERMINISTIC given the data, so comparing them against the exact
+# values computed in the same query either always passes or always
+# fails at a given SF — no flake risk — and any violation row flips the
+# driver's verdict against the empty oracle.
+
+_APPROX_RSD = 0.02
+_APPROX_DISTINCT_TOL = 5 * _APPROX_RSD  # 5σ of the documented rsd
+_APPROX_PCT_ACCURACY = 10000  # percentile_approx accuracy parameter
+
+_APPROX_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS VARCHAR) AS kind
+WHERE 1 = 0
+"""
+
+
+@register("approx_bounds_verify", oracle=_APPROX_VERIFY_ORACLE)
+def approx_bounds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violations of agg_approx's accuracy contract, expected EMPTY:
+    per group, approx_count_distinct(rsd=0.02) must sit within 5σ of
+    the exact distinct count, and percentile_approx(0.5, 10000)'s
+    tie-run of true ranks must intersect the median rank window at
+    ceil(n / accuracy) + 1. Exact references are computed in the same
+    query (two-phase exact distinct; rank window for the percentile) —
+    one orders scan feeds both sides."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=_APPROX_RSD).alias("ad"),
+        F.percentile_approx(
+            "o_totalprice", 0.5, _APPROX_PCT_ACCURACY
+        ).alias("ap"),
+    )
+    exact_d = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.lit(1).alias("_1"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("ed"))
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    j = approx.join(exact_d, "o_orderpriority")
+    bad_distinct = j.filter(
+        F.abs(col("ad") - col("ed"))
+        > F.lit(_APPROX_DISTINCT_TOL) * col("ed")
+    ).select("o_orderpriority", F.lit("distinct_out_of_bounds").alias("kind"))
+    # percentile: the approx median's tie-run of ranks must intersect
+    # [ceil(n/2) - tol, ceil(n/2) + tol], tol = ceil(n/accuracy) + 1
+    pr = ranked.join(broadcast(approx.select("o_orderpriority", "ap")), "o_orderpriority")
+    runs = pr.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        (F.count(F.when(col("o_totalprice") < col("ap"), 1)) + 1).alias("lo_rank"),
+        F.count(F.when(col("o_totalprice") <= col("ap"), 1)).alias("hi_rank"),
+    )
+    target = F.ceil(col("n") / 2)
+    tol = F.ceil(col("n") / _APPROX_PCT_ACCURACY) + 1
+    bad_pct = runs.filter(
+        (col("lo_rank") > target + tol) | (col("hi_rank") < target - tol)
+    ).select("o_orderpriority", F.lit("median_rank_out_of_bounds").alias("kind"))
+    return bad_distinct.unionByName(bad_pct).orderBy("o_orderpriority", "kind")
