@@ -1716,8 +1716,9 @@ def approx_bounds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distinct count, and percentile_approx(0.5, 10000)'s
     tie-run of true ranks must intersect the median rank window at
     ceil(n / accuracy) + 1. Exact references are computed in the same
-    query (two-phase exact distinct; rank window for the percentile) —
-    one orders scan feeds both sides."""
+    query (two-phase exact distinct; the percentile's tie-run ranks as
+    plain conditional counts — no sort or window needed) — one orders
+    scan feeds both sides."""
     from pyspark.sql.window import Window
 
     o = table(spark, sf_dir, "orders").select(
@@ -1735,16 +1736,7 @@ def approx_bounds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("ed"))
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ranked = o.select("o_orderpriority", "o_totalprice")
     j = approx.join(exact_d, "o_orderpriority")
     bad_distinct = j.filter(
         F.abs(col("ad") - col("ed"))
@@ -1754,7 +1746,7 @@ def approx_bounds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [ceil(n/2) - tol, ceil(n/2) + tol], tol = ceil(n/accuracy) + 1
     pr = ranked.join(broadcast(approx.select("o_orderpriority", "ap")), "o_orderpriority")
     runs = pr.groupBy("o_orderpriority").agg(
-        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         (F.count(F.when(col("o_totalprice") < col("ap"), 1)) + 1).alias("lo_rank"),
         F.count(F.when(col("o_totalprice") <= col("ap"), 1)).alias("hi_rank"),
     )

@@ -496,7 +496,11 @@ def timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two-sided CUSUM with allowance k and threshold h is the textbook
 # detector, but its recursion cum_i = max(0, cum_{i-1} + x_i) is NOT a
 # window prefix aggregate. The classic identity unlocks it:
-#   max-reset CUSUM  ==  S_i - min_{j<=i} S_j     (S = plain prefix sum)
+#   max-reset CUSUM  ==  S_i - min(0, min_{j<=i} S_j)   (S = plain prefix sum)
+# The min MUST include the empty-prefix term S_0 = 0: without it the
+# detector is forced to 0 at the first row and understated whenever the
+# prefix sum never dips below its starting value (a front-loaded level
+# shift), delaying or missing the h-crossing.
 # so the whole detector is two prefix sums + running min/max + lag —
 # one user_id exchange shared by every window. All arithmetic is EXACT
 # integers: cents center on the user mean WITHOUT division by working
@@ -537,10 +541,10 @@ s AS (
 ),
 cu AS (
   SELECT user_id, event_id, n,
-         s_up - MIN(s_up) OVER (PARTITION BY user_id ORDER BY event_id
-                                ROWS UNBOUNDED PRECEDING) AS cusum_up,
-         MAX(s_dn) OVER (PARTITION BY user_id ORDER BY event_id
-                         ROWS UNBOUNDED PRECEDING) - s_dn AS cusum_dn
+         s_up - LEAST(0, MIN(s_up) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS UNBOUNDED PRECEDING)) AS cusum_up,
+         GREATEST(0, MAX(s_dn) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING)) - s_dn AS cusum_dn
   FROM s
 ),
 fl AS (
@@ -597,8 +601,12 @@ def timeseries_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_up", F.sum(col("xc") - slack * col("n")).over(wrun)
     ).withColumn("s_dn", F.sum(col("xc") + slack * col("n")).over(wrun))
     cu = s.withColumn(
-        "cusum_up", col("s_up") - F.min("s_up").over(wrun)
-    ).withColumn("cusum_dn", F.max("s_dn").over(wrun) - col("s_dn"))
+        "cusum_up",
+        col("s_up") - F.least(F.lit(0).cast("long"), F.min("s_up").over(wrun)),
+    ).withColumn(
+        "cusum_dn",
+        F.greatest(F.lit(0).cast("long"), F.max("s_dn").over(wrun)) - col("s_dn"),
+    )
     thresh = h * col("n")
     fl = cu.withColumn(
         "up_cross",

@@ -537,28 +537,34 @@ def continuous_quantile_sink(
     if on_new_run not in ("error", "restart"):
         raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
 
-    def summarize(df, w_col: str, order_extra: "list[str]"):
+    def summarize(df, w_col: str, total: int):
         """k-point weighted summary of (value, weight) rows: cumulative
-        weights W_i in (value, tiebreak) order; keep the rows where
-        floor(W_i·k/W) increases (always keeps the last), weight of a
-        kept row = covered cumulative span. Exact: weights sum to W."""
+        weights W_i in (value, weight) order over a ROWS frame; keep the
+        rows where floor(W_i·k/W) increases (always keeps the last),
+        weight of a kept row = covered cumulative span. Exact: weights
+        sum to W (= `total`, known by the caller — no extra scan)."""
         # global-order reduce: the summary NEEDS a total order, but it
         # runs over state(k rows) ∪ batch — at high-rate streams shard
         # the batch first (the batch operator's pmod design) and union
         # the shard summaries before this recompression, paying one
-        # extra ledger term. Ties share a RANGE-frame cumulative weight;
-        # equal values are interchangeable, so the summary is unchanged.
-        wspec = Window.orderBy("value", *order_extra)
-        d = df.withColumn("_cw", F.sum(w_col).over(wspec))
-        total = d.agg(F.max("_cw").alias("_t"))
-        d = d.crossJoin(F.broadcast(total))
+        # extra ledger term. The ROWS frame gives every row a DISTINCT
+        # cumulative weight even in a duplicate-value run, so a bucket
+        # boundary inside the run is detected by exactly one row (a
+        # RANGE frame shares _cw across ties and can drop whole runs,
+        # violating the err ledger). Ordering by (value, weight) makes
+        # the partial-sum sequence deterministic under ties: rows equal
+        # on both columns are identical tuples, hence interchangeable.
+        wspec = Window.orderBy("value", w_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        d = df.filter(F.col(w_col) > 0).withColumn("_cw", F.sum(w_col).over(wspec))
         d = d.withColumn(
-            "_bucket", F.expr(f"_cw * {k} DIV _t")
+            "_bucket", F.expr(f"_cw * {k} DIV {total}")
         ).withColumn(
-            "_prev_bucket", F.expr(f"(_cw - {w_col}) * {k} DIV _t")
+            "_prev_bucket", F.expr(f"(_cw - {w_col}) * {k} DIV {total}")
         )
         kept = d.filter(
-            (F.col("_bucket") > F.col("_prev_bucket")) | (F.col("_cw") == F.col("_t"))
+            (F.col("_bucket") > F.col("_prev_bucket")) | (F.col("_cw") == F.lit(total))
         )
         wl = Window.orderBy("_cw")
         return kept.select(
@@ -574,30 +580,46 @@ def continuous_quantile_sink(
         same_run = _run_guard(state_dir, qid, on_new_run, "continuous_quantile_sink")
         prev = None
         prev_err = 0
+        prev_total = 0
         if same_run:
             v = _latest_version_below(state_dir, batch_id)
             if v is not None:
                 prev = spark.read.parquet(os.path.join(state_dir, f"v={v}"))
-                head = prev.select("err_bound").head(1)
-                prev_err = head[0]["err_bound"] if head else 0
+                head = prev.select("err_bound", "total_w").head(1)
+                if head:
+                    prev_err = head[0]["err_bound"]
+                    prev_total = head[0]["total_w"]
 
         batch_vals = batch_df.select(F.col(value_col).alias("value")).withColumn(
             "weight", F.lit(1).cast("long")
         )
         n_batch = batch_vals.count()
-        if n_batch == 0 and prev is not None:
-            prev.write.mode("overwrite").parquet(
+        if n_batch == 0:
+            # identity batch: carry state forward; with NO prior state
+            # write an empty-but-schema'd summary so the first-ever
+            # batch being empty doesn't crash the recompression below
+            # (review finding: total_w would be None).
+            out = (
+                prev
+                if prev is not None
+                else batch_vals.withColumn(
+                    "err_bound", F.lit(0).cast("long")
+                ).withColumn("total_w", F.lit(0).cast("long"))
+            )
+            out.write.mode("overwrite").parquet(
                 os.path.join(state_dir, f"v={batch_id}")
             )
             _write_run_marker(state_dir, qid)
             return
         # batch summary: exact ranks over the batch only (err 0), then
-        # union with state and recompress (err += union_weight DIV k)
+        # union with state and recompress (err += union_weight DIV k).
+        # total_w needs NO scan: prior state persists it, the batch was
+        # just counted.
         merged = batch_vals
         if prev is not None:
             merged = prev.select("value", "weight").unionByName(batch_vals)
-        summary = summarize(merged, "weight", [])
-        total_w = merged.agg(F.sum("weight").alias("t")).head()["t"]
+        total_w = prev_total + n_batch
+        summary = summarize(merged, "weight", total_w)
         err = prev_err + total_w // k
         summary.withColumn("err_bound", F.lit(err).cast("long")).withColumn(
             "total_w", F.lit(total_w).cast("long")
@@ -628,7 +650,7 @@ def read_quantile_state(spark, state_dir: str, ps=(0.5, 0.9, 0.99)) -> DataFrame
         for p in ps
     ]
     return d.agg(
-        F.max("total_w").alias("n"),
+        F.coalesce(F.max("total_w"), F.lit(0)).alias("n"),
         *picks,
-        F.max("err_bound").alias("rank_err_bound"),
+        F.coalesce(F.max("err_bound"), F.lit(0)).alias("rank_err_bound"),
     )

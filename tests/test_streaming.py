@@ -795,3 +795,106 @@ def test_continuous_quantile_sink_ledger_bound_holds(spark, tmp_path):
         assert lo_rank <= target + b and hi_rank >= target - b, (
             p, est, lo_rank, hi_rank, target, b,
         )
+
+
+def test_continuous_quantile_sink_duplicate_runs_keep_bound(spark, tmp_path):
+    """Regression: duplicate-heavy data whose bucket boundaries all fall
+    INSIDE tie runs. A RANGE-frame cumulative weight gives every tied
+    row the same _cw, so no row detects the bucket crossing and whole
+    runs collapse into a later point, breaking the persisted err_bound
+    (26/25/25/24 copies of four values at k=4 reduced to a single
+    point). The ROWS-frame fix makes each duplicate own a distinct rank
+    span; this pins the ledger bound on exactly that data."""
+    import math
+    import os
+    import time
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import (
+        continuous_quantile_sink,
+        read_quantile_state,
+    )
+
+    vals = [1.0] * 26 + [2.0] * 25 + [3.0] * 25 + [4.0] * 24
+    stage = str(tmp_path / "vals")
+    os.makedirs(stage)
+    pd.DataFrame({"value": vals}).to_parquet(os.path.join(stage, "b1.parquet"))
+
+    state = str(tmp_path / "q_state")
+    src = spark.readStream.schema("value double").parquet(stage)
+    q = (
+        continuous_quantile_sink(
+            src, state, str(tmp_path / "ckpt"), value_col="value", k=4
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    r = read_quantile_state(spark, state, ps=(0.25, 0.5, 0.75)).collect()[0]
+    allv = sorted(vals)
+    assert r["n"] == 100
+    b = r["rank_err_bound"]
+    assert b == 100 // 4
+    for p in (0.25, 0.5, 0.75):
+        est = r[f"p{int(p * 100)}"]
+        lo_rank = sum(1 for v in allv if v < est) + 1
+        hi_rank = sum(1 for v in allv if v <= est)
+        target = math.ceil(p * 100)
+        assert lo_rank <= target + b and hi_rank >= target - b, (
+            p, est, lo_rank, hi_rank, target, b,
+        )
+    # p50 specifically: target rank 50 sits inside the 2.0 run
+    # (ranks 27..51); the collapsed summary reported 4.0 (lo_rank 77).
+    assert r["p50"] <= 3.0
+
+
+def test_continuous_quantile_sink_empty_first_batch(spark, tmp_path):
+    """Regression: the FIRST-ever micro-batch being empty must write an
+    empty-but-schema'd state instead of crashing on total_w=None, and a
+    later data batch must then merge cleanly on top of it."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import (
+        continuous_quantile_sink,
+        read_quantile_state,
+    )
+
+    stage = str(tmp_path / "vals")
+    os.makedirs(stage)
+    f1 = os.path.join(stage, "b1.parquet")
+    f2 = os.path.join(stage, "b2.parquet")
+    pd.DataFrame({"value": pd.Series([], dtype="float64")}).to_parquet(f1)
+    pd.DataFrame({"value": [float(i) for i in range(50)]}).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    state = str(tmp_path / "q_state")
+    src = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        continuous_quantile_sink(
+            src, state, str(tmp_path / "ckpt"), value_col="value", k=8
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    r = read_quantile_state(spark, state).collect()[0]
+    assert r["n"] == 50
+    assert r["rank_err_bound"] == 50 // 8
