@@ -1,8 +1,9 @@
-"""Link-graph analytics: PageRank-style quality propagation over the
-document provenance graph — the crawl-side signal (domain authority)
-that large-scale corpus curation mixes into quality scores, and the
+"""Link-graph analytics over the document provenance graph:
+PageRank-style quality propagation (the crawl-side domain-authority
+signal large-scale corpus curation mixes into quality scores — the
 second iterative-algorithm surface alongside dedup_components' label
-propagation.
+propagation) and degree-oriented triangle counting / local clustering
+(the community-density signal, fully oracled).
 
 The fixture corpus carries no real hyperlinks (the same constraint
 url_domains_top documents), so the edge list is synthesized
@@ -44,6 +45,156 @@ def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("source").alias("src"), F.explode(F.array(dst1, dst2)).alias("dst")
     ).filter(col("src") != col("dst"))
     return links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+_TRIANGLE_ORACLE = """
+WITH links AS (
+  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT source, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM links WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node
+),
+k AS (
+  SELECT node, d,
+         lpad(CAST(d AS VARCHAR), 12, '0') || '|' || node AS okey
+  FROM deg
+),
+o AS (
+  SELECT CASE WHEN ka.okey < kb.okey THEN e.a ELSE e.b END AS src,
+         CASE WHEN ka.okey < kb.okey THEN e.b ELSE e.a END AS dst,
+         CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END AS dst_okey
+  FROM e
+  JOIN k ka ON ka.node = e.a
+  JOIN k kb ON kb.node = e.b
+),
+tri AS (
+  SELECT w.u, w.v, w.w2
+  FROM (
+    SELECT o1.src AS u, o1.dst AS v, o2.dst AS w2
+    FROM o o1 JOIN o o2
+      ON o1.src = o2.src AND o1.dst_okey < o2.dst_okey
+  ) w
+  JOIN o oc ON oc.src = w.v AND oc.dst = w.w2
+),
+pernode AS (
+  SELECT node, COUNT(*) AS t
+  FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v AS node FROM tri
+    UNION ALL SELECT w2 AS node FROM tri
+  )
+  GROUP BY node
+)
+SELECT k.node,
+       CAST(k.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN k.d >= 2
+            THEN CAST(2 * COALESCE(p.t, 0) AS DOUBLE)
+                 / CAST(k.d * (k.d - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM k LEFT JOIN pernode p ON p.node = k.node
+ORDER BY k.node
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected domain link graph — the third classic graph workload
+    beside PageRank and connected components, and the standard
+    community-density signal corpus curation mixes into domain scores.
+
+    Scale design (the curse-of-the-last-reducer fix): every canonical
+    edge is ORIENTED from its (degree, node)-smaller endpoint to the
+    larger, so each wedge is generated exactly once at its lowest-rank
+    apex and out-degree is O(sqrt(m)) for ANY degree distribution —
+    the wedge self-join materializes Sum d_out^2 = O(m^1.5) rows, never
+    the Sum d^2 a hub-apex join would. Each triangle {x<y<z} is
+    produced exactly once (only x has two out-edges into it) and closed
+    by one equi-join back to the oriented edge set. The orientation key
+    packs degree into a fixed-width string so one lexicographic compare
+    totally orders nodes identically in both engines.
+
+    Plan: oriented edge set persisted once (three consumers: both wedge
+    sides + the closing join — self-joins re-execute lineage
+    otherwise); degree table broadcast (node-sized; at web-graph |V|
+    this becomes a shuffle join on node, same plan shape). Clustering
+    coefficient is ONE IEEE double division of exact integers, bitwise
+    across engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    dst1 = F.concat(F.lit("src"), (col("doc_id") % 7).cast("string"))
+    dst2 = F.concat(F.lit("src"), ((col("doc_id") * 13 + 5) % 20).cast("string"))
+    links = d.select(
+        col("source").alias("src"), F.explode(F.array(dst1, dst2)).alias("dst")
+    ).filter(col("src") != col("dst"))
+    e = links.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(col("a").alias("node"))
+        .unionByName(e.select(col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    k = deg.withColumn("okey", F.format_string("%012d|%s", col("d"), col("node")))
+    ka = F.broadcast(k.select(col("node").alias("a"), col("okey").alias("okey_a")))
+    kb = F.broadcast(k.select(col("node").alias("b"), col("okey").alias("okey_b")))
+    lo_first = col("okey_a") < col("okey_b")
+    o = (
+        e.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(lo_first, col("a")).otherwise(col("b")).alias("src"),
+            F.when(lo_first, col("b")).otherwise(col("a")).alias("dst"),
+            F.when(lo_first, col("okey_b")).otherwise(col("okey_a")).alias(
+                "dst_okey"
+            ),
+        )
+        .persist()
+    )
+    o1 = o.select(col("src").alias("u"), col("dst").alias("v"), "dst_okey")
+    o2 = o.select(
+        col("src").alias("u"),
+        col("dst").alias("w2"),
+        col("dst_okey").alias("okey2"),
+    )
+    wedges = o1.join(o2, "u").filter(col("dst_okey") < col("okey2"))
+    tri = wedges.join(
+        o.select(col("src").alias("v"), col("dst").alias("w2")), ["v", "w2"]
+    )
+    pernode = (
+        tri.select(col("u").alias("node"))
+        .unionByName(tri.select(col("v").alias("node")))
+        .unionByName(tri.select(col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        k.join(pernode, "node", "left")
+        .select(
+            "node",
+            col("d").alias("degree"),
+            F.coalesce(col("t"), F.lit(0)).alias("triangles"),
+            F.when(
+                col("d") >= 2,
+                (F.lit(2) * F.coalesce(col("t"), F.lit(0))).cast("double")
+                / (col("d") * (col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("node")
+    )
 
 
 @register("graph_pagerank")  # rows-only: iterative float folds (see module doc)

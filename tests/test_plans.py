@@ -699,3 +699,16 @@ def test_try_funcs_is_pure_codegen_map(spark):
     p = plan_of(QUERIES["try_funcs"](spark, SF_SMALL))
     assert shuffle_exchanges(p) == 0, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_graph_triangles_oriented_and_persisted(spark):
+    """graph_triangles: the degree-ordered orientation must survive in
+    the plan — the oriented edge set is built ONCE and cached (three
+    consumers: both wedge sides + the closing join; self-joins
+    re-execute lineage otherwise), the degree lookups broadcast, and no
+    cartesian/range-sort appears. The wedge join and the closing join
+    are the only shuffle joins allowed."""
+    p = plan_of(QUERIES["graph_triangles"](spark, SF_SMALL))
+    assert "InMemoryRelation" in p, p  # oriented set cached, not replayed
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p  # degree lookups
