@@ -47,6 +47,21 @@ def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
 
 
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, distinct) of the synthetic
+    domain link graph — shared input of graph_triangles and
+    graph_link_predict. One scan + one distinct shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    dst1 = F.concat(F.lit("src"), (col("doc_id") % 7).cast("string"))
+    dst2 = F.concat(F.lit("src"), ((col("doc_id") * 13 + 5) % 20).cast("string"))
+    links = d.select(
+        col("source").alias("src"), F.explode(F.array(dst1, dst2)).alias("dst")
+    ).filter(col("src") != col("dst"))
+    return links.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
 _TRIANGLE_ORACLE = """
 WITH links AS (
   SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
@@ -131,15 +146,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     this becomes a shuffle join on node, same plan shape). Clustering
     coefficient is ONE IEEE double division of exact integers, bitwise
     across engines."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    dst1 = F.concat(F.lit("src"), (col("doc_id") % 7).cast("string"))
-    dst2 = F.concat(F.lit("src"), ((col("doc_id") * 13 + 5) % 20).cast("string"))
-    links = d.select(
-        col("source").alias("src"), F.explode(F.array(dst1, dst2)).alias("dst")
-    ).filter(col("src") != col("dst"))
-    e = links.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    e = undirected_edges(spark, sf_dir)
     deg = (
         e.select(col("a").alias("node"))
         .unionByName(e.select(col("b").alias("node")))
@@ -194,6 +201,116 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering"),
         )
         .orderBy("node")
+    )
+
+
+_LINK_PREDICT_CAP = 64  # apex degree cap: hub neighbors carry no signal
+_LINK_PREDICT_TOPN = 20
+
+_LINK_PREDICT_ORACLE = f"""
+WITH links AS (
+  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT source, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM links WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nb FROM e
+  UNION ALL
+  SELECT b AS node, a AS nb FROM e
+),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+af AS (
+  SELECT adj.node, adj.nb
+  FROM adj JOIN deg ON deg.node = adj.node
+  WHERE deg.d <= {_LINK_PREDICT_CAP}
+),
+pairs AS (
+  SELECT a1.nb AS x, a2.nb AS y, COUNT(*) AS cn
+  FROM af a1 JOIN af a2 ON a1.node = a2.node AND a1.nb < a2.nb
+  GROUP BY a1.nb, a2.nb
+),
+cand AS (
+  SELECT p.x, p.y, p.cn, dx.d AS dx, dy.d AS dy
+  FROM pairs p
+  JOIN deg dx ON dx.node = p.x
+  JOIN deg dy ON dy.node = p.y
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.x AND e.b = p.y)
+)
+SELECT x, y,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       CAST(cn AS DOUBLE) / CAST(dx + dy - cn AS DOUBLE) AS jaccard
+FROM cand
+ORDER BY jaccard DESC, cn DESC, x, y
+LIMIT {_LINK_PREDICT_TOPN}
+"""
+
+
+@register("graph_link_predict", oracle=_LINK_PREDICT_ORACLE)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: the top-{N} NON-edges ranked by
+    neighborhood Jaccard |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic
+    "should these two domains be linked" signal, and the pairwise-
+    similarity workload over graph adjacency rather than embeddings.
+
+    Scale design: common-neighbor pairs are generated per APEX (the
+    shared neighbor), which is inherently Sum d(apex)^2 — the output
+    itself is that large — so apexes above a degree cap are dropped
+    before the self-join (hub removal, standard in link prediction:
+    a hub is adjacent to everything and discriminates nothing). Pair
+    volume is then Sum min(d, cap)^2, the same Sum-block^2 discipline
+    as the dedup blockers. At fixture degrees the cap excludes nothing,
+    so the oracle is exhaustively exact. Candidates anti-join the edge
+    set (predictions must be NON-edges), Jaccard is exact integers with
+    ONE IEEE double division, and the top-N boundary is made
+    deterministic by the (jaccard, cn, x, y) tiebreak. Capped adjacency
+    is persisted once for both sides of the self-join; degree lookups
+    broadcast (node-sized — shuffle join at web-graph |V|)."""
+    e = undirected_edges(spark, sf_dir).persist()
+    adj = e.select(col("a").alias("node"), col("b").alias("nb")).unionByName(
+        e.select(col("b").alias("node"), col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    af = (
+        adj.join(F.broadcast(deg), "node")
+        .filter(col("d") <= _LINK_PREDICT_CAP)
+        .select("node", "nb")
+        .persist()
+    )
+    a1 = af.select("node", col("nb").alias("x"))
+    a2 = af.select("node", col("nb").alias("y"))
+    pairs = (
+        a1.join(a2, "node")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    dx = F.broadcast(deg.select(col("node").alias("x"), col("d").alias("dx")))
+    dy = F.broadcast(deg.select(col("node").alias("y"), col("d").alias("dy")))
+    cand = (
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .join(
+            e.select(col("a").alias("x"), col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    jaccard = (
+        col("cn").cast("double")
+        / (col("dx") + col("dy") - col("cn")).cast("double")
+    ).alias("jaccard")
+    return (
+        cand.select("x", "y", col("cn").alias("common_neighbors"), jaccard)
+        .orderBy(
+            col("jaccard").desc(), col("common_neighbors").desc(), "x", "y"
+        )
+        .limit(_LINK_PREDICT_TOPN)
     )
 
 

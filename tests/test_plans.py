@@ -712,3 +712,16 @@ def test_graph_triangles_oriented_and_persisted(spark):
     assert "InMemoryRelation" in p, p  # oriented set cached, not replayed
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p  # degree lookups
+
+
+def test_graph_link_predict_capped_and_persisted(spark):
+    """graph_link_predict: the capped adjacency feeding the pair
+    self-join is cached (both sides + anti-join source would replay
+    lineage), degree lookups broadcast, no cartesian, and the top-N is
+    a TakeOrdered, never a global range sort."""
+    p = plan_of(QUERIES["graph_link_predict"](spark, SF_SMALL))
+    assert "InMemoryRelation" in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p.lower(), p
