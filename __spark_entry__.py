@@ -31,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["agg_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _checked_status() -> dict[str, tuple[bool, int, float]]:
-    """name -> (was-green, last-checked round, that round-file's mtime),
-    unioned over every past CORRECTNESS_r*.json.
+def _checked_status() -> dict[str, tuple[bool, int]]:
+    """name -> (was-green, last-checked round), unioned over every past
+    CORRECTNESS_r*.json.
 
     The driver correctness-checks only the first 50 dict entries per round
     (observed r01/r02: exactly the first 50 in queries() order). Rotating
@@ -44,7 +44,9 @@ def _checked_status() -> dict[str, tuple[bool, int, float]]:
     """
     import json
 
-    status: dict[str, tuple[bool, int, float]] = {}
+    from cqlcopy_spark.plans.rotation import is_green
+
+    status: dict[str, tuple[bool, int]] = {}
 
     def _round_no(path: Path) -> int:
         # NUMERIC ordering: lexicographic sort puts r100 before r11, so
@@ -60,34 +62,12 @@ def _checked_status() -> dict[str, tuple[bool, int, float]]:
         # crash queries() and take the whole verification round with it
         try:
             data = json.loads(p.read_text())
-            try:
-                mtime = p.stat().st_mtime
-            except OSError:
-                mtime = 0.0
             for name, r in data.items():
-                green = bool(
-                    r.get("err") == "no_oracle"
-                    or (
-                        r.get("rows_match")
-                        and r.get("schema_match")
-                        and r.get("hash_match")
-                    )
-                )
                 # later rounds override earlier verdicts
-                status[name] = (green, _round_no(p), mtime)
+                status[name] = (is_green(r), _round_no(p))
         except Exception:
             continue
     return status
-
-
-def _module_mtime(fn) -> float:
-    """mtime of the file defining a registered query fn (0.0 if unknown)."""
-    try:
-        mod = sys.modules.get(getattr(fn, "__module__", "") or "")
-        f = getattr(mod, "__file__", None)
-        return Path(f).stat().st_mtime if f else 0.0
-    except Exception:
-        return 0.0
 
 
 # Mandated-op queries (SURVEY.md §2B streaming, §2C 34-35, §2C 33
@@ -109,33 +89,61 @@ _PRIORITY_UNCHECKED = (
     "multimodal_features",
 )
 
+# Queries whose standing verdict is known-stale and must re-verify THIS
+# round regardless of what the content-hash ledger says (r7 VERDICT items
+# 1-3: the three block-fold consumers whose r05 greens predate their
+# rewrite, plus the five ops edited this round whose re-green the verdict
+# explicitly demands). Pruned once their fresh verdicts land.
+_FORCE_FRONT = (
+    "timeseries_trend",
+    "winsorize_stats",
+    "decile_bands",
+    "agg_scalar_subquery",
+    "agg_promo_ratio",
+    "filter_disjunctive",
+    "boilerplate_strip",
+    "layout_zorder_stats",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-entry check window keeps rotating:
 
     1. previously-FAILED (their fix needs re-verification this round),
-    2. never-checked (longest-waiting mandated ops ahead of newer adds),
-    3. green whose implementing module file changed AFTER its last
-       driver check (a rewrite invalidates the old verdict),
-    4. remaining green, last-checked round ASCENDING — so with
+    2. _FORCE_FRONT (verdicts known stale — explicit re-check demands),
+    3. never-checked (longest-waiting mandated ops ahead of newer adds),
+    4. green whose implementing module CONTENT changed after its last
+       driver check (a rewrite invalidates the old verdict; content
+       sha from rotation_ledger.json — fs mtimes misfired in r07,
+       see cqlcopy_spark/plans/rotation.py),
+    5. remaining green, last-checked round ASCENDING — so with
        everything green the window sweeps the registry oldest-first
        instead of re-verifying the same 50 forever.
     """
+    from cqlcopy_spark.plans.rotation import load_ledger, module_sha
+
     qs = all_queries()
     status = _checked_status()
+    ledger = load_ledger(_REPO)
 
     def rank(name: str) -> tuple:
-        if name not in status:
-            major = 1 if name in _PRIORITY_UNCHECKED else 2
-            return (major, 0, 0, name)
-        green, last_round, checked_mtime = status[name]
-        if not green:
+        if name in status and not status[name][0]:
             return (0, 0, 0, name)
-        changed_since_check = (
-            checked_mtime > 0.0 and _module_mtime(qs[name]) > checked_mtime
-        )
-        return (3, 0 if changed_since_check else 1, last_round, name)
+        if name in _FORCE_FRONT:
+            return (1, 0, 0, name)
+        if name not in status:
+            major = 2 if name in _PRIORITY_UNCHECKED else 3
+            return (major, 0, 0, name)
+        _, last_round = status[name]
+        led = ledger.get(name, {})
+        led_sha = led.get("module_sha", "")
+        cur_sha = module_sha(qs[name])
+        # fronted only on a POSITIVE content mismatch: both shas known
+        # and different. No ledger row (pre-ledger verdict) or an
+        # unresolvable module falls back to the freshness sweep.
+        changed = bool(led_sha) and bool(cur_sha) and led_sha != cur_sha
+        return (4 if changed else 5, last_round, 0, name)
 
     return {name: qs[name] for name in sorted(qs, key=rank)}
 

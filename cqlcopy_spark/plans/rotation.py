@@ -1,0 +1,122 @@
+"""Rotation ledger: content-hash record of what the driver last verified.
+
+The driver correctness-checks only the first 50 ``queries()`` entries per
+round, so ``__spark_entry__.py`` rotates the registry — failed first,
+unchecked next, then greens whose implementing module CHANGED after their
+last driver check, then greens oldest-check-first.  Round 7's audit showed
+the "changed after check" signal must not come from filesystem mtimes
+(checkouts, driver copies, and artifact rewrites all touch mtimes without
+touching content — the r07 fronting rule demonstrably misfired on exactly
+this): it has to be a CONTENT hash of the implementing module, recorded at
+the moment the verdict was observed.
+
+Contract:
+
+- ``rotation_ledger.json`` (repo root, committed) maps
+  ``query_name -> {"round": N, "module_sha": sha256-of-module-source}``.
+- ``python -m cqlcopy_spark.plans.rotation`` refreshes the ledger from the
+  NEWEST ``CORRECTNESS_r*.json``.  Run it at ROUND START, before editing any
+  operator module: the tree at round start is byte-identical to the tree the
+  driver just verified (the driver checks the committed round-final tree),
+  so hashing the modules then records exactly the code each verdict covers.
+- ``__spark_entry__.py`` fronts a green query when the CURRENT module sha
+  differs from its ledger sha.  A green query with no ledger row (verdicts
+  predating the ledger) is treated as unchanged and left to the
+  oldest-check-first sweep — mtime heuristics are gone entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+from pathlib import Path
+
+LEDGER_NAME = "rotation_ledger.json"
+
+
+def module_sha(fn) -> str:
+    """sha256 hex of the source file defining a registered query fn
+    ('' if the module/file can't be resolved — never raises)."""
+    try:
+        mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+        f = getattr(mod, "__file__", None)
+        if not f:
+            return ""
+        return hashlib.sha256(Path(f).read_bytes()).hexdigest()
+    except Exception:
+        return ""
+
+
+def load_ledger(repo: str | Path) -> dict[str, dict]:
+    p = Path(repo) / LEDGER_NAME
+    try:
+        data = json.loads(p.read_text())
+        return data if isinstance(data, dict) else {}
+    except Exception:
+        return {}
+
+
+def _round_no(p: Path) -> int:
+    m = re.search(r"r(\d+)", p.stem)
+    return int(m.group(1)) if m else -1
+
+
+def is_green(row: dict) -> bool:
+    """Driver verdict row -> green (rows-only 'no_oracle' counts)."""
+    return bool(
+        row.get("err") == "no_oracle"
+        or (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+    )
+
+
+def update_ledger(repo: str | Path) -> dict[str, dict]:
+    """Merge the newest CORRECTNESS_r*.json into rotation_ledger.json.
+
+    For every query the newest round file covers, record the CURRENT
+    module sha — correct only when invoked at round start (see module
+    doc).  Greens get/refresh a row; a failed verdict removes the row
+    (the failure rank, not the changed rank, must own that query until
+    it re-greens).  Other rounds' rows are left untouched.
+    """
+    from cqlcopy_spark.plans.registry import all_queries
+
+    repo = Path(repo)
+    rounds = sorted(repo.glob("CORRECTNESS_r*.json"), key=_round_no)
+    if not rounds:
+        return load_ledger(repo)
+    newest = rounds[-1]
+    try:
+        data = json.loads(newest.read_text())
+    except Exception:
+        return load_ledger(repo)
+    if not isinstance(data, dict):
+        return load_ledger(repo)
+
+    qs = all_queries()
+    ledger = load_ledger(repo)
+    rnd = _round_no(newest)
+    for name, row in data.items():
+        if not isinstance(row, dict) or name not in qs:
+            continue
+        if is_green(row):
+            sha = module_sha(qs[name])
+            if sha:
+                ledger[name] = {"round": rnd, "module_sha": sha}
+        else:
+            ledger.pop(name, None)
+    (repo / LEDGER_NAME).write_text(
+        json.dumps(ledger, indent=0, sort_keys=True) + "\n"
+    )
+    return ledger
+
+
+if __name__ == "__main__":
+    repo = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).resolve().parents[2])
+    led = update_ledger(repo)
+    print(f"rotation_ledger.json: {len(led)} entries")

@@ -310,16 +310,24 @@ def test_driver_query_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
 
     names = list(mod.queries())
+    # _FORCE_FRONT entries rank ahead of greens by design — pick probe
+    # names outside it so the green/failed ordering is what's tested
+    cand = [n for n in names if n not in mod._FORCE_FRONT]
     ok = {"rows_match": True, "schema_match": True, "hash_match": True}
     bad = {"rows_match": True, "schema_match": True, "hash_match": False}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({names[0]: ok, names[1]: bad})
+        json.dumps({cand[0]: ok, cand[1]: bad})
     )
     monkeypatch.setattr(mod, "_REPO", str(tmp_path))
     order = list(mod.queries())
-    assert order[0] == names[1]  # failed outranks everything
-    assert order[-1] == names[0]  # green sinks to the back
+    assert order[0] == cand[1]  # failed outranks everything
+    assert order[-1] == cand[0]  # green sinks to the back
     assert set(order) == set(names)
+    # force-front entries (verdicts known stale) outrank unchecked ones
+    ff = [n for n in names if n in mod._FORCE_FRONT]
+    if ff:
+        unchecked = next(n for n in order if n not in mod._FORCE_FRONT and n != cand[1])
+        assert order.index(ff[0]) < order.index(unchecked)
 
 
 def test_driver_query_rotation_rotates_greens_by_freshness(tmp_path, monkeypatch):
@@ -327,11 +335,11 @@ def test_driver_query_rotation_rotates_greens_by_freshness(tmp_path, monkeypatch
     registry order (the r5 verdict's finding): green entries are ordered
     last-checked-round ASCENDING so the driver's 50-entry window sweeps
     the registry oldest-check-first, and a green entry whose implementing
-    module changed after its check is fronted ahead of all other greens."""
+    module CONTENT changed after its check (rotation_ledger.json sha
+    mismatch — NOT fs mtimes, which misfired in r07) is fronted ahead of
+    all other greens."""
     import importlib.util
     import json
-    import os
-    import time
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -340,33 +348,43 @@ def test_driver_query_rotation_rotates_greens_by_freshness(tmp_path, monkeypatch
     spec.loader.exec_module(mod)
 
     names = list(mod.queries())
+    cand = [n for n in names if n not in mod._FORCE_FRONT]
     ok = {"rows_match": True, "schema_match": True, "hash_match": True}
-    a, b, c = names[0], names[1], names[2]
+    a, b, c = cand[0], cand[1], cand[2]
     # b checked (green) in r01, a checked (green) in r02, c never checked
-    p1 = tmp_path / "CORRECTNESS_r01.json"
-    p2 = tmp_path / "CORRECTNESS_r02.json"
-    p1.write_text(json.dumps({b: ok}))
-    p2.write_text(json.dumps({a: ok}))
-    now = time.time()
-    os.utime(p1, (now - 200, now - 200))
-    os.utime(p2, (now - 100, now - 100))
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({b: ok}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({a: ok}))
     monkeypatch.setattr(mod, "_REPO", str(tmp_path))
-    monkeypatch.setattr(mod, "_module_mtime", lambda fn: now - 1000)
 
     order = list(mod.queries())
     # unchecked c stays ahead of both greens; b (r01) outranks a (r02)
     assert order.index(c) < order.index(b) < order.index(a)
     assert order[-2:] == [b, a]
 
-    # now b's implementing module "changes" after its check: fronted
-    # ahead of every other green (but still behind unchecked entries)
-    monkeypatch.setattr(
-        mod, "_module_mtime", lambda fn: now if fn is mod.all_queries()[b] else now - 1000
-    )
+    # now b's ledger sha diverges from its current module content (a
+    # rewrite after its check): fronted ahead of every other green (but
+    # still behind unchecked entries). a's ledger sha MATCHES current
+    # content, so a stays in the freshness sweep.
+    from cqlcopy_spark.plans.rotation import module_sha
+
+    (tmp_path / "rotation_ledger.json").write_text(json.dumps({
+        b: {"round": 1, "module_sha": "0" * 64},
+        a: {"round": 2, "module_sha": module_sha(mod.all_queries()[a])},
+    }))
     order2 = list(mod.queries())
     assert order2.index(c) < order2.index(b) < order2.index(a)
     first_green = min(order2.index(a), order2.index(b))
     assert order2[first_green] == b
+
+    # an artifact-only rewrite (mtime bump, identical content) must NOT
+    # front anything: with b's ledger sha set to its TRUE content sha the
+    # ordering returns to the pure freshness sweep
+    (tmp_path / "rotation_ledger.json").write_text(json.dumps({
+        b: {"round": 1, "module_sha": module_sha(mod.all_queries()[b])},
+        a: {"round": 2, "module_sha": module_sha(mod.all_queries()[a])},
+    }))
+    order3 = list(mod.queries())
+    assert order3[-2:] == [b, a]
 
 
 def test_boilerplate_strip_broadcast_hash_probe(spark):
