@@ -158,9 +158,16 @@ def block_fold_agg(
         *[e.alias(f"_mn_{nm}") for nm, e in mins.items()],
         *[e.alias(f"_mx_{nm}") for nm, e in maxs.items()],
     )
-    global _BF_VIEW_SEQ
-    _BF_VIEW_SEQ += 1
-    view = f"_bf_input_{_BF_VIEW_SEQ}"
+    # uuid-derived view name (r7 ADVICE item 3): the module-global
+    # counter this replaces could interleave under CONCURRENT plan
+    # builds in the shared session — two threads incrementing then
+    # createOrReplaceTempView'ing the same name race between one
+    # builder's registration and the other's spark.sql analysis. A
+    # per-call random name makes each build's view private; it is
+    # still dropped right after the eager analysis below.
+    import uuid
+
+    view = f"_bf_input_{uuid.uuid4().hex}"
     proj.createOrReplaceTempView(view)
 
     g = ", ".join(f"`{c}`" for c in group_cols)
@@ -205,9 +212,6 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {ok}) - 1
     # spark.sql analyzes eagerly, so the view can be dropped right away
     df.sparkSession.catalog.dropTempView(view)
     return out
-
-
-_BF_VIEW_SEQ = 0
 
 
 def sql_block_fold_agg(

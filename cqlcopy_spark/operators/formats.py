@@ -464,16 +464,20 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout_compact_plan is exactly that consumer). One hash aggregate
     on file_id for the stats. The rescale is exact int64 arithmetic
     ((x-lo)·65535 fits for any span < 2^47); shifts/masks stay below
-    2^32 — bit-identical across engines; hour = epoch_us // 3.6e9
-    floor-divides identically (µs nonnegative)."""
+    2^32 — bit-identical across engines; hour = epoch_us DIV 3.6e9 is
+    exact int64 division at any magnitude, matching the oracle's //."""
     from pyspark.sql.functions import broadcast
 
     top = (1 << _Z_BITS) - 1
     raw = table(spark, sf_dir, "events").select(
         "event_id",
         col("user_id").alias("r1"),
-        F.floor(
-            F.unix_micros(col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+        # integer DIV, not floor(x / 3.6e9): the double route is exact
+        # only below 2^53/divisor, while the oracle's // is exact int64
+        # at any magnitude — same reason d1/d2 below use DIV (r7 ADVICE
+        # item 2)
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
         ).alias("r2"),
     )
     ext = raw.agg(

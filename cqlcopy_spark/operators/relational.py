@@ -367,7 +367,12 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity — the correlated-scalar-subquery class, decorrelated
     by hand into aggregate-then-join (exactly what Catalyst's subquery
     decorrelation produces). Two scans of lineitem (threshold + probe),
-    one shuffle join on partkey, broadcast part. The 0.2·avg threshold
+    one shuffle join on partkey; part is deliberately UNHINTED — it
+    grows with SF, and an explicit broadcast() hint has no size
+    fallback at the 8 GB broadcast ceiling (the join_star rule, see
+    its docstring). Static parquet stats / AQE pick the broadcast
+    side while part is small and degrade to a shuffle join when it
+    isn't. The 0.2·avg threshold
     is an exact-integer-moment expression identical on both sides, so
     the < comparison binds identically in both engines — no boundary
     flake."""
@@ -384,7 +389,7 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_lim")
     )
     return (
-        li.join(broadcast(part), col("p_partkey") == col("l_partkey"))
+        li.join(part, col("p_partkey") == col("l_partkey"))
         .join(lim.withColumnRenamed("l_partkey", "lim_partkey"),
               col("lim_partkey") == col("l_partkey"))
         .filter(col("l_quantity") < col("qty_lim"))
@@ -641,8 +646,12 @@ WHERE l_partkey = p_partkey
 def agg_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: revenue share of promo parts in one ship month —
     conditional (CASE-gated) aggregation feeding a ratio. The month
-    filter pushes into the lineitem scan; part plays the dim role and is
-    broadcast, so the fact table never shuffles; both sums accumulate in
+    filter pushes into the lineitem scan; part plays the dim role and
+    is left UNHINTED (join_star rule: it grows with SF; a hint has no
+    size fallback) — static parquet stats / AQE broadcast it while it
+    fits, so the fact table never shuffles at bench SF, and the plan
+    degrades to a shuffle join instead of an abort past the 8 GB
+    ceiling. Both sums accumulate in
     one pass. Numerator and denominator use the decimal dsum path, and
     the final 100*x/y is the same IEEE op sequence in both engines."""
     li = table(spark, sf_dir, "lineitem").filter(
@@ -653,7 +662,7 @@ def agg_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = col("l_extendedprice") * (1 - col("l_discount"))
     promo = F.when(col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(broadcast(p), col("l_partkey") == col("p_partkey"))
+        li.join(p, col("l_partkey") == col("p_partkey"))
         .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue"))
     )
 
@@ -734,9 +743,11 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     join sides. Catalyst factors the single-side conjuncts out of the
     disjunction: the p_brand/p_size OR pushes into the part scan and the
     l_quantity range union into the lineitem scan, leaving only the
-    cross-table residual on the (broadcast) join — the classic test that
+    cross-table residual on the join — the classic test that
     disjunctive predicates still prune scans instead of riding the
-    join."""
+    join. part is UNHINTED (join_star rule: grows with SF, hints have
+    no size fallback); the pushed-down brand/size OR keeps the probe
+    side tiny so stats/AQE broadcast it at any realistic SF."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     q = col("l_quantity")
@@ -748,7 +759,7 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = col("l_extendedprice") * (1 - col("l_discount"))
     return (
-        li.join(broadcast(p), col("l_partkey") == col("p_partkey"))
+        li.join(p, col("l_partkey") == col("p_partkey"))
         .filter(pred)
         .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
     )

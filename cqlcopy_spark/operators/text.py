@@ -1555,10 +1555,14 @@ _BP_W = 3  # words per segment
 _BP_DF = 3  # strip segments appearing in >= this many distinct docs
 
 _BP_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+           FROM documents),
 c AS (
   SELECT doc_id,
-         list_transform(range(0, CAST(ceil(len(toks) / {_BP_W}.0) AS BIGINT)),
+         -- COALESCE/GREATEST mirror the Spark side's NULL-text guard:
+         -- a NULL/empty doc survives as exactly one '' chunk
+         list_transform(range(0, GREATEST(
+                          CAST(ceil(len(toks) / {_BP_W}.0) AS BIGINT), 1)),
                         g -> array_to_string(toks[{_BP_W}*g+1:{_BP_W}*g+{_BP_W}], ' '))
            AS chunks
   FROM t
@@ -1594,9 +1598,12 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: segments explode once; the df count is a two-phase
     exact-distinct aggregate ((chunk, doc) dedupe then chunk count, the
     CLAUDE.md two-phase form, map-side partial both times); the strip
-    is a BROADCAST HASH left join of the exploded segments against the
+    is a HASH left join of the exploded segments against the
     df-filtered boilerplate table (the df-distribution head — at sf0.1
-    ~17k entries, a few hundred KB); reassembly re-collects each doc's
+    ~17k entries, a few hundred KB, which AQE broadcasts at runtime;
+    the table grows with the corpus, so it carries NO explicit
+    broadcast hint — past the 8 GB ceiling the join degrades to a
+    shuffle instead of aborting); reassembly re-collects each doc's
     surviving segments ordered by position (one doc_id shuffle,
     doc-sized state). An earlier formulation pushed the boilerplate
     set back as ONE ARRAY and filtered per-chunk with array_contains —
@@ -1605,8 +1612,16 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes are O(1) and the same query now runs in ~2 s. The oracle is
     unchanged — both formulations compute the same relation."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(col("text"), " ")
-    nch = F.ceil(F.size(toks) / F.lit(_BP_W)).cast("long")
+    # NULL-text guard (r7 ADVICE item 1): posexplode of a NULL chunk
+    # array silently DROPS the doc while the oracle's CROSS JOIN keeps
+    # it — canonicalize NULL to '' on BOTH sides (oracle COALESCEs too)
+    # so such docs survive as one ''-chunk row. The GREATEST(…,1) floor
+    # guards the empty-token-array edge where sequence(0, -1) would
+    # infer step -1 and fabricate two descending chunks.
+    toks = F.split(F.coalesce(col("text"), F.lit("")), " ")
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_BP_W)).cast("long"), F.lit(1).cast("long")
+    )
     chunks = F.transform(
         F.sequence(F.lit(0).cast("long"), nch - F.lit(1)),
         lambda g: F.concat_ws(
@@ -1623,7 +1638,13 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = dfc.filter(col("df") >= _BP_DF).select(
         "chunk", F.lit(True).alias("_bl")
     )
-    marked = x.join(F.broadcast(bl), "chunk", "left")
+    # UNHINTED: the blacklist is every df-threshold window — it GROWS
+    # with the corpus (CCNet shards this step), and an explicit
+    # broadcast() hint has no size fallback at the 8 GB ceiling. The
+    # 60× win here came from hash-probing vs the array scan, not from
+    # the hint; AQE broadcasts the df-head while it fits and degrades
+    # to a shuffle join when it doesn't.
+    marked = x.join(bl, "chunk", "left")
     return (
         marked.groupBy("doc_id")
         .agg(

@@ -392,13 +392,42 @@ def test_boilerplate_strip_broadcast_hash_probe(spark):
     the exploded segments against the boilerplate table — O(1) probes.
     (The array_contains formulation this replaced scanned the whole
     17k-entry set per probe: 5.6e9 string compares ≈ 103 s at sf0.1.)
-    Exchanges budget: (chunk, doc) dedupe + chunk df count + doc_id
-    reassembly + presentation sort = 4; never a sort-merge join or
-    cartesian on the corpus side."""
+    The broadcast is STATS/AQE-chosen, not hinted (r7 VERDICT item 1):
+    the blacklist grows with the corpus, so an explicit hint would
+    abort at the 8 GB ceiling where the unhinted plan degrades to a
+    shuffle join. Exchanges budget: (chunk, doc) dedupe + chunk df
+    count + doc_id reassembly + presentation sort = 4; never a
+    sort-merge join or cartesian on the corpus side."""
+    import inspect
+
+    from cqlcopy_spark.operators.text import boilerplate_strip
+
+    assert "F.broadcast(" not in inspect.getsource(boilerplate_strip)
     p = plan_of(QUERIES["boilerplate_strip"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert shuffle_exchanges(p) <= 4, p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_scalar_subquery", "agg_promo_ratio", "filter_disjunctive"]
+)
+def test_dehinted_part_joins_still_broadcast(spark, name):
+    """r7 VERDICT item 1: the unconditional broadcast(part) hints are
+    gone — part scales linearly with SF (catalog.SF_SCALING_DIMS), and
+    an explicit hint is honored unconditionally, aborting at the 8 GB
+    broadcast ceiling at production SF. These pins prove deleting the
+    hints cost nothing at bench SF: Catalyst's parquet-size stats still
+    pick a broadcast hash join for the part side, and nothing
+    degenerates to a cartesian; past the ceiling the same plan flips to
+    a shuffle join instead of aborting."""
+    import inspect
+
+    src = inspect.getsource(QUERIES[name])
+    assert "broadcast(p" not in src, f"{name} re-grew a part hint"
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_runtime_bloom_filter_semi_join_reduction(spark):

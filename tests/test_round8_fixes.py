@@ -1,0 +1,125 @@
+"""Pins for the round-8 latent-defect closures (r7 VERDICT items 3a-c).
+
+Each test pins a divergence that the sf fixtures never exercise — NULL
+document text, hour keys beyond double's exact-integer range, concurrent
+block-fold plan builds — so the fix can't silently regress just because
+the driver's fixture data keeps passing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tests.oracle_harness import compare
+
+
+def test_boilerplate_strip_keeps_null_and_empty_docs(spark, tmp_path):
+    """r7 ADVICE item 1: a NULL-text doc must SURVIVE boilerplate_strip
+    as one ''-chunk row on BOTH engines. Pre-fix, posexplode of the
+    NULL chunk array silently dropped the doc while the oracle's CROSS
+    JOIN kept it (hash mismatch the fixtures never trip — they have no
+    NULL/empty text). Exercised on a synthetic corpus with NULL text,
+    empty text, sub-window docs, and enough repetition to strip."""
+    from cqlcopy_spark.operators.text import _BP_ORACLE, boilerplate_strip
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a"),                       # sub-window doc: one short chunk
+        (4, "x y z a"),                 # 'x y z' boilerplate + 'a' tail
+        (5, "x y z b"),
+        (6, "x y z c d e"),             # df('x y z') = 3 -> stripped
+        (7, "c d e unique tail words"),
+    ]
+    d = tmp_path / "corpus"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = boilerplate_strip(spark, str(d))
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = con.sql(_BP_ORACLE).df()
+    finally:
+        con.close()
+    assert compare(out, want) == []
+    got = {r["doc_id"]: r for r in out.collect()}
+    # NULL and empty docs both present, canonicalized to one '' chunk
+    for doc in (1, 2):
+        assert got[doc]["clean_text"] == "" and got[doc]["n_chunks"] == 1
+    assert got[6]["n_stripped"] == 1  # 'x y z' hit the df threshold
+    assert got[6]["clean_text"] == "c d e"
+
+
+def test_zorder_hour_key_exact_beyond_double_range(spark):
+    """r7 ADVICE item 2: layout_zorder_stats' hour key must be integer
+    DIV, not floor(epoch_us / 3.6e9) — double division rounds across
+    the hour boundary once epoch_us exceeds 2^53 (the oracle's // is
+    exact int64 at any magnitude). 9216003599999999 µs is the smallest
+    hour-boundary witness past 2^53: double division yields 2560001,
+    exact division 2560000."""
+    witness = 9216003599999999
+    row = (
+        spark.range(1)
+        .select(
+            F.lit(witness).alias("us"),
+        )
+        .select(
+            F.expr("us DIV 3600000000").alias("div_hour"),
+            F.floor(F.col("us") / F.lit(3_600_000_000)).alias("dbl_hour"),
+        )
+        .first()
+    )
+    assert row["div_hour"] == witness // 3_600_000_000 == 2560000
+    assert row["dbl_hour"] == 2560001  # the bug the operator no longer has
+    # and the operator source actually routes through DIV
+    import inspect
+
+    from cqlcopy_spark.operators.formats import layout_zorder_stats
+
+    src = inspect.getsource(layout_zorder_stats)
+    assert "DIV 3600000000" in src
+    assert "unix_micros(col(\"ts\").cast(\"timestamp\")) / " not in src
+
+
+def test_block_fold_agg_concurrent_plan_builds(spark):
+    """r7 ADVICE item 3: block_fold_agg names its temp view with a
+    per-call uuid, so CONCURRENT plan builds in the shared session
+    can't interleave one builder's createOrReplaceTempView with
+    another's spark.sql analysis (the module-global counter could).
+    Four threads build and execute folds simultaneously; every result
+    must equal the single-threaded answer, and no _bf_input_* view may
+    leak afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cqlcopy_spark.functions.portable import block_fold_agg
+
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            F.col("id").alias("k"),
+            (F.col("id") * 0.123).alias("v"),
+        )
+    )
+
+    def run(_):
+        out = block_fold_agg(df, ["g"], "k", {"s": F.col("v")})
+        return {r["g"]: (r["n"], r["s"]) for r in out.collect()}
+
+    single = run(0)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, range(4)))
+    for r in results:
+        assert r == single  # bitwise: same fold order regardless of races
+    leaked = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("_bf_input_")
+    ]
+    assert leaked == []
