@@ -154,6 +154,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     k = deg.withColumn("okey", F.format_string("%012d|%s", col("d"), col("node")))
+    # broadcast assumes a DOMAIN-level graph (|V| ≪ |E|, node table is
+    # KB-scale); a page-level variant (|V| ~ corpus size) must leave the
+    # order-key table unhinted so the join shuffles on node instead
     ka = F.broadcast(k.select(col("node").alias("a"), col("okey").alias("okey_a")))
     kb = F.broadcast(k.select(col("node").alias("b"), col("okey").alias("okey_b")))
     lo_first = col("okey_a") < col("okey_b")
@@ -277,6 +280,8 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     af = (
+        # domain-level-graph assumption: deg is node-sized (KB here);
+        # the page-level variant drops this hint and shuffles on node
         adj.join(F.broadcast(deg), "node")
         .filter(col("d") <= _LINK_PREDICT_CAP)
         .select("node", "nb")
@@ -290,6 +295,8 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
+    # same domain-level-graph assumption as above: degree lookups stay
+    # broadcast only while nodes ≪ edges; unhinted is the page-level form
     dx = F.broadcast(deg.select(col("node").alias("x"), col("d").alias("dx")))
     dy = F.broadcast(deg.select(col("node").alias("y"), col("d").alias("dy")))
     cand = (
@@ -376,3 +383,130 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             materialized = nxt
             pr = nxt
     return pr.orderBy(col("pr").desc(), "node")
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_verify — driver-red escape hatch for the rows-only PageRank
+# ---------------------------------------------------------------------------
+
+# graph_pagerank's driver check is rows-only (iterative float folds have
+# no stable SQL oracle), which r7's audit called out as the largest op
+# without a driver-visible failure mode. Pattern copied from
+# similarity_ann_verify (similarity.py): recompute the op's INVARIANTS
+# independently and emit one row per violation — the oracle is the empty
+# relation, so the driver's row-count + hash compare turns any violation
+# into a red verdict. The exact per-node values stay pinned to 1e-9
+# against the pure-Python reference in tests/test_graph_pagerank.py.
+
+_PR_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS node,
+       CAST(NULL AS DOUBLE) AS metric
+WHERE 1 = 0
+"""
+
+
+def _pagerank_violations(
+    spark: SparkSession, sf_dir: str, pr: DataFrame
+) -> DataFrame:
+    """Invariant violations of a claimed PageRank vector `pr(node, pr)`
+    over the sf_dir link graph; empty iff the claim is consistent.
+
+    Checked invariants (all with engine-robust slack):
+    - distribution: |sum(pr) - 1| <= n * 1e-9 (the graph has no dangling
+      nodes, so the iteration is exactly mass-preserving up to float
+      association order);
+    - teleport floor: pr >= (1-d)/n - 1e-12 for EVERY node, and the node
+      set is exactly the graph's (missing/extra nodes each emit a row);
+    - contraction residual: one MORE power-iteration step moves the
+      vector by at most ||pr_1 - pr_0||_1 * d^k in L1 (the Markov
+      operator is a d-contraction in L1), so after k=8 fixed iterations
+      ||step(pr) - pr||_1 <= 2 * 0.85^8 ~ 0.545; a corrupted vector
+      (permuted, rescaled, wrong damping) breaks this long before it
+      breaks positivity. Checked with slack 1e-9.
+    """
+    edges = link_edges(spark, sf_dir)
+    nodes = (
+        edges.select(col("src").alias("node"))
+        .unionByName(edges.select(col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # same single driver scalar graph_pagerank uses
+    base = 1.0 - _DAMPING
+    floor = base / n
+
+    pr = pr.persist()
+
+    # node-set parity: every graph node claimed exactly once
+    missing = nodes.join(pr, "node", "left_anti").select(
+        F.lit("missing_node").alias("kind"),
+        col("node"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    extra = pr.join(nodes, "node", "left_anti").select(
+        F.lit("extra_node").alias("kind"),
+        col("node"),
+        col("pr").alias("metric"),
+    )
+
+    below_floor = pr.filter(col("pr") < F.lit(floor - 1e-12)).select(
+        F.lit("below_teleport_floor").alias("kind"),
+        col("node"),
+        col("pr").alias("metric"),
+    )
+
+    total = pr.agg(F.sum("pr").alias("s"))
+    bad_sum = total.filter(
+        F.abs(col("s") - F.lit(1.0)) > F.lit(n * 1e-9)
+    ).select(
+        F.lit("mass_not_one").alias("kind"),
+        F.lit(None).cast("string").alias("node"),
+        col("s").alias("metric"),
+    )
+
+    # one extra power-iteration step, the same join shape as the op
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (col("weight") / col("out_w")).alias("t")
+    )
+    contrib = (
+        trans.join(pr, col("src") == col("node"))
+        .select("dst", (col("pr") * col("t")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("in_c"))
+    )
+    stepped = nodes.join(contrib, col("node") == col("dst"), "left").select(
+        "node",
+        (
+            F.lit(floor) + F.lit(_DAMPING) * F.coalesce(col("in_c"), F.lit(0.0))
+        ).alias("pr2"),
+    )
+    l1_bound = 2.0 * _DAMPING**_ITERATIONS + 1e-9
+    residual = stepped.join(pr, "node").agg(
+        F.sum(F.abs(col("pr2") - col("pr"))).alias("l1")
+    )
+    bad_residual = residual.filter(col("l1") > F.lit(l1_bound)).select(
+        F.lit("residual_exceeds_contraction_bound").alias("kind"),
+        F.lit(None).cast("string").alias("node"),
+        col("l1").alias("metric"),
+    )
+
+    return (
+        missing.unionByName(extra)
+        .unionByName(below_floor)
+        .unionByName(bad_sum)
+        .unionByName(bad_residual)
+        .orderBy("kind", "node")
+    )
+
+
+@register("graph_pagerank_verify", oracle=_PR_VERIFY_ORACLE)
+def graph_pagerank_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-runs graph_pagerank and emits its invariant violations
+    (expected EMPTY — see _pagerank_violations for the invariants and
+    the module comment for why this exists). Cost: one extra pass over
+    the node-sized rank table plus one edge join — the price of giving
+    the driver a red verdict on the otherwise rows-only op; the
+    planted-corruption liveness pin lives in
+    tests/test_graph_pagerank.py."""
+    return _pagerank_violations(spark, sf_dir, graph_pagerank(spark, sf_dir))

@@ -63,3 +63,56 @@ def test_pagerank_rank_spread(spark_result):
     otherwise the loop degenerated to the teleport floor."""
     got, _ = spark_result
     assert max(got.values()) > 1.3 * min(got.values())
+
+
+def test_pagerank_verify_empty_on_honest_ranks(spark):
+    """graph_pagerank_verify must emit ZERO violations for the real op
+    output (this is the relation the driver hash-compares against the
+    empty oracle)."""
+    out = all_queries()["graph_pagerank_verify"](spark, SF_SMALL)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["kind", "node", "metric"]
+
+
+@pytest.mark.parametrize(
+    "corrupt, expect_kind",
+    [
+        # scaling the whole vector breaks mass conservation
+        (lambda F, pr: pr.withColumn("pr", F.col("pr") * 1.5), "mass_not_one"),
+        # zeroing one node drops it under the teleport floor
+        (
+            lambda F, pr: pr.withColumn(
+                "pr",
+                F.when(F.col("node") == "src0", F.lit(0.0)).otherwise(F.col("pr")),
+            ),
+            "below_teleport_floor",
+        ),
+        # dropping a node breaks node-set parity
+        (lambda F, pr: pr.filter(F.col("node") != "src0"), "missing_node"),
+        # renaming a node to an off-graph id is an extra + a missing
+        (
+            lambda F, pr: pr.withColumn(
+                "node",
+                F.when(F.col("node") == "src0", F.lit("ghost")).otherwise(
+                    F.col("node")
+                ),
+            ),
+            "extra_node",
+        ),
+    ],
+)
+def test_pagerank_verify_liveness(spark, corrupt, expect_kind):
+    """Planted corruptions must turn the verify relation NON-empty with
+    the expected violation kind — proving the invariants can actually
+    fire (the same liveness discipline as similarity_ann_verify's)."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.operators.graph import (
+        _pagerank_violations,
+        graph_pagerank,
+    )
+
+    pr = graph_pagerank(spark, SF_SMALL)
+    out = _pagerank_violations(spark, SF_SMALL, corrupt(F, pr))
+    kinds = {r["kind"] for r in out.collect()}
+    assert expect_kind in kinds, kinds
