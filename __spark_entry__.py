@@ -89,11 +89,13 @@ _PRIORITY_UNCHECKED = (
     "multimodal_features",
 )
 
-# Queries whose standing verdict is known-stale and must re-verify THIS
-# round regardless of what the content-hash ledger says (r7 VERDICT items
-# 1-3: the three block-fold consumers whose r05 greens predate their
-# rewrite, plus the five ops edited this round whose re-green the verdict
-# explicitly demands). Pruned once their fresh verdicts land.
+# Queries whose standing verdict is known-stale and must re-verify
+# regardless of what the content-hash ledger says (r7 VERDICT items 1-3:
+# the three block-fold consumers whose r05 greens predate their rewrite,
+# plus the five ops edited in round 8 whose re-green the verdict
+# explicitly demands). Self-pruning: fronting deactivates per query once
+# it has a verdict from round >= _FORCE_FRONT_ROUND.
+_FORCE_FRONT_ROUND = 8
 _FORCE_FRONT = (
     "timeseries_trend",
     "winsorize_stats",
@@ -130,7 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> tuple:
         if name in status and not status[name][0]:
             return (0, 0, 0, name)
-        if name in _FORCE_FRONT:
+        if name in _FORCE_FRONT and (
+            name not in status or status[name][1] < _FORCE_FRONT_ROUND
+        ):
             return (1, 0, 0, name)
         if name not in status:
             major = 2 if name in _PRIORITY_UNCHECKED else 3

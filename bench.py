@@ -92,16 +92,37 @@ def main() -> None:
         # cache pressure of the whole registry
         spark.catalog.clearCache()
 
+    # Prior run's per-query map (newest BENCH_HISTORY row): queries that
+    # MOVED >1.4× against it get one extra re-measure rep below. The
+    # r06→r07 A/A run proved identical code swings ±34% run-to-run on
+    # this host, so a single-shot delta is not evidence — the extra rep
+    # kills mover-triage noise at ~no cost when nothing really moved.
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "BENCH_HISTORY.jsonl"), encoding="utf-8") as f:
+            lines = [ln for ln in f if ln.strip()]
+        if lines:
+            prior = json.loads(lines[-1]).get("queries", {}) or {}
+    except (OSError, json.JSONDecodeError):
+        pass
+
+    MOVER_RATIO = 1.4
+
+    def _is_mover(name: str, best: float) -> bool:
+        prev = prior.get(name)
+        if not prev or prev <= 0 or best <= 0:
+            return False
+        r = best / prev
+        return r > MOVER_RATIO or r < 1.0 / MOVER_RATIO
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best = float("inf")
-        # min-of-2, escalating to min-of-3 when the query is >1s: the
-        # host shows 3-4× run-to-run jitter (CLAUDE.md), and the >1s
-        # entries are exactly the ones regression triage reads — one
-        # extra rep there separates real plan regressions from noise
-        # at ~5% added bench wall.
+        # min-of-2, escalating to min-of-3 when the query is >1s (the
+        # entries regression triage reads) OR when it still registers
+        # as a >1.4× mover vs the previous recorded run.
         reps = 0
-        while reps < 2 or (reps < 3 and best > 1.0):
+        while reps < 2 or (reps < 3 and (best > 1.0 or _is_mover(name, best))):
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -314,6 +314,52 @@ def _with_minhash_sig(d: DataFrame) -> DataFrame:
     return hashed.select("doc_id", "hashes", sig.alias("sig"))
 
 
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) banded-LSH rows of a (doc_id, …, sig) frame:
+    the signature splits into _N_BANDS bands of _ROWS_PER_BAND hashes,
+    each rendered as one underscore-joined string key. THE banding
+    contract — shared by dedup_fuzzy_minhash and the streaming
+    incremental sink (streaming/sinks.continuous_minhash_dedup_sink),
+    whose persisted band tables must bucket identically to the batch
+    op or cross-batch candidates are silently missed. Band rows carry
+    ONLY (doc_id, band, key): shipping gram-hash arrays into all 8 band
+    rows × both join sides multiplied the bucket shuffle by ~16× the
+    array width (r5 fix) — arrays re-attach after candidate dedup."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda j: F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(col("sig"), j * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "key"),
+    )
+
+
+def _minhash_verify_pairs(cand: DataFrame, hashes: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs: re-attach both
+    sides' distinct gram-hash arrays and keep pairs at J ≥ threshold.
+    `cand` is (d1, d2) with d1/d2 in `hashes`(doc_id, hashes); shared by
+    the batch op and the streaming sink so the refine rule can't drift."""
+    verif = cand.join(
+        hashes.select(col("doc_id").alias("d1"), col("hashes").alias("g1")), "d1"
+    ).join(
+        hashes.select(col("doc_id").alias("d2"), col("hashes").alias("g2")), "d2"
+    )
+    common = F.size(F.array_intersect(col("g1"), col("g2")))
+    union = F.size(col("g1")) + F.size(col("g2")) - common
+    jac = common.cast("double") / union
+    return verif.select("d1", "d2", jac.alias("jaccard")).filter(
+        col("jaccard") >= _JACCARD_THRESHOLD
+    )
+
+
 @register("dedup_fuzzy_minhash", oracle=_NGRAM_ORACLE)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, the 100 TB path: signature is a
@@ -331,26 +377,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consume this; without it the 32-permutation signature chain (and
     # the gram kernel feeding it) replays per consumer.
     docs = _with_minhash_sig(d).persist()
-    # The banded rows carry ONLY (doc_id, band, key): shipping the full
-    # gram-hash array into all 8 band rows × both join sides multiplied
-    # the bucket shuffle by ~16× the array width — at 100 TB the shuffle
-    # was all duplicated arrays. The arrays re-attach AFTER candidate
-    # dedup, once per surviving pair side, from the persisted docs.
-    bands = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda j: F.concat_ws(
-                    "_",
-                    F.transform(
-                        F.slice(col("sig"), j * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band", "key"),
-    )
+    bands = _band_rows(docs)  # keys only; arrays re-attach post-dedup
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -363,18 +390,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])  # a pair may collide in several bands
     )
-    hashes = docs.select("doc_id", "hashes")
-    verif = cand.join(
-        hashes.select(col("doc_id").alias("d1"), col("hashes").alias("g1")), "d1"
-    ).join(
-        hashes.select(col("doc_id").alias("d2"), col("hashes").alias("g2")), "d2"
-    )
-    common = F.size(F.array_intersect(col("g1"), col("g2")))
-    union = F.size(col("g1")) + F.size(col("g2")) - common
-    jac = common.cast("double") / union
-    return verif.select("d1", "d2", jac.alias("jaccard")).filter(
-        col("jaccard") >= _JACCARD_THRESHOLD
-    )
+    return _minhash_verify_pairs(cand, docs.select("doc_id", "hashes"))
 
 
 # ---------------------------------------------------------------------------
@@ -831,4 +847,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long")).first()[0]
     return _ngram_jaccard_pairs(d, probe_min_doc_id=cut).select(
         col("d1").alias("new_doc"), col("d2").alias("dup_of"), "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_incremental — batch contract of the streaming LSH sink
+# ---------------------------------------------------------------------------
+
+
+@register("stream_minhash_incremental", oracle=_NGRAM_ORACLE)
+def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract of continuous_minhash_dedup_sink
+    (streaming/sinks.py): the corpus arrives as three doc_id-sliced
+    micro-batches, each probing the PERSISTED band/signature index of
+    everything before it via minhash_apply_batch — then the cumulative
+    per-batch pair reports, canonicalized, must equal the one-shot batch
+    LSH relation (same exact-Jaccard oracle as dedup_fuzzy_minhash;
+    slicing is invisible because banding is deterministic per doc and
+    every pair is emitted exactly once, by its later-arriving member).
+
+    The one driver-side scalar is the max-doc_id slice bound (same class
+    as dedup_incremental's cutoff). State lands in a per-call temp dir
+    kept alive until interpreter exit (the returned frame reads it
+    lazily); replay-idempotence and cross-run-guard semantics are pinned
+    in tests/test_streaming_minhash.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cqlcopy_spark.streaming.sinks import (
+        minhash_apply_batch,
+        read_minhash_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id")).first()[0]
+    state = tempfile.mkdtemp(prefix="minhash_stream_state_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
+    cuts = (mx // 3, 2 * (mx // 3))
+    slices = (
+        d.filter(col("doc_id") <= cuts[0]),
+        d.filter((col("doc_id") > cuts[0]) & (col("doc_id") <= cuts[1])),
+        d.filter(col("doc_id") > cuts[1]),
+    )
+    for batch_id, batch in enumerate(slices):
+        minhash_apply_batch(batch, batch_id, state)
+    return (
+        read_minhash_pairs(spark, state)
+        .select(
+            F.least("new_doc", "dup_of").alias("d1"),
+            F.greatest("new_doc", "dup_of").alias("d2"),
+            "jaccard",
+        )
+        .orderBy("d1", "d2")
     )

@@ -691,11 +691,12 @@ def join_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     defining constraint c_nationkey = s_nationkey links two DIFFERENT
     dimension branches of the star — it can't push into either scan and
     survives as a join filter. Physical shape at scale: the one big
-    shuffle is lineitem ⋈ orders on orderkey; supplier, nation, region
-    are hinted broadcasts (region's filter prunes nations first);
-    customer is UNHINTED — it scales linearly with SF and explicit
-    hints have no size fallback, so AQE broadcasts it while small and
-    flips that edge to a shuffle join beyond the threshold."""
+    shuffle is lineitem ⋈ orders on orderkey; nation and region are
+    hinted broadcasts (FIXED 25/5-row cardinality at any SF); customer
+    AND supplier are UNHINTED — both scale linearly with SF
+    (catalog.SF_SCALING_DIMS) and explicit hints have no size fallback,
+    so stats/AQE broadcast them while small and flip those edges to
+    shuffle joins beyond the threshold."""
     o = table(spark, sf_dir, "orders").filter(
         (col("o_orderdate") >= F.lit("1996-01-01"))
         & (col("o_orderdate") < F.lit("1997-01-01"))
@@ -710,7 +711,7 @@ def join_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, col("l_orderkey") == col("o_orderkey"))
         .join(c, col("o_custkey") == col("c_custkey"))
         .join(
-            broadcast(s),
+            s,
             (col("l_suppkey") == col("s_suppkey"))
             & (col("c_nationkey") == col("s_nationkey")),
         )
@@ -994,9 +995,10 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     business key is nullable.
 
     Plan note: eqNullSafe keys still hash-partition (NULL is one hash
-    bucket), so this stays a plain shuffled/broadcast hash join — here
-    the supplier side is broadcast. At scale a hot NULL bucket is a
-    skew key like any other: prefilter or salt it."""
+    bucket), so this stays a plain shuffled/broadcast hash join — the
+    supplier side is UNHINTED (it scales with SF; stats/AQE broadcast
+    it while small). At scale a hot NULL bucket is a skew key like any
+    other: prefilter or salt it."""
     c = table(spark, sf_dir, "customer").select(
         F.nullif(col("c_nationkey") % 7, F.lit(3)).alias("cseg"), "c_custkey"
     )
@@ -1004,7 +1006,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(col("s_nationkey") % 7, F.lit(3)).alias("sseg"), "s_suppkey"
     )
     return (
-        c.join(broadcast(s), c["cseg"].eqNullSafe(s["sseg"]))
+        c.join(s, c["cseg"].eqNullSafe(s["sseg"]))
         .groupBy(col("cseg").alias("seg"))
         .agg(
             F.count("*").alias("n_pairs"),

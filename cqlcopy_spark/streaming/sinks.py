@@ -654,3 +654,187 @@ def read_quantile_state(spark, state_dir: str, ps=(0.5, 0.9, 0.99)) -> DataFrame
         *picks,
         F.coalesce(F.max("err_bound"), F.lit(0)).alias("rank_err_bound"),
     )
+
+
+def _read_index_deltas(
+    spark, root: str, below_batch: int, schema: str
+) -> DataFrame:
+    """Union of the append-only index deltas delta=<b'> with b' <
+    below_batch (empty frame with `schema` when none exist). Reading
+    strictly BELOW the current batch id is what makes a replayed batch
+    re-derive from the same corpus state it saw the first time."""
+    import re
+
+    paths = []
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if (m := re.fullmatch(r"delta=(\d+)", d)) and int(m.group(1)) < below_batch:
+                paths.append(os.path.join(root, d))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def minhash_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """One micro-batch of the incremental MinHash-LSH dedup: the kernel
+    of continuous_minhash_dedup_sink, exposed for direct replay tests.
+
+    Per batch (all sizes ∝ batch, never ∝ corpus, except the corpus-
+    index scan that production replaces with a bucketed table probe):
+
+    1. signature + banded LSH rows for the arriving docs (the SAME
+       _band_rows / _with_minhash_sig contract as dedup_fuzzy_minhash —
+       a drifted banding would silently miss cross-batch candidates);
+    2. candidate pairs = new band rows ⋈ (prior-corpus ∪ batch) band
+       rows on (band, key). Each pair is emitted exactly ONCE, by the
+       LATER-arriving side: in-batch pairs keep the smaller doc_id on
+       the corpus side, and a corpus row only pairs with a new row
+       regardless of id order (a doc arriving after a larger-id corpus
+       doc still finds it);
+    3. exact-Jaccard refine over the persisted gram-hash arrays
+       (_minhash_verify_pairs — same refine rule as the batch op);
+    4. append-only state writes, all keyed by batch_id with overwrite
+       semantics so an at-least-once replay REWRITES rather than
+       duplicates: bands/delta=<b> + hashes/delta=<b> (the corpus
+       index: exactly what a production pipeline persists as a
+       bucketed-by-key band table and a doc-keyed signature table) and
+       pairs/delta=<b> (this batch's near-dup report — the streaming
+       twin of dedup_incremental's output).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.dedup import (
+        _band_rows,
+        _minhash_verify_pairs,
+        _with_minhash_sig,
+    )
+
+    spark = batch_df.sparkSession
+    docs = _with_minhash_sig(batch_df.select("doc_id", "text")).persist()
+    new_bands = _band_rows(docs).persist()
+    new_hashes = docs.select("doc_id", "hashes")
+
+    prev_bands = _read_index_deltas(
+        spark,
+        os.path.join(state_dir, "bands"),
+        batch_id,
+        "doc_id long, band int, key string",
+    )
+    prev_hashes = _read_index_deltas(
+        spark,
+        os.path.join(state_dir, "hashes"),
+        batch_id,
+        "doc_id long, hashes array<long>",
+    )
+
+    probe_side = new_bands.select(
+        col("doc_id").alias("b_id"), "band", "key"
+    )
+    index_side = (
+        prev_bands.withColumn("is_new", F.lit(False))
+        .unionByName(new_bands.withColumn("is_new", F.lit(True)))
+        .select(col("doc_id").alias("a_id"), "band", "key", "is_new")
+    )
+    cand = (
+        probe_side.join(index_side, ["band", "key"])
+        # corpus rows pair with ANY new doc; new-vs-new pairs once
+        # (smaller id plays the corpus role) — see step 2 above
+        .filter(
+            (col("a_id") != col("b_id"))
+            & ((col("a_id") < col("b_id")) | ~col("is_new"))
+        )
+        .select(col("b_id").alias("d1"), col("a_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])  # multi-band collisions
+    )
+    all_hashes = prev_hashes.unionByName(new_hashes)
+    pairs = _minhash_verify_pairs(cand, all_hashes).select(
+        col("d1").alias("new_doc"), col("d2").alias("dup_of"), "jaccard"
+    )
+
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "pairs", f"delta={batch_id}")
+    )
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "bands", f"delta={batch_id}")
+    )
+    new_hashes.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "hashes", f"delta={batch_id}")
+    )
+    new_bands.unpersist()
+    docs.unpersist()
+
+
+def continuous_minhash_dedup_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Streaming incremental MinHash-LSH near-dup detection — the
+    foreachBatch twin of dedup_incremental (operators/dedup.py) on the
+    continuous_cdc_sink state discipline: each arriving micro-batch of
+    (doc_id, text) probes the PERSISTED band index of everything that
+    arrived before it, reports its near-dup pairs, and appends its own
+    band/signature rows to the index.
+
+    State layout under state_dir (all append-only, batch_id-keyed,
+    overwrite-on-replay → exactly-once scoped to same-checkpoint
+    recovery, exactly like the other versioned sinks):
+
+      bands/delta=<b>   (doc_id, band, key)     — the LSH band index
+      hashes/delta=<b>  (doc_id, hashes)        — gram-hash arrays for
+                                                  the exact refine
+      pairs/delta=<b>   (new_doc, dup_of, jaccard) — per-batch report
+
+    Candidate volume per batch is Σ_key n_new(key)·n_all(key) — batch ×
+    bucket occupancy, never corpus² (the dedup_incremental asymmetry).
+    The delta layout is the production shape: the index is only ever
+    APPENDED (∝ batch per write); at cluster scale bands/ becomes a
+    table bucketed by (band, key) so the probe join co-locates without
+    a shuffle, and hashes/ a doc_id-bucketed table. The cross-run guard
+    (_run_guard) refuses a foreign checkpoint ('error') or wipes the
+    delta subdirs and recomputes ('restart') — merging index deltas
+    across checkpoint lineages double-counts because batch ids restart.
+
+    Docs with < 3 tokens carry no 3-gram, hence no signature: they
+    never enter the index or any pair — identical to the batch ops
+    (test_gram_builders_handle_short_docs).
+
+    Read the cumulative report with read_minhash_pairs()."""
+    import shutil
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(f"on_new_run must be 'error' or 'restart', got {on_new_run!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(
+            state_dir, qid, on_new_run, "continuous_minhash_dedup_sink"
+        )
+        if not same_run:
+            for sub in ("bands", "hashes", "pairs"):
+                shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+        os.makedirs(state_dir, exist_ok=True)
+        minhash_apply_batch(batch_df, batch_id, state_dir)
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_minhash_pairs(spark, state_dir: str) -> DataFrame:
+    """Cumulative near-dup report of a continuous_minhash_dedup_sink
+    state dir: the union of every batch's pairs delta. Pairs are
+    disjoint across deltas by construction (each pair is emitted only
+    by its later-arriving member's batch), so this is a plain union —
+    no dedup pass needed."""
+    return _read_index_deltas(
+        spark,
+        os.path.join(state_dir, "pairs"),
+        2**62,
+        "new_doc long, dup_of long, jaccard double",
+    )

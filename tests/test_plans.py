@@ -410,21 +410,29 @@ def test_boilerplate_strip_broadcast_hash_probe(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["agg_scalar_subquery", "agg_promo_ratio", "filter_disjunctive"]
+    "name, banned",
+    [
+        ("agg_scalar_subquery", "broadcast(p"),
+        ("agg_promo_ratio", "broadcast(p"),
+        ("filter_disjunctive", "broadcast(p"),
+        ("join_q5_local", "broadcast(s"),
+        ("join_null_safe", "broadcast(s"),
+    ],
 )
-def test_dehinted_part_joins_still_broadcast(spark, name):
-    """r7 VERDICT item 1: the unconditional broadcast(part) hints are
-    gone — part scales linearly with SF (catalog.SF_SCALING_DIMS), and
-    an explicit hint is honored unconditionally, aborting at the 8 GB
-    broadcast ceiling at production SF. These pins prove deleting the
-    hints cost nothing at bench SF: Catalyst's parquet-size stats still
-    pick a broadcast hash join for the part side, and nothing
+def test_dehinted_scaling_dim_joins_still_broadcast(spark, name, banned):
+    """r7 VERDICT item 1 (+ the round-8 sweep that caught two supplier
+    hints the audit missed): unconditional broadcast hints on
+    SF-SCALING tables (part, supplier — catalog.SF_SCALING_DIMS) are
+    gone; an explicit hint is honored unconditionally and aborts at the
+    8 GB broadcast ceiling at production SF. These pins prove deleting
+    the hints cost nothing at bench SF: Catalyst's parquet-size stats
+    still pick a broadcast hash join for the scaling side, and nothing
     degenerates to a cartesian; past the ceiling the same plan flips to
     a shuffle join instead of aborting."""
     import inspect
 
     src = inspect.getsource(QUERIES[name])
-    assert "broadcast(p" not in src, f"{name} re-grew a part hint"
+    assert banned not in src, f"{name} re-grew a scaling-dim hint"
     p = plan_of(QUERIES[name](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
