@@ -1756,3 +1756,105 @@ def approx_bounds_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("lo_rank") > target + tol) | (col("hi_rank") < target - tol)
     ).select("o_orderpriority", F.lit("median_rank_out_of_bounds").alias("kind"))
     return bad_distinct.unionByName(bad_pct).orderBy("o_orderpriority", "kind")
+
+
+# ---------------------------------------------------------------------------
+# sketch_distinct_verify — driver-red escape hatch for the HLL sketch op
+# ---------------------------------------------------------------------------
+
+# sketch_distinct_users is rows-only (DataSketches estimates have no
+# DuckDB twin); this companion turns its contracts into a driver-checkable
+# empty relation, the same pattern as approx_bounds_verify /
+# graph_pagerank_verify. The decisive invariant is MERGEABILITY: HLL
+# register updates are order-insensitive maxes, so union-of-per-type
+# sketches must estimate BITWISE identically to one whole-scan sketch —
+# any resharding bug breaks this exactly, no tolerance involved. The
+# accuracy invariants bound per-type and global estimates against exact
+# two-phase distinct counts at 5σ of the documented rsd.
+
+_HLL_RSD = 0.01625  # 1.04 / sqrt(2^12): default lgConfigK = 12
+_HLL_TOL = 5 * _HLL_RSD
+
+_SKETCH_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS DOUBLE) AS metric
+WHERE 1 = 0
+"""
+
+
+def _sketch_distinct_violations(
+    spark: SparkSession,
+    sf_dir: str,
+    tol: float = _HLL_TOL,
+    union_est_shift: float = 0.0,
+) -> DataFrame:
+    """Invariant violations of the HLL sketch pipeline (empty iff sound).
+    `tol` and `union_est_shift` exist for the liveness tests: a negative
+    tol makes every accuracy check fire, a nonzero shift breaks the
+    bitwise mergeability equality."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()  # feeds per-type estimates + the union row
+    )
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    union_est = per.agg(
+        (F.hll_sketch_estimate(F.hll_union_agg("sk")) + F.lit(union_est_shift))
+        .alias("u_est")
+    )
+    whole_est = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("w_est")
+    )
+    # exact distinct counts, two-phase (no Expand-plan countDistinct)
+    exact = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.lit(1).alias("_1"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ed"))
+    )
+    exact_all = (
+        e.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("ea"))
+    )
+
+    bad_type = (
+        per_est.join(exact, "event_type")
+        .filter(F.abs(col("est") - col("ed")) > F.lit(tol) * col("ed"))
+        .select(
+            F.lit("type_estimate_out_of_bounds").alias("kind"),
+            "event_type",
+            col("est").alias("metric"),
+        )
+    )
+    g = union_est.crossJoin(broadcast(whole_est)).crossJoin(broadcast(exact_all))
+    bad_merge = g.filter(~col("u_est").eqNullSafe(col("w_est"))).select(
+        F.lit("union_not_bitwise_equal_to_whole").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        col("u_est").alias("metric"),
+    )
+    bad_global = g.filter(
+        F.abs(col("u_est") - col("ea")) > F.lit(tol) * col("ea")
+    ).select(
+        F.lit("global_estimate_out_of_bounds").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        col("u_est").alias("metric"),
+    )
+    return (
+        bad_type.unionByName(bad_merge)
+        .unionByName(bad_global)
+        .orderBy("kind", "event_type")
+    )
+
+
+@register("sketch_distinct_verify", oracle=_SKETCH_VERIFY_ORACLE)
+def sketch_distinct_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-relation verification of sketch_distinct_users (see
+    _sketch_distinct_violations for the invariants): the driver's
+    row-count + hash compare flips red on any violation. Cost: one
+    extra events scan for the exact references — verification price,
+    same class as approx_bounds_verify."""
+    return _sketch_distinct_violations(spark, sf_dir)

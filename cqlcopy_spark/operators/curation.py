@@ -627,3 +627,109 @@ def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_verify — driver-red escape hatch for the rows-only BPE pair
+# ---------------------------------------------------------------------------
+
+# bpe_train_merges and bpe_segment_docs are rows-only (data-dependent
+# iteration has no SQL twin); their numeric contract is pinned against a
+# pure-Python reference in tests/test_curation.py. This companion lifts
+# the ITERATION-INDEPENDENT invariants into an empty-relation oracle so
+# the driver can go red without a reference implementation:
+#
+# - lossless fold: concatenating a word's final symbols reproduces the
+#   word exactly (the merge folds may only JOIN symbols, never drop or
+#   alter characters);
+# - symbol closure: every multi-character symbol is the product of one
+#   learned merge (single chars + the k merge outputs are the entire
+#   legal alphabet after k merges);
+# - greedy monotonicity: merge frequencies are non-increasing in rank —
+#   a new pair created by a merge occurs at most as often as the pair it
+#   contains, so no later pick can exceed an earlier one;
+# - rank integrity: ranks are exactly 1..k with positive frequencies.
+#
+# (Deliberately NOT checked: "no learned pair left adjacent" — sequential
+# BPE is non-idempotent: a later merge can create a symbol that an
+# EARLIER merge's pair mentions, legitimately leaving that pair adjacent.)
+
+_BPE_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS item,
+       CAST(NULL AS VARCHAR) AS detail
+WHERE 1 = 0
+"""
+
+
+def _bpe_violations(spark: SparkSession, merges, syms: DataFrame) -> DataFrame:
+    """Invariant violations of a claimed (merge list, symbol table) pair;
+    empty iff consistent. Factored from bpe_verify so the liveness tests
+    can feed planted corruptions (doctored ranks/frequencies, a lossy or
+    off-alphabet symbol table)."""
+    bad_rank = [
+        ("rank_integrity_violation", str(rank), f"{pair} freq={freq} at position {i}")
+        for i, (rank, pair, freq) in enumerate(merges)
+        if rank != i + 1 or freq <= 0
+    ]
+    bad_mono = [
+        ("freq_increased_with_rank", str(b[0]), f"{a[2]}->{b[2]}")
+        for a, b in zip(merges, merges[1:])
+        if b[2] > a[2]
+    ]
+    driver_df = spark.createDataFrame(
+        bad_rank + bad_mono, "kind string, item string, detail string"
+    )
+
+    products = [pair.replace(" ", "") for _, pair, _ in merges]
+    legal = (
+        F.array(*[F.lit(p) for p in products])
+        if products
+        else F.array().cast("array<string>")
+    )
+    # SINGLE pass over the folded symbol table: the 8-level merge-fold
+    # lineage is the expensive part, and materializing it once per
+    # violation branch OOMed the 1 GB default driver heap the grading
+    # harness runs with (two whole-stage-codegen copies of the fold
+    # chain). Both checks project off one scan; a word violating both
+    # emits two rows via the filtered-array explode.
+    illegal = F.filter(
+        col("syms"),
+        lambda s: (F.length(s) > 1) & ~F.array_contains(legal, s),
+    )
+    viol = F.filter(
+        F.array(
+            F.when(
+                F.concat_ws("", col("syms")) != col("token"),
+                F.struct(
+                    F.lit("fold_not_lossless").alias("kind"),
+                    F.concat_ws("|", col("syms")).alias("detail"),
+                ),
+            ),
+            F.when(
+                F.size(illegal) > 0,
+                F.struct(
+                    F.lit("symbol_outside_merge_closure").alias("kind"),
+                    F.concat_ws("|", illegal).alias("detail"),
+                ),
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    bad_table = (
+        syms.select(col("token").alias("item"), F.explode(viol).alias("v"))
+        .select(col("v.kind").alias("kind"), "item", col("v.detail").alias("detail"))
+    )
+    return driver_df.unionByName(bad_table).orderBy("kind", "item")
+
+
+@register("bpe_verify", oracle=_BPE_VERIFY_ORACLE)
+def bpe_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant violations of the BPE trainer/segmenter (expected
+    EMPTY — see the module comment above for the invariant list). The
+    vocabulary-table checks run distributed over the same lazily-folded
+    symbol table the segmenter consumes; the merge-list checks ride the
+    driver-local 8-row merge list. Cost: one word-count scan + the fold
+    chain — the price of a driver-red channel for the rows-only pair."""
+    words = _bpe_word_counts(spark, sf_dir).persist()
+    merges, syms = _bpe_learn(words)
+    return _bpe_violations(spark, merges, syms)

@@ -161,3 +161,64 @@ def test_hll_union_is_exact_and_estimate_bounded(spark):
     assert rows["ALL"] == direct  # union-of-parts == sketch-of-whole
     exact = e.select("user_id").distinct().count()
     assert abs(rows["ALL"] - exact) / exact < 0.05
+
+
+def test_sketch_distinct_verify_empty_and_liveness(spark):
+    """The driver-checkable HLL verification relation must be EMPTY on
+    the honest pipeline, and each invariant must be able to fire: a
+    negative tolerance trips both accuracy checks, a shifted union
+    estimate trips the bitwise mergeability equality."""
+    from cqlcopy_spark.operators.analytics import _sketch_distinct_violations
+
+    out = QUERIES["sketch_distinct_verify"](spark, SF_SMALL)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["kind", "event_type", "metric"]
+
+    kinds = {
+        r["kind"]
+        for r in _sketch_distinct_violations(spark, SF_SMALL, tol=-1.0).collect()
+    }
+    assert {"type_estimate_out_of_bounds", "global_estimate_out_of_bounds"} <= kinds
+    kinds = {
+        r["kind"]
+        for r in _sketch_distinct_violations(
+            spark, SF_SMALL, union_est_shift=7.0
+        ).collect()
+    }
+    assert "union_not_bitwise_equal_to_whole" in kinds
+
+
+def test_bpe_verify_empty_and_liveness(spark):
+    """bpe_verify must be EMPTY on the honest trainer output, and every
+    invariant must be able to fire on a planted corruption."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.operators.curation import (
+        _bpe_learn,
+        _bpe_violations,
+        _bpe_word_counts,
+    )
+
+    out = QUERIES["bpe_verify"](spark, SF_SMALL)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["kind", "item", "detail"]
+
+    words = _bpe_word_counts(spark, SF_SMALL).persist()
+    merges, syms = _bpe_learn(words)
+
+    def kinds(m, s):
+        return {r["kind"] for r in _bpe_violations(spark, m, s).collect()}
+
+    # rank gap + nonpositive freq
+    doctored = [(r + 1 if i == 2 else r, p, f) for i, (r, p, f) in enumerate(merges)]
+    assert "rank_integrity_violation" in kinds(doctored, syms)
+    # frequency increasing with rank
+    doctored = list(merges)
+    doctored[-1] = (doctored[-1][0], doctored[-1][1], doctored[0][2] + 10)
+    assert "freq_increased_with_rank" in kinds(doctored, syms)
+    # lossy fold: drop every word's first symbol
+    lossy = syms.withColumn("syms", F.slice(F.col("syms"), 2, 10_000))
+    assert "fold_not_lossless" in kinds(merges, lossy)
+    # off-alphabet symbol: replace the symbol array wholesale
+    alien = syms.withColumn("syms", F.array(F.col("token"), F.lit("zz")))
+    assert "symbol_outside_merge_closure" in kinds(merges, alien)
