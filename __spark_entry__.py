@@ -44,17 +44,11 @@ def _checked_status() -> dict[str, tuple[bool, int]]:
     """
     import json
 
-    from cqlcopy_spark.plans.rotation import is_green
+    # NUMERIC round ordering (r100 after r11) comes from rotation.py's
+    # shared _round_no so the two readers can't drift on file naming
+    from cqlcopy_spark.plans.rotation import _round_no, is_green
 
     status: dict[str, tuple[bool, int]] = {}
-
-    def _round_no(path: Path) -> int:
-        # NUMERIC ordering: lexicographic sort puts r100 before r11, so
-        # a stale early-round green could override a late-round failure
-        import re as _re
-
-        m = _re.search(r"r(\d+)", path.stem)
-        return int(m.group(1)) if m else -1
 
     for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json"), key=_round_no):
         # a malformed round file (valid JSON but not dict-of-dicts, a
@@ -129,6 +123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     status = _checked_status()
     ledger = load_ledger(_REPO)
 
+    # ~180 queries map to ~15 modules: hash each module FILE once per
+    # call, not once per query (module_sha reads + digests the file)
+    _sha_cache: dict[str, str] = {}
+
+    def _cached_sha(fn) -> str:
+        mod = getattr(fn, "__module__", "") or ""
+        if mod not in _sha_cache:
+            _sha_cache[mod] = module_sha(fn)
+        return _sha_cache[mod]
+
     def rank(name: str) -> tuple:
         if name in status and not status[name][0]:
             return (0, 0, 0, name)
@@ -142,7 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, last_round = status[name]
         led = ledger.get(name, {})
         led_sha = led.get("module_sha", "")
-        cur_sha = module_sha(qs[name])
+        cur_sha = _cached_sha(qs[name])
         # fronted only on a POSITIVE content mismatch: both shas known
         # and different. No ledger row (pre-ledger verdict) or an
         # unresolvable module falls back to the freshness sweep.

@@ -97,12 +97,19 @@ def main() -> None:
     # r06→r07 A/A run proved identical code swings ±34% run-to-run on
     # this host, so a single-shot delta is not evidence — the extra rep
     # kills mover-triage noise at ~no cost when nothing really moved.
+    # Only a history row from the SAME (sf, cpus) configuration is a
+    # valid mover baseline: after e.g. a one-off sf0.001 smoke run,
+    # comparing the next sf0.1 run against it would flag ~every query
+    # as a mover. Walk back to the newest matching row.
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(_REPO, "BENCH_HISTORY.jsonl"), encoding="utf-8") as f:
             lines = [ln for ln in f if ln.strip()]
-        if lines:
-            prior = json.loads(lines[-1]).get("queries", {}) or {}
+        for ln in reversed(lines):
+            row = json.loads(ln)
+            if row.get("sf") == _sf_from_dir(SF_DIR) and row.get("cpus") == CPUS:
+                prior = row.get("queries", {}) or {}
+                break
     except (OSError, json.JSONDecodeError):
         pass
 

@@ -424,7 +424,10 @@ def _pagerank_violations(
       (permuted, rescaled, wrong damping) breaks this long before it
       breaks positivity. Checked with slack 1e-9.
     """
-    edges = link_edges(spark, sf_dir)
+    # persist: FOUR consumers (nodes.distinct, the missing-node
+    # anti-join, out_w, and the trans self-join) — unpersisted, each
+    # re-runs the documents scan + edge groupBy (CLAUDE.md self-join rule)
+    edges = link_edges(spark, sf_dir).persist()
     nodes = (
         edges.select(col("src").alias("node"))
         .unionByName(edges.select(col("dst").alias("node")))

@@ -49,6 +49,10 @@ def module_sha(fn) -> str:
         return ""
 
 
+#: reserved ledger key holding bookkeeping (not a query row)
+META_KEY = "_meta"
+
+
 def load_ledger(repo: str | Path) -> dict[str, dict]:
     p = Path(repo) / LEDGER_NAME
     try:
@@ -76,40 +80,57 @@ def is_green(row: dict) -> bool:
 
 
 def update_ledger(repo: str | Path) -> dict[str, dict]:
-    """Merge the newest CORRECTNESS_r*.json into rotation_ledger.json.
+    """Merge unprocessed CORRECTNESS_r*.json round files into
+    rotation_ledger.json.
 
-    For every query the newest round file covers, record the CURRENT
-    module sha — correct only when invoked at round start (see module
-    doc).  Greens get/refresh a row; a failed verdict removes the row
-    (the failure rank, not the changed rank, must own that query until
-    it re-greens).  Other rounds' rows are left untouched.
+    IDEMPOTENT AND MISTIMING-SAFE: the ledger records the last round it
+    processed (_meta.last_round); rounds at or below it are skipped, so
+    a second invocation in the same round is a no-op — a mid-round
+    re-run after editing modules can no longer overwrite a verdict's
+    sha with post-edit content (which would silently suppress the
+    changed-since-check fronting for a stale green).
+
+    For the NEWEST unprocessed round, greens record the CURRENT module
+    sha — correct only when invoked at round start (see module doc).
+    For any SKIPPED intermediate rounds (ritual missed a round): their
+    module states are gone, so greens keep whatever sha the ledger
+    already holds (conservative — at worst an unnecessary re-front) and
+    their FAILED verdicts still remove rows, which is round-independent
+    and must not be lost.
     """
     from cqlcopy_spark.plans.registry import all_queries
 
     repo = Path(repo)
-    rounds = sorted(repo.glob("CORRECTNESS_r*.json"), key=_round_no)
+    ledger = load_ledger(repo)
+    done = int(ledger.get(META_KEY, {}).get("last_round", -1))
+    rounds = [
+        p
+        for p in sorted(repo.glob("CORRECTNESS_r*.json"), key=_round_no)
+        if _round_no(p) > done
+    ]
     if not rounds:
-        return load_ledger(repo)
-    newest = rounds[-1]
-    try:
-        data = json.loads(newest.read_text())
-    except Exception:
-        return load_ledger(repo)
-    if not isinstance(data, dict):
-        return load_ledger(repo)
+        return ledger
 
     qs = all_queries()
-    ledger = load_ledger(repo)
-    rnd = _round_no(newest)
-    for name, row in data.items():
-        if not isinstance(row, dict) or name not in qs:
+    for p in rounds:
+        try:
+            data = json.loads(p.read_text())
+        except Exception:
             continue
-        if is_green(row):
-            sha = module_sha(qs[name])
-            if sha:
-                ledger[name] = {"round": rnd, "module_sha": sha}
-        else:
-            ledger.pop(name, None)
+        if not isinstance(data, dict):
+            continue
+        rnd = _round_no(p)
+        newest = p is rounds[-1]
+        for name, row in data.items():
+            if not isinstance(row, dict) or name not in qs:
+                continue
+            if not is_green(row):
+                ledger.pop(name, None)
+            elif newest:
+                sha = module_sha(qs[name])
+                if sha:
+                    ledger[name] = {"round": rnd, "module_sha": sha}
+    ledger[META_KEY] = {"last_round": _round_no(rounds[-1])}
     (repo / LEDGER_NAME).write_text(
         json.dumps(ledger, indent=0, sort_keys=True) + "\n"
     )

@@ -713,10 +713,6 @@ def minhash_apply_batch(
     )
 
     spark = batch_df.sparkSession
-    docs = _with_minhash_sig(batch_df.select("doc_id", "text")).persist()
-    new_bands = _band_rows(docs).persist()
-    new_hashes = docs.select("doc_id", "hashes")
-
     prev_bands = _read_index_deltas(
         spark,
         os.path.join(state_dir, "bands"),
@@ -729,6 +725,23 @@ def minhash_apply_batch(
         batch_id,
         "doc_id long, hashes array<long>",
     )
+    # FIRST-DELIVERY-WINS doc_id contract: the cumulative pair report's
+    # "disjoint across deltas, plain union" property (read_minhash_pairs)
+    # and the single-row-per-doc hashes index both presume a doc_id is
+    # indexed exactly once. A source that re-emits a doc (CDC update,
+    # upstream reprocessing outside checkpoint replay) would otherwise
+    # duplicate pairs and fan out every verify join touching that id —
+    # so re-deliveries are dropped here: dedup within the batch, then a
+    # keys-only anti-join against the prior index. Revising a document's
+    # text is a DELETE+INSERT under a fresh id in this model.
+    fresh = (
+        batch_df.select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+        .join(prev_hashes.select("doc_id"), "doc_id", "left_anti")
+    )
+    docs = _with_minhash_sig(fresh).persist()
+    new_bands = _band_rows(docs).persist()
+    new_hashes = docs.select("doc_id", "hashes")
 
     probe_side = new_bands.select(
         col("doc_id").alias("b_id"), "band", "key"

@@ -435,6 +435,10 @@ def test_dehinted_scaling_dim_joins_still_broadcast(spark, name, banned):
     assert banned not in src, f"{name} re-grew a scaling-dim hint"
     p = plan_of(QUERIES[name](spark, SF_SMALL))
     assert "BroadcastHashJoin" in p, p
+    # SortMergeJoin banned too: 'some BHJ exists' alone is satisfiable
+    # by a hinted nation/region or 1-row-agg join while the dehinted
+    # fact-side join silently degrades to a shuffle+sort
+    assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
 

@@ -123,3 +123,84 @@ def test_block_fold_agg_concurrent_plan_builds(spark):
         v.name for v in spark.catalog.listTables() if v.name.startswith("_bf_input_")
     ]
     assert leaked == []
+
+
+def test_rotation_ledger_update_is_idempotent_and_mistiming_safe(tmp_path):
+    """update_ledger must be a NO-OP on rounds it already processed (a
+    mid-round re-run after editing modules would otherwise overwrite a
+    verdict's sha with post-edit content, suppressing the fronting), and
+    FAILED verdicts in a skipped intermediate round must still remove
+    ledger rows when a later round is processed."""
+    import json
+
+    from cqlcopy_spark.plans.registry import all_queries
+    from cqlcopy_spark.plans.rotation import (
+        META_KEY,
+        load_ledger,
+        module_sha,
+        update_ledger,
+    )
+
+    names = sorted(all_queries())
+    a, b = names[0], names[1]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({a: ok, b: ok}))
+    led = update_ledger(tmp_path)
+    assert led[a]["round"] == 1 and led[META_KEY]["last_round"] == 1
+    true_sha = module_sha(all_queries()[a])
+    assert led[a]["module_sha"] == true_sha
+
+    # simulate the mid-round hazard: doctor the stored sha (stands in
+    # for 'module edited after the driver checked'), re-run — the
+    # already-processed round must NOT be re-hashed
+    led[a]["module_sha"] = "0" * 64
+    (tmp_path / "rotation_ledger.json").write_text(json.dumps(led))
+    led2 = update_ledger(tmp_path)
+    assert led2[a]["module_sha"] == "0" * 64  # untouched: round 1 done
+
+    # r02 fails `a` but the ritual is skipped; r03 greens `b` only.
+    # Processing r03 must still REMOVE a's row (failure is round-
+    # independent) while b gets a fresh sha from the newest round.
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({a: bad}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({b: ok}))
+    led3 = update_ledger(tmp_path)
+    assert a not in led3
+    assert led3[b]["round"] == 3 and led3[META_KEY]["last_round"] == 3
+    assert load_ledger(tmp_path)[META_KEY]["last_round"] == 3
+
+
+def test_minhash_sink_drops_redelivered_doc_ids(spark, tmp_path):
+    """First-delivery-wins: a doc_id re-emitted in a later micro-batch
+    (or twice within one batch) must not re-enter the index or
+    duplicate pairs — the cumulative report stays a disjoint union."""
+    import os
+
+    from cqlcopy_spark.streaming.sinks import (
+        minhash_apply_batch,
+        read_minhash_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    dup = " ".join(f"w{i}" for i in range(29)) + " zz"
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, base), (7, dup), (7, dup)], "doc_id long, text string"
+    )  # in-batch duplicate row for 7
+    minhash_apply_batch(b0, 0, state)
+    # batch 1 re-delivers 7 with REVISED text plus a genuinely new dup
+    b1 = spark.createDataFrame(
+        [(7, "completely different revised text here now"), (9, base)],
+        "doc_id long, text string",
+    )
+    minhash_apply_batch(b1, 1, state)
+
+    hashes = spark.read.parquet(os.path.join(state, "hashes"))
+    assert hashes.filter("doc_id = 7").count() == 1  # first delivery only
+    pairs = [
+        (r["new_doc"], r["dup_of"], round(r["jaccard"], 3))
+        for r in read_minhash_pairs(spark, state).collect()
+    ]
+    assert sorted(p[:2] for p in pairs) == [(7, 1), (9, 1), (9, 7)]
+    assert len(pairs) == len(set(pairs))
