@@ -820,3 +820,145 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_verify — driver-red escape hatch for the perceptual trio
+# ---------------------------------------------------------------------------
+
+# The trio (phash_dedup / audio_fingerprint / scene_cuts) is rows-only:
+# pixel/PCM decode is Python-only, so DuckDB can't re-run the kernels.
+# But the STAGED corpus has a closed-form ground truth that never touches
+# the kernels: _synth_bmp/_synth_wav group as doc_id DIV 4 (4 sub-
+# threshold retouches per base pattern), and _synth_clip plants its cuts
+# at {7 + (d*5) % 9, 15 + (d*3) % 7}. Deriving the expected output from
+# THAT arithmetic and emitting only deviations turns any regression in
+# the decoders, hashes, thresholds, or grouping plans into non-empty
+# output — and the oracle is the empty relation, so the driver's
+# row-count/hash compare goes red (the similarity_ann_verify pattern).
+
+_MM_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS algo, CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS BIGINT) AS anchor, CAST(NULL AS VARCHAR) AS detail
+WHERE 1 = 0
+"""
+
+
+def _planted_group_violations(
+    got: DataFrame, docs: DataFrame, algo: str
+) -> DataFrame:
+    """Deviations of a perceptual-dedup group report `got(first_doc, n)`
+    from the planted doc_id DIV 4 structure of the staged corpus.
+
+    The expected side is pure id arithmetic over `docs(doc_id)` (which
+    docs < _PHASH_DOCS exist, grouped by base, groups of >= 2) — fully
+    independent of the hash kernels. A cross-base hash collision would
+    surface as missing_group + size_mismatch, which is exactly right:
+    the staged patterns are deterministic, so distinctness is a fixture
+    property, not a probabilistic one (pinned in test_multimodal_stages).
+    """
+    exp = (
+        docs.filter(col("doc_id") < _PHASH_DOCS)
+        .groupBy(F.expr("doc_id DIV 4").alias("base"))
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("m"))
+        .filter(col("m") >= 2)
+        .select("first_doc", "m")
+    )
+    j = got.join(exp, "first_doc", "full_outer")
+    return j.filter(
+        col("n").isNull() | col("m").isNull() | (col("n") != col("m"))
+    ).select(
+        F.lit(algo).alias("algo"),
+        F.when(col("n").isNull(), F.lit("missing_group"))
+        .when(col("m").isNull(), F.lit("extra_group"))
+        .otherwise(F.lit("size_mismatch"))
+        .alias("kind"),
+        col("first_doc").cast("long").alias("anchor"),
+        F.concat_ws(
+            "!=", col("n").cast("string"), col("m").cast("string")
+        ).alias("detail"),
+    )
+
+
+def _planted_scene_violations(got: DataFrame, docs: DataFrame) -> DataFrame:
+    """Deviations of a scene-cut report `got(doc_id, n_frames, n_scenes,
+    cut_frames)` from the planted boundaries: cuts live at
+    7 + (d*5) % 9 in [7,15] and 15 + (d*3) % 7 in [15,21] (equal only
+    when both hit 15), always interior to the _SCENE_FRAMES window —
+    the same arithmetic _synth_clip plants, re-derived here relationally
+    so the detection kernel is never consulted. doc_id >= 0 keeps `%`
+    engine-portable (CLAUDE.md pmod rule is for signed operands)."""
+    exp = (
+        docs.filter(col("doc_id") < _PHASH_DOCS)
+        .select(
+            "doc_id",
+            (F.lit(7) + (col("doc_id") * 5) % 9).alias("c1"),
+            (F.lit(15) + (col("doc_id") * 3) % 7).alias("c2"),
+        )
+        .select(
+            "doc_id",
+            F.when(col("c1") == col("c2"), col("c1").cast("string"))
+            .otherwise(F.concat_ws("-", col("c1"), col("c2")))
+            .alias("exp_cuts"),
+            F.when(col("c1") == col("c2"), F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("exp_scenes"),
+        )
+    )
+    j = got.join(exp, "doc_id", "full_outer")
+    bad = (
+        col("exp_cuts").isNull()
+        | col("cut_frames").isNull()
+        | (col("n_frames") != F.lit(_SCENE_FRAMES))
+        | (col("n_scenes") != col("exp_scenes"))
+        | (col("cut_frames") != col("exp_cuts"))
+    )
+    return j.filter(bad).select(
+        F.lit("scene").alias("algo"),
+        F.when(col("cut_frames").isNull(), F.lit("missing_doc"))
+        .when(col("exp_cuts").isNull(), F.lit("extra_doc"))
+        .otherwise(F.lit("cut_mismatch"))
+        .alias("kind"),
+        col("doc_id").cast("long").alias("anchor"),
+        F.concat_ws(
+            "!=", col("cut_frames"), col("exp_cuts")
+        ).alias("detail"),
+    )
+
+
+@register("multimodal_verify", oracle=_MM_VERIFY_ORACLE)
+def multimodal_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariants for the perceptual trio: re-runs
+    multimodal_phash_dedup, multimodal_audio_fingerprint, and
+    multimodal_scene_cuts, then emits one row per deviation from the
+    staged corpus's closed-form ground truth (see module comment above).
+    Expected output: EMPTY; oracle: the empty relation — the driver
+    turns any violation into a red verdict. Planted-corruption liveness
+    is pinned in tests/test_multimodal_stages.py.
+
+    Scale shape: the expected side is one groupBy / projection over doc
+    ids; each violation join is keyed on an 8-byte id against the trio's
+    already-small group/report outputs. Cost ≈ one extra run of the trio
+    (~1s at bench SF) — the price of verification, run at bench SF, not
+    production."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    img = _planted_group_violations(
+        multimodal_phash_dedup(spark, sf_dir).select(
+            "first_doc", col("n_images").cast("long").alias("n")
+        ),
+        docs,
+        "phash",
+    )
+    aud = _planted_group_violations(
+        multimodal_audio_fingerprint(spark, sf_dir).select(
+            "first_doc", col("n_clips").cast("long").alias("n")
+        ),
+        docs,
+        "audio",
+    )
+    vid = _planted_scene_violations(
+        multimodal_scene_cuts(spark, sf_dir), docs
+    )
+    return (
+        img.unionByName(aud).unionByName(vid).orderBy("algo", "kind", "anchor")
+    )

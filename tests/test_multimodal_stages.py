@@ -301,3 +301,85 @@ def test_scene_cuts_find_exactly_the_planted_boundaries(spark):
         assert got == expected, (d, got, expected)
         assert r["n_scenes"] == len(expected) + 1
         assert r["n_frames"] == _SCENE_FRAMES
+
+
+def test_multimodal_verify_empty_on_fixture(spark):
+    """multimodal_verify: zero violations on the staged corpus at both
+    small SFs — the closed-form ground truth (doc_id DIV 4 groups,
+    arithmetic cut positions) matches what the kernels detect."""
+    from cqlcopy_spark.plans.registry import all_queries
+
+    q = all_queries()["multimodal_verify"]
+    assert q(spark, SF_SMALL).count() == 0
+    assert q(spark, "/root/testdata/sf0.01").count() == 0
+
+
+def test_multimodal_verify_liveness_group_corruptions(spark):
+    """Planted corruption must surface: a doctored group report with a
+    wrong size, a missing base, and an invented group yields exactly
+    those three violation kinds."""
+    from pyspark.sql.functions import col as _c
+
+    from cqlcopy_spark.operators.multimodal import _planted_group_violations
+
+    docs = spark.range(12).select(_c("id").alias("doc_id"))  # bases 0,4,8
+    got = spark.createDataFrame(
+        [(0, 4), (4, 3), (100, 2)], "first_doc long, n long"
+    )  # base 0 OK; base 4 wrong size; base 8 missing; 100 invented
+    rows = {
+        (r["kind"], r["anchor"]): r["detail"]
+        for r in _planted_group_violations(got, docs, "phash").collect()
+    }
+    assert rows == {
+        ("size_mismatch", 4): "3!=4",
+        ("missing_group", 8): "4",
+        ("extra_group", 100): "2",
+    }
+
+
+def test_multimodal_verify_liveness_scene_corruptions(spark):
+    """A shifted cut, a wrong scene count, a dropped doc, and an extra
+    doc in a doctored scene report each yield a violation row."""
+    from pyspark.sql.functions import col as _c
+
+    from cqlcopy_spark.operators.multimodal import (
+        _SCENE_FRAMES,
+        _planted_scene_violations,
+    )
+
+    docs = spark.range(3).select(_c("id").alias("doc_id"))
+
+    def truth(d):
+        cuts = sorted({7 + (d * 5) % 9, 15 + (d * 3) % 7})
+        return (
+            d,
+            _SCENE_FRAMES,
+            len(cuts) + 1,
+            "-".join(str(c) for c in cuts),
+        )
+
+    good = [truth(d) for d in range(3)]
+    schema = "doc_id long, n_frames int, n_scenes int, cut_frames string"
+    assert (
+        _planted_scene_violations(spark.createDataFrame(good, schema), docs).count()
+        == 0
+    )
+    d0, d1, _ = good
+    doctored = [
+        (d0[0], d0[1], d0[2], "1-2"),  # shifted cuts
+        (d1[0], d1[1], d1[2] + 1, d1[3]),  # wrong scene count
+        # doc 2 dropped entirely
+        (99, _SCENE_FRAMES, 2, "7"),  # invented doc
+    ]
+    kinds = {
+        (r["kind"], r["anchor"])
+        for r in _planted_scene_violations(
+            spark.createDataFrame(doctored, schema), docs
+        ).collect()
+    }
+    assert kinds == {
+        ("cut_mismatch", 0),
+        ("cut_mismatch", 1),
+        ("missing_doc", 2),
+        ("extra_doc", 99),
+    }
