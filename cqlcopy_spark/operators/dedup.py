@@ -851,6 +851,117 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_spans — C4-style global span dedup (first occurrence wins)
+# ---------------------------------------------------------------------------
+
+# The C4 pipeline's other dedup axis: not whole-document near-dup but
+# REPEATED SPANS — any occurrence of a span already seen anywhere in the
+# corpus (by global (doc_id, position) order) is cut out of the document,
+# and the remainder is stitched back together. The fixture's texts are
+# single-space word soup, so the span unit here is the non-overlapping
+# 3-word block (the C4 unit is a three-sentence span; the mechanics —
+# explode, global first-occurrence argmin, excise, reassemble — are
+# identical and that's what this operator exercises).
+
+_SPANS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+b AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS bidx,
+         array_to_string(ws[3*i+1 : 3*i+3], ' ') AS block
+  FROM w, UNNEST(range((len(ws) + 2) // 3)) AS t(i)
+),
+r AS (
+  SELECT doc_id, bidx, block,
+         ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, bidx) AS rn
+  FROM b
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY bidx),
+                '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY doc_id
+"""
+
+
+def _span_dedup(d: DataFrame) -> DataFrame:
+    """First-occurrence-wins span dedup over a documents frame
+    (doc_id, text): split into non-overlapping 3-word blocks, keep only
+    the globally FIRST occurrence of each distinct block (lexicographic
+    (doc_id, block_idx) order — deterministic, unlike dropDuplicates),
+    and reassemble each document from its surviving blocks in order.
+
+    Empty/NULL texts are filtered up front on BOTH engines: Spark's
+    sequence(0, n-1) runs descending for n = 0 (CLAUDE.md trap) and the
+    empty doc carries no spans anyway.
+
+    First-occurrence resolution is argmin-via-groupBy + join, NOT a
+    row_number window over the block: the hash aggregate partial-
+    combines map-side (a boilerplate span repeated millions of times
+    collapses to one row per map task before it ever shuffles) and the
+    remaining probe-side hot key is exactly what AQE's skew-join split
+    handles — a window over the same key would funnel every copy of the
+    hot span through one reducer with no partial step and no skew
+    rescue."""
+    words = d.filter(col("text").isNotNull() & (col("text") != "")).select(
+        "doc_id", F.split(col("text"), " ").alias("ws")
+    )
+    blocks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(ws)+2) DIV 3 - 1),"
+                " i -> array_join(slice(ws, i*3+1, 3), ' '))"
+            )
+        ).alias("bidx", "block"),
+    )
+    # unique (doc_id, bidx) ⇒ the argmin is engine-deterministic
+    firsts = blocks.groupBy("block").agg(
+        F.min(F.struct("doc_id", "bidx")).alias("f")
+    )
+    r = blocks.join(firsts, "block").withColumn(
+        "keep",
+        (col("doc_id") == col("f.doc_id")) & (col("bidx") == col("f.bidx")),
+    )
+    kept_struct = F.when(col("keep"), F.struct("bidx", "block"))
+    return r.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["block"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(col("keep"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register("dedup_spans", oracle=_SPANS_ORACLE)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span removal (the C4 span-dedup shape): every
+    later occurrence of an already-seen 3-word block is excised and the
+    document re-concatenated from what survives.
+
+    Scale shape: one map-side explode (no shuffle), a partial-combining
+    hash aggregate for the global first occurrence per span, one
+    skew-splittable join back, one shuffle to doc_id for reassembly —
+    no cross product, output rows = input docs (see _span_dedup for why
+    argmin+join beats a row_number window here). At 100 TB the
+    aggregate/join key becomes a 128-bit content hash of the span (md5)
+    so key width is constant and the span text rides only the
+    reassembly side; a 64-bit xxhash is NOT enough there (birthday
+    collisions at ~4e9 distinct spans would merge unrelated spans and
+    silently over-delete).
+    """
+    return _span_dedup(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # stream_minhash_incremental — batch contract of the streaming LSH sink
 # ---------------------------------------------------------------------------
 

@@ -204,3 +204,40 @@ def test_minhash_sink_drops_redelivered_doc_ids(spark, tmp_path):
     ]
     assert sorted(p[:2] for p in pairs) == [(7, 1), (9, 1), (9, 7)]
     assert len(pairs) == len(set(pairs))
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """dedup_spans kernel semantics on planted docs: global
+    (doc_id, block_idx) first occurrence survives, later copies are
+    excised (across docs AND within one doc), partial tail blocks are
+    units too, and empty texts drop out before the explode."""
+    from cqlcopy_spark.operators.dedup import _span_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x"),
+            (3, "d e f a b c"),
+            (4, "z z z z z z"),
+            (5, ""),
+            (6, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in _span_dedup(d).collect()}
+    assert set(got) == {1, 2, 3, 4, 6}  # empty doc 5 filtered
+    assert (got[1]["clean_text"], got[1]["n_blocks"], got[1]["n_kept"]) == (
+        "a b c d e f", 2, 2,
+    )
+    assert (got[2]["clean_text"], got[2]["n_blocks"], got[2]["n_kept"]) == (
+        "x", 2, 1,
+    )
+    assert (got[3]["clean_text"], got[3]["n_blocks"], got[3]["n_kept"]) == (
+        "", 2, 0,
+    )
+    assert (got[4]["clean_text"], got[4]["n_blocks"], got[4]["n_kept"]) == (
+        "z z z", 2, 1,
+    )
+    assert (got[6]["clean_text"], got[6]["n_blocks"], got[6]["n_kept"]) == (
+        "p q", 1, 1,
+    )
