@@ -1206,3 +1206,144 @@ def dedup_blocked_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("v1", "v2")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup — clustered semantic pruning (keep/drop decisions)
+# ---------------------------------------------------------------------------
+
+# SemDeDup (Abbas et al. 2023): cluster the embedding space, and within
+# each cluster DROP every item that has a semantic near-duplicate that
+# sorts before it — the pipeline consumes keep/drop decisions per
+# document, not a pair list (dedup_embedding_cosine / _blocked emit the
+# pairs; this op emits the verdicts). Clusters here are the 32
+# axis-aligned sign cells over the first 5 coordinates — deterministic
+# and SQL-expressible, so unlike the k-means variant the WHOLE operator
+# (clustering included) carries a full value-hash oracle; the paper's
+# trained-centroid clustering is exactly dedup_embedding_blocked's
+# driver-trained IVF recipe and slots in unchanged when recall matters
+# more than oracle coverage.
+
+_SEM_CELL_BITS = 5
+
+
+def _sql_sem_cell(emb: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {emb}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SEM_CELL_BITS)
+    ) + ")"
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n AS (SELECT * FROM n0 WHERE nrm > 0),
+c AS (SELECT vec_id, emb, nrm, {_sql_sem_cell('emb')} AS cell FROM n),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS cosine
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm)
+        >= CAST({_NEARDUP_COS} AS DOUBLE)
+),
+pr AS (
+  SELECT v2, MIN(v1) AS pruned_by, arg_min(cosine, v1) AS prune_cos
+  FROM p GROUP BY v2
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       pr.pruned_by IS NULL AS keep,
+       pr.pruned_by, pr.prune_cos
+FROM c LEFT JOIN pr ON c.vec_id = pr.v2
+"""
+
+
+@register("dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop verdicts: one row per (non-zero-norm) vector —
+    keep, or dropped with the id of its lowest-id within-cell near-dup
+    (cos ≥ threshold) and that pair's cosine. Greedy lowest-id-wins is
+    the deterministic analogue of the paper's keep-one-per-group rule
+    (and the min/arg_min make the report itself order-independent).
+
+    Scale shape: cell assignment is a pure codegen map (element_at sign
+    tests — no Python, no shuffle); in-cell pairs run as one Arrow task
+    per cell with the dgemm-prefilter + margin + exact left-to-right
+    IEEE re-fold discipline of dedup_embedding_cosine, so every emitted
+    cosine is bitwise DuckDB-identical; then one groupBy(v2) argmin and
+    one left join back to the vectors. At 100 TB a cell no longer fits
+    one task: compose the SAME block-pair decomposition
+    dedup_embedding_cosine uses WITHIN each cell (pid = (cell, blk_i,
+    blk_j)) — the kernel and the verdict projection are unchanged, only
+    the grouping key widens. Candidate volume is Σ|cell|²/2, the
+    blocked-dedup trade measured in tests/test_ann_recall.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
+        col("nrm") > 0
+    )
+    cell = F.lit(0)
+    for j in range(_SEM_CELL_BITS):
+        cell = cell + F.when(
+            F.element_at(col("emb"), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    vecs = n.select("vec_id", "emb", cell.cast("long").alias("cell")).persist()
+    # ^ persist: feeds BOTH the pair kernel and the verdict join — an
+    # unpersisted frame re-runs the scan+cell map per consumer
+    # (CLAUDE.md self-join rule)
+
+    thresh, margin = _NEARDUP_COS, 1e-6
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"v1": pd.Series(dtype="int64"), "v2": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.zeros(X.shape[0])
+        for k in range(X.shape[1]):  # sequential fold == JVM/_sql_dot order
+            nrm += X[:, k] * X[:, k]
+        nrm = np.sqrt(nrm)
+        denom = nrm[:, None] * nrm[None, :]
+        approx = (X @ X.T) / denom
+        i, j = np.nonzero(
+            (approx >= thresh - margin) & (ids[:, None] < ids[None, :])
+        )
+        if not len(i):
+            return empty
+        acc = np.zeros(len(i))
+        Xi, Xj = X[i], X[j]
+        for k in range(X.shape[1]):  # exact re-fold on margin survivors
+            acc += Xi[:, k] * Xj[:, k]
+        cos = acc / denom[i, j]
+        keep = cos >= thresh
+        return pd.DataFrame(
+            {"v1": ids[i][keep], "v2": ids[j][keep], "cosine": cos[keep]}
+        )
+
+    pruned = (
+        vecs.groupBy("cell")
+        .applyInPandas(cell_pairs, schema="v1 long, v2 long, cosine double")
+        .groupBy("v2")
+        .agg(
+            F.min("v1").alias("pruned_by"),
+            F.expr("min_by(cosine, v1)").alias("prune_cos"),
+        )
+    )
+    return (
+        vecs.join(pruned, vecs["vec_id"] == pruned["v2"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            col("pruned_by").isNull().alias("keep"),
+            "pruned_by",
+            "prune_cos",
+        )
+        .orderBy("vec_id")
+    )

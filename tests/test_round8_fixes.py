@@ -241,3 +241,31 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert (got[6]["clean_text"], got[6]["n_blocks"], got[6]["n_kept"]) == (
         "p q", 1, 1,
     )
+
+
+def test_semdedup_verdict_invariants(spark):
+    """dedup_semdedup: every drop names a smaller-id within-cell pruner
+    at/above threshold, and the (pruner, dropped) pair must be contained
+    in the EXHAUSTIVE near-dup pair set (cells restrict candidates, they
+    can never invent a pair), with the bitwise-identical cosine."""
+    from cqlcopy_spark.operators.similarity import _NEARDUP_COS
+    from cqlcopy_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    verdicts = qs["dedup_semdedup"](spark, SF_SMALL).collect()
+    exact = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in qs["dedup_embedding_cosine"](spark, SF_SMALL).collect()
+    }
+    dropped = [r for r in verdicts if not r["keep"]]
+    assert dropped, "fixture should produce at least one drop"
+    for r in verdicts:
+        if r["keep"]:
+            assert r["pruned_by"] is None and r["prune_cos"] is None
+        else:
+            assert r["pruned_by"] < r["vec_id"]
+            assert r["prune_cos"] >= _NEARDUP_COS
+            key = (r["pruned_by"], r["vec_id"])
+            assert key in exact, key
+            assert exact[key] == r["prune_cos"]  # bitwise
