@@ -269,3 +269,41 @@ def test_semdedup_verdict_invariants(spark):
             key = (r["pruned_by"], r["vec_id"])
             assert key in exact, key
             assert exact[key] == r["prune_cos"]  # bitwise
+
+
+def test_span_dedup_matches_pure_python_reference_fuzz(spark):
+    """Seeded-random fuzz of dedup_spans' kernel against an independent
+    pure-Python first-occurrence simulation: a 5-word alphabet and short
+    docs force heavy block collisions (cross-doc, in-doc, partial-tail),
+    exercising the slice arithmetic at every length mod 3."""
+    import random
+
+    from cqlcopy_spark.operators.dedup import _span_dedup
+
+    rng = random.Random(80801)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 10))))
+        for i in range(300)
+    ]
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in docs:
+        if not text:
+            continue
+        ws = text.split(" ")
+        blocks = [" ".join(ws[3 * i : 3 * i + 3]) for i in range((len(ws) + 2) // 3)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        expected[doc_id] = (" ".join(kept), len(blocks), len(kept))
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_blocks"], r["n_kept"])
+        for r in _span_dedup(d).collect()
+    }
+    assert got == expected
