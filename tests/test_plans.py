@@ -784,3 +784,27 @@ def test_graph_link_predict_capped_and_persisted(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "TakeOrderedAndProject" in p, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+def test_span_dedup_partial_argmin_no_window(spark):
+    """dedup_spans: first-occurrence resolution must stay argmin-via-
+    groupBy — map-side partial_min visible before the span exchange, and
+    NO Window over the span key (a window would funnel every copy of a
+    hot boilerplate span through one reducer with no partial combine and
+    no AQE skew rescue)."""
+    p = plan_of(QUERIES["dedup_spans"](spark, SF_SMALL))
+    assert "partial_min(struct(doc_id" in p, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_semdedup_one_arrow_stage_no_cartesian(spark):
+    """dedup_semdedup: exactly ONE Arrow stage (the per-cell pair
+    kernel); cell assignment and the verdict join stay JVM-side, and
+    candidate generation never degenerates into a cartesian."""
+    p = plan_of(QUERIES["dedup_semdedup"](spark, SF_SMALL))
+    # formatted mode prints each node twice (tree + detail) — count the
+    # numbered detail headers, one per physical node
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
