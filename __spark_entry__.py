@@ -144,8 +144,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             major = 2 if name in _PRIORITY_UNCHECKED else 3
             return (major, 0, 0, name)
         _, last_round = status[name]
-        led = ledger.get(name, {})
+        # a malformed ledger row (null, string, hand-merge damage) must
+        # degrade to "no sha known" — not crash queries() and take the
+        # whole driver round with it (same standard as _checked_status)
+        led = ledger.get(name)
+        if not isinstance(led, dict):
+            led = {}
         led_sha = led.get("module_sha", "")
+        if not isinstance(led_sha, str):
+            led_sha = ""
         cur_sha = _cached_sha(qs[name])
         # fronted only on a POSITIVE content mismatch: both shas known
         # and different. No ledger row (pre-ledger verdict) or an

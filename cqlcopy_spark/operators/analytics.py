@@ -1786,25 +1786,27 @@ def _sketch_distinct_violations(
     spark: SparkSession,
     sf_dir: str,
     tol: float = _HLL_TOL,
-    union_est_shift: float = 0.0,
+    got: "DataFrame | None" = None,
 ) -> DataFrame:
-    """Invariant violations of the HLL sketch pipeline (empty iff sound).
-    `tol` and `union_est_shift` exist for the liveness tests: a negative
-    tol makes every accuracy check fire, a nonzero shift breaks the
-    bitwise mergeability equality."""
+    """Invariant violations of sketch_distinct_users' ACTUAL output
+    (empty iff sound) — the verify consumes the op's rows, it does not
+    re-derive them, so a regression in the op itself (wrong grouping,
+    dropped 'ALL' row, an extra filter) fires here and flips the driver
+    red. `got` substitutes a doctored output frame and a negative `tol`
+    trips both accuracy checks (planted-corruption liveness tests).
+
+    Invariants, all recomputed independently of the op:
+    - per-type row set == the exact per-type distinct row set (missing
+      or extra event_type rows each emit a violation);
+    - per-type estimate within tol of the exact distinct;
+    - exactly ONE 'ALL' row, bitwise equal to an independently built
+      whole-scan sketch estimate (union-of-parts == sketch-of-whole is
+      HLL's register-max mergeability — the claim the op rides at
+      100 TB) and within tol of the exact global distinct."""
+    if got is None:
+        got = sketch_distinct_users(spark, sf_dir)
+    got = got.persist()  # feeds the per-type branch + the ALL branch
     e = table(spark, sf_dir, "events").select("event_type", "user_id")
-    per = (
-        e.groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .persist()  # feeds per-type estimates + the union row
-    )
-    per_est = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est")
-    )
-    union_est = per.agg(
-        (F.hll_sketch_estimate(F.hll_union_agg("sk")) + F.lit(union_est_shift))
-        .alias("u_est")
-    )
     whole_est = e.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("w_est")
     )
@@ -1821,30 +1823,55 @@ def _sketch_distinct_violations(
         .agg(F.count(F.lit(1)).alias("ea"))
     )
 
+    types = got.filter(col("event_type") != "ALL")
     bad_type = (
-        per_est.join(exact, "event_type")
-        .filter(F.abs(col("est") - col("ed")) > F.lit(tol) * col("ed"))
+        types.join(exact, "event_type", "full_outer")
+        .filter(
+            col("approx_users").isNull()
+            | col("ed").isNull()
+            | (F.abs(col("approx_users") - col("ed")) > F.lit(tol) * col("ed"))
+        )
         .select(
-            F.lit("type_estimate_out_of_bounds").alias("kind"),
+            F.when(col("approx_users").isNull(), F.lit("missing_type_row"))
+            .when(col("ed").isNull(), F.lit("extra_type_row"))
+            .otherwise(F.lit("type_estimate_out_of_bounds"))
+            .alias("kind"),
             "event_type",
-            col("est").alias("metric"),
+            col("approx_users").cast("double").alias("metric"),
         )
     )
-    g = union_est.crossJoin(broadcast(whole_est)).crossJoin(broadcast(exact_all))
-    bad_merge = g.filter(~col("u_est").eqNullSafe(col("w_est"))).select(
+    g = (
+        got.filter(col("event_type") == "ALL")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.max("approx_users").alias("u_est"),
+        )
+        .crossJoin(broadcast(whole_est))
+        .crossJoin(broadcast(exact_all))
+    )
+    bad_shape = g.filter(col("n_all") != 1).select(
+        F.lit("all_row_count_wrong").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        col("n_all").cast("double").alias("metric"),
+    )
+    bad_merge = g.filter(
+        (col("n_all") == 1) & ~col("u_est").eqNullSafe(col("w_est"))
+    ).select(
         F.lit("union_not_bitwise_equal_to_whole").alias("kind"),
         F.lit(None).cast("string").alias("event_type"),
-        col("u_est").alias("metric"),
+        col("u_est").cast("double").alias("metric"),
     )
     bad_global = g.filter(
-        F.abs(col("u_est") - col("ea")) > F.lit(tol) * col("ea")
+        (col("n_all") == 1)
+        & (F.abs(col("u_est") - col("ea")) > F.lit(tol) * col("ea"))
     ).select(
         F.lit("global_estimate_out_of_bounds").alias("kind"),
         F.lit(None).cast("string").alias("event_type"),
-        col("u_est").alias("metric"),
+        col("u_est").cast("double").alias("metric"),
     )
     return (
-        bad_type.unionByName(bad_merge)
+        bad_type.unionByName(bad_shape)
+        .unionByName(bad_merge)
         .unionByName(bad_global)
         .orderBy("kind", "event_type")
     )

@@ -917,7 +917,10 @@ def _span_dedup(d: DataFrame) -> DataFrame:
                 " i -> array_join(slice(ws, i*3+1, 3), ' '))"
             )
         ).alias("bidx", "block"),
-    )
+    ).persist()
+    # ^ persist: feeds BOTH the argmin aggregate and the probe join —
+    # the two sides shuffle different children, so ReuseExchange cannot
+    # dedupe the scan+split+explode lineage (CLAUDE.md self-join rule)
     # unique (doc_id, bidx) ⇒ the argmin is engine-deterministic
     firsts = blocks.groupBy("block").agg(
         F.min(F.struct("doc_id", "bidx")).alias("f")
@@ -992,7 +995,9 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = d.agg(F.max("doc_id")).first()[0]
+    # empty corpus: max() is NULL — slice at 0 so all three batches are
+    # empty and the result is the empty pair relation, like the oracle
+    mx = d.agg(F.max("doc_id")).first()[0] or 0
     state = tempfile.mkdtemp(prefix="minhash_stream_state_")
     atexit.register(shutil.rmtree, state, ignore_errors=True)
     cuts = (mx // 3, 2 * (mx // 3))

@@ -97,12 +97,24 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
     already holds (conservative — at worst an unnecessary re-front) and
     their FAILED verdicts still remove rows, which is round-independent
     and must not be lost.
+
+    An UNPARSEABLE round file (truncated mid-write — the case
+    _checked_status degrades on) stops processing at that file WITHOUT
+    advancing _meta.last_round past it: advancing would mark the round
+    processed forever, silently losing its verdicts once the file heals
+    (greens would keep stale shas → spurious fronting; failures would
+    never pop their rows). Later files wait for the next invocation so
+    rounds always apply in order.
     """
     from cqlcopy_spark.plans.registry import all_queries
 
     repo = Path(repo)
     ledger = load_ledger(repo)
-    done = int(ledger.get(META_KEY, {}).get("last_round", -1))
+    meta = ledger.get(META_KEY)
+    try:
+        done = int(meta.get("last_round", -1)) if isinstance(meta, dict) else -1
+    except (TypeError, ValueError):
+        done = -1
     rounds = [
         p
         for p in sorted(repo.glob("CORRECTNESS_r*.json"), key=_round_no)
@@ -112,13 +124,14 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
         return ledger
 
     qs = all_queries()
+    processed_through = done
     for p in rounds:
         try:
             data = json.loads(p.read_text())
         except Exception:
-            continue
+            break  # mid-write/corrupt: retry from this round next time
         if not isinstance(data, dict):
-            continue
+            break
         rnd = _round_no(p)
         newest = p is rounds[-1]
         for name, row in data.items():
@@ -130,7 +143,10 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
                 sha = module_sha(qs[name])
                 if sha:
                     ledger[name] = {"round": rnd, "module_sha": sha}
-    ledger[META_KEY] = {"last_round": _round_no(rounds[-1])}
+        processed_through = rnd
+    if processed_through == done:
+        return ledger  # nothing parsed — leave the ledger file untouched
+    ledger[META_KEY] = {"last_round": processed_through}
     (repo / LEDGER_NAME).write_text(
         json.dumps(ledger, indent=0, sort_keys=True) + "\n"
     )

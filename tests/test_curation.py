@@ -165,9 +165,14 @@ def test_hll_union_is_exact_and_estimate_bounded(spark):
 
 def test_sketch_distinct_verify_empty_and_liveness(spark):
     """The driver-checkable HLL verification relation must be EMPTY on
-    the honest pipeline, and each invariant must be able to fire: a
-    negative tolerance trips both accuracy checks, a shifted union
-    estimate trips the bitwise mergeability equality."""
+    the honest pipeline, and each invariant must fire on a corruption
+    of the OP'S OUTPUT (the verify consumes sketch_distinct_users'
+    rows — a regression in the op itself must reach the driver): a
+    negative tolerance trips both accuracy checks; shifting the ALL
+    row breaks the bitwise mergeability equality; dropping / inventing
+    / duplicating rows trips the row-set checks."""
+    from pyspark.sql import functions as F
+
     from cqlcopy_spark.operators.analytics import _sketch_distinct_violations
 
     out = QUERIES["sketch_distinct_verify"](spark, SF_SMALL)
@@ -179,13 +184,35 @@ def test_sketch_distinct_verify_empty_and_liveness(spark):
         for r in _sketch_distinct_violations(spark, SF_SMALL, tol=-1.0).collect()
     }
     assert {"type_estimate_out_of_bounds", "global_estimate_out_of_bounds"} <= kinds
+
+    honest = QUERIES["sketch_distinct_users"](spark, SF_SMALL)
+    shifted = honest.withColumn(
+        "approx_users",
+        F.when(
+            F.col("event_type") == "ALL", F.col("approx_users") + 7
+        ).otherwise(F.col("approx_users")),
+    )
     kinds = {
         r["kind"]
-        for r in _sketch_distinct_violations(
-            spark, SF_SMALL, union_est_shift=7.0
-        ).collect()
+        for r in _sketch_distinct_violations(spark, SF_SMALL, got=shifted).collect()
     }
     assert "union_not_bitwise_equal_to_whole" in kinds
+
+    one_type = honest.filter(F.col("event_type") != "ALL").limit(1)
+    doctored = (
+        honest.join(one_type.select("event_type"), "event_type", "left_anti")
+        .unionByName(
+            spark.createDataFrame(
+                [("bogus_type", 3), ("ALL", 1)],
+                "event_type string, approx_users long",
+            )
+        )
+    )
+    kinds = {
+        r["kind"]
+        for r in _sketch_distinct_violations(spark, SF_SMALL, got=doctored).collect()
+    }
+    assert {"missing_type_row", "extra_type_row", "all_row_count_wrong"} <= kinds
 
 
 def test_bpe_verify_empty_and_liveness(spark):

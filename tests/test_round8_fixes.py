@@ -307,3 +307,36 @@ def test_span_dedup_matches_pure_python_reference_fuzz(spark):
         for r in _span_dedup(d).collect()
     }
     assert got == expected
+
+
+def test_rotation_ledger_halts_at_unparseable_round(tmp_path):
+    """A truncated/mid-write round file must NOT advance last_round past
+    itself (its verdicts would be lost forever once the file heals) —
+    processing stops there and resumes next invocation."""
+    import json
+
+    from cqlcopy_spark.plans.registry import all_queries
+    from cqlcopy_spark.plans.rotation import META_KEY, update_ledger
+
+    names = sorted(all_queries())
+    a, b = names[0], names[1]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({a: ok, b: ok}))
+    led = update_ledger(tmp_path)
+    assert led[META_KEY]["last_round"] == 1
+
+    # r02 is mid-write (truncated JSON), r03 is complete and fails `a`
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"trunc')
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({a: bad}))
+    led2 = update_ledger(tmp_path)
+    assert led2[META_KEY]["last_round"] == 1  # halted AT r02
+    assert a in led2  # r03's failure not applied out of order
+
+    # the write completes; the next invocation drains r02 then r03
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({b: ok}))
+    led3 = update_ledger(tmp_path)
+    assert led3[META_KEY]["last_round"] == 3
+    assert a not in led3  # r03's failure finally applied
+    assert b in led3
