@@ -1668,3 +1668,127 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "clean_text", "n_chunks", "n_stripped")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lm_transition_score — statistical LM quality scoring (CCNet shape)
+# ---------------------------------------------------------------------------
+
+# CCNet's quality gate scores each document against a reference language
+# model and keeps the low-perplexity tail. Perplexity needs exp/ln —
+# transcendentals diverge between engines (CLAUDE.md) — so this operator
+# emits the RATIONAL core of the same signal: the document's mean and
+# minimum add-1-smoothed bigram transition probability
+# p_i = (c(w_{i-1} w_i) + 1) / (c(w_{i-1} ·) + V) under the corpus's own
+# bigram counts. Every p_i is one IEEE division of exact integers
+# (< 2^53) and the per-doc mean folds the p_i in position order with the
+# shared left-to-right discipline (Spark aggregate(0.0, +) == DuckDB
+# list_reduce(list_prepend(0.0, ...))), so the doubles hash bitwise and
+# the op carries a FULL value-hash oracle. Low mean/min transition
+# probability flags the same junk perplexity would (rare-transition word
+# salad), monotonically in the bigram counts.
+
+_LM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL AND text <> '' AND len(string_split(text, ' ')) >= 2
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tok GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT x) AS v
+  FROM (SELECT unnest(ws) AS x FROM w)
+),
+p AS (
+  SELECT tok.doc_id, tok.pos, (c2.c2 + 1) / (c1.c1 + vocab.v) AS p
+  FROM tok
+  JOIN c2 USING (w1, w2)
+  JOIN c1 USING (w1), vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+                   (a, b) -> a + b) / COUNT(*) AS avg_trans_prob,
+       MIN(p) AS min_trans_prob
+FROM p GROUP BY doc_id
+"""
+
+
+@register("lm_transition_score", oracle=_LM_ORACLE)
+def lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document smoothed bigram transition-probability stats against
+    the corpus's own LM counts (see module comment above for why this is
+    the transcendental-free core of CCNet's perplexity gate).
+
+    Scale shape: one map-side bigram explode persisted for its THREE
+    consumers (c2 counts, c1 counts, the probability probe — CLAUDE.md
+    self-join rule); both count tables partial-aggregate map-side; the
+    probe joins key on word strings, so the 'the'-sized hot key is a
+    skewed JOIN partition (AQE splits it), never a hot window; the
+    per-doc fold state is bounded by document length. Vocabulary is the
+    usual 1-row broadcast cross join. In production the counts come
+    from a REFERENCE corpus (Wikipedia in CCNet) — swap the c1/c2
+    lineage for a pre-built count table and nothing else changes."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .filter(col("text").isNotNull() & (col("text") != ""))
+        .select("doc_id", F.split(col("text"), " ").alias("ws"))
+    )
+    toks = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i+1) AS w2))"
+                )
+            ).alias("pos", "bg"),
+        )
+        .select("doc_id", "pos", col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+        .persist()
+    )
+    c2 = toks.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        words.select(F.explode("ws").alias("x"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    p = (
+        toks.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            ((col("c2") + 1) / (col("c1") + col("v"))).alias("p"),
+        )
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                    lambda x: x["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_p"),
+            F.min("p").alias("min_trans_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (col("sum_p") / col("n_bigrams")).alias("avg_trans_prob"),
+            "min_trans_prob",
+        )
+        .orderBy("doc_id")
+    )

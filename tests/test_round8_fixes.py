@@ -340,3 +340,34 @@ def test_rotation_ledger_halts_at_unparseable_round(tmp_path):
     assert led3[META_KEY]["last_round"] == 3
     assert a not in led3  # r03's failure finally applied
     assert b in led3
+
+
+def test_lm_transition_score_hand_computed(spark, tmp_path, monkeypatch):
+    """lm_transition_score semantics on a corpus small enough to compute
+    by hand: bigram counts c2(a,b)=2, c2(b,a)=1, prefix counts c1(a)=2,
+    c1(b)=1, and vocabulary {a, b, solo} → V=3 (the 1-token doc carries
+    no bigram but DOES widen the smoothing denominator), so doc 1
+    ('a b a') scores [(2+1)/(2+3), (1+1)/(1+3)] = [0.6, 0.5] and doc 2
+    ('a b') scores [0.6]."""
+    import os
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    d.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    from cqlcopy_spark.plans.registry import all_queries
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["lm_transition_score"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}  # <2 tokens and NULL text carry no bigram
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_bigrams"] == 2
+    assert r1["avg_trans_prob"] == (0.6 + 0.5) / 2  # ordered fold
+    assert r1["min_trans_prob"] == 0.5
+    assert (r2["n_bigrams"], r2["avg_trans_prob"], r2["min_trans_prob"]) == (
+        1, 0.6, 0.6,
+    )
