@@ -773,31 +773,35 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is one logical plan, so Catalyst sees through the composition.
     The quality doubles are bit-identical across engines (quality_score
     is hash-green), so the per-component argmax — and therefore the
-    kept set — is engine-deterministic. Scale rides on the components
-    op; the pick adds one window over (component), key-bounded."""
-    from pyspark.sql.window import Window
+    kept set — is engine-deterministic.
 
+    The pick is argmax-via-groupBy (max of a (quality, -doc_id) struct
+    — negation turns the ASC doc_id tiebreak into the struct max), NOT
+    a row_number window over component: the aggregate partial-combines
+    map-side and a pathological corpus with one giant near-dup cluster
+    is a skewed JOIN/agg key, not a hot window that sorts the whole
+    cluster on one reducer with no partial step (CLAUDE.md argmin rule).
+    Scale otherwise rides on the components op."""
     from cqlcopy_spark.operators.text import quality_score
 
     comps = dedup_components(spark, sf_dir)
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     j = comps.join(q, "doc_id")
-    w = Window.partitionBy("component").orderBy(col("quality").desc(), col("doc_id"))
-    cw = Window.partitionBy("component")
     return (
-        j.select(
-            "component",
-            "doc_id",
-            "quality",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(cw).alias("n_members"),
+        j.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    col("quality").alias("q"), (-col("doc_id")).alias("nid")
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
         )
-        .filter(col("rn") == 1)
         .select(
             "component",
-            col("doc_id").alias("kept_doc"),
+            (-col("best.nid")).alias("kept_doc"),
             "n_members",
-            col("quality").alias("best_quality"),
+            col("best.q").alias("best_quality"),
         )
         .orderBy("component")
     )

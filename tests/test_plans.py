@@ -808,3 +808,13 @@ def test_semdedup_one_arrow_stage_no_cartesian(spark):
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_keep_best_partial_argmax_no_window(spark):
+    """dedup_keep_best: the per-component survivor pick must stay
+    argmax-via-groupBy (map-side partial_max) with NO row_number window
+    — one giant near-dup cluster must be a splittable agg key, not a
+    whole-cluster sort on a single reducer."""
+    p = plan_of(QUERIES["dedup_keep_best"](spark, SF_SMALL))
+    assert "partial_max(struct(q" in p, p
+    assert "Window" not in p, p
