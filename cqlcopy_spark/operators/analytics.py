@@ -1796,8 +1796,10 @@ def _sketch_distinct_violations(
     trips both accuracy checks (planted-corruption liveness tests).
 
     Invariants, all recomputed independently of the op:
-    - per-type row set == the exact per-type distinct row set (missing
-      or extra event_type rows each emit a violation);
+    - per-type row set == the exact per-type distinct row set (missing,
+      extra, DUPLICATED, or NULL-typed rows each emit a violation — a
+      full-outer join alone would let a doubled row inner-match and a
+      NULL key slip both equality filters);
     - per-type estimate within tol of the exact distinct;
     - exactly ONE 'ALL' row, bitwise equal to an independently built
       whole-scan sketch estimate (union-of-parts == sketch-of-whole is
@@ -1824,6 +1826,21 @@ def _sketch_distinct_violations(
     )
 
     types = got.filter(col("event_type") != "ALL")
+    bad_dup = (
+        types.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(col("n_rows") > 1)
+        .select(
+            F.lit("duplicate_type_row").alias("kind"),
+            "event_type",
+            col("n_rows").cast("double").alias("metric"),
+        )
+    )
+    bad_null = got.filter(col("event_type").isNull()).select(
+        F.lit("null_type_row").alias("kind"),
+        "event_type",
+        col("approx_users").cast("double").alias("metric"),
+    )
     bad_type = (
         types.join(exact, "event_type", "full_outer")
         .filter(
@@ -1870,7 +1887,9 @@ def _sketch_distinct_violations(
         col("u_est").cast("double").alias("metric"),
     )
     return (
-        bad_type.unionByName(bad_shape)
+        bad_type.unionByName(bad_dup)
+        .unionByName(bad_null)
+        .unionByName(bad_shape)
         .unionByName(bad_merge)
         .unionByName(bad_global)
         .orderBy("kind", "event_type")

@@ -1689,10 +1689,11 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salad), monotonically in the bigram counts.
 
 _LM_ORACLE = """
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-  WHERE text IS NOT NULL AND text <> '' AND len(string_split(text, ' ')) >= 2
+  WHERE text IS NOT NULL AND text <> ''
 ),
+w AS (SELECT * FROM w0 WHERE len(ws) >= 2),
 tok AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w1, ws[i + 1] AS w2
   FROM w, UNNEST(range(1, len(ws))) AS t(i)
@@ -1700,8 +1701,11 @@ tok AS (
 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tok GROUP BY w1, w2),
 c1 AS (SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY w1),
 vocab AS (
+  -- from w0, NOT w: the Spark side builds vocabulary over ALL
+  -- non-empty docs — a 1-token doc carries no bigram but DOES widen
+  -- the smoothing denominator (pinned by the hand test's 'solo' doc)
   SELECT COUNT(DISTINCT x) AS v
-  FROM (SELECT unnest(ws) AS x FROM w)
+  FROM (SELECT unnest(ws) AS x FROM w0)
 ),
 p AS (
   SELECT tok.doc_id, tok.pos, (c2.c2 + 1) / (c1.c1 + vocab.v) AS p
@@ -1728,9 +1732,11 @@ def lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (c2 counts, c1 counts, the probability probe — CLAUDE.md
     self-join rule); both count tables partial-aggregate map-side; the
     probe joins key on word strings, so the 'the'-sized hot key is a
-    skewed JOIN partition (AQE splits it), never a hot window; the
-    per-doc fold state is bounded by document length. Vocabulary is the
-    usual 1-row broadcast cross join. In production the counts come
+    skewed JOIN partition (AQE splits it), never a hot window. The
+    per-doc collect+fold is DOC-bounded state — the same row-sized
+    class as the text column itself (and dedup_spans' reassembly), not
+    the corpus-growing group-sized collect CLAUDE.md's block-fold rule
+    targets. Vocabulary is the usual 1-row broadcast cross join. In production the counts come
     from a REFERENCE corpus (Wikipedia in CCNet) — swap the c1/c2
     lineage for a pre-built count table and nothing else changes."""
     words = (

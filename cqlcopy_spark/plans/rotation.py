@@ -98,13 +98,16 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
     their FAILED verdicts still remove rows, which is round-independent
     and must not be lost.
 
-    An UNPARSEABLE round file (truncated mid-write — the case
+    An UNDECODABLE round file (truncated mid-write — the case
     _checked_status degrades on) stops processing at that file WITHOUT
     advancing _meta.last_round past it: advancing would mark the round
     processed forever, silently losing its verdicts once the file heals
     (greens would keep stale shas → spurious fronting; failures would
     never pop their rows). Later files wait for the next invocation so
-    rounds always apply in order.
+    rounds always apply in order. A file that DECODES but isn't a dict
+    ('[]', 'null' — complete, just wrong) will never heal: it carries
+    no verdicts, so it is skipped and advanced past rather than
+    stalling every later round forever behind it.
     """
     from cqlcopy_spark.plans.registry import all_queries
 
@@ -129,9 +132,10 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
         try:
             data = json.loads(p.read_text())
         except Exception:
-            break  # mid-write/corrupt: retry from this round next time
+            break  # mid-write/undecodable: retry from this round next time
         if not isinstance(data, dict):
-            break
+            processed_through = _round_no(p)  # complete but verdict-free
+            continue
         rnd = _round_no(p)
         newest = p is rounds[-1]
         for name, row in data.items():

@@ -214,6 +214,19 @@ def test_sketch_distinct_verify_empty_and_liveness(spark):
     }
     assert {"missing_type_row", "extra_type_row", "all_row_count_wrong"} <= kinds
 
+    # a doubled per-type row inner-matches the exact side and a NULL
+    # event_type slips both ALL filters — each needs its own check
+    doubled = honest.unionByName(one_type).unionByName(
+        spark.createDataFrame(
+            [(None, 5)], "event_type string, approx_users long"
+        )
+    )
+    kinds = {
+        r["kind"]
+        for r in _sketch_distinct_violations(spark, SF_SMALL, got=doubled).collect()
+    }
+    assert {"duplicate_type_row", "null_type_row"} <= kinds
+
 
 def test_bpe_verify_empty_and_liveness(spark):
     """bpe_verify must be EMPTY on the honest trainer output, and every

@@ -341,8 +341,17 @@ def test_rotation_ledger_halts_at_unparseable_round(tmp_path):
     assert a not in led3  # r03's failure finally applied
     assert b in led3
 
+    # complete-but-wrong-type file ('[]' decodes fine, never 'heals'):
+    # it carries no verdicts, so it is skipped and advanced PAST —
+    # r05 behind it must still apply this same invocation
+    (tmp_path / "CORRECTNESS_r04.json").write_text("[]")
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({a: ok}))
+    led4 = update_ledger(tmp_path)
+    assert led4[META_KEY]["last_round"] == 5
+    assert a in led4 and led4[a]["round"] == 5
 
-def test_lm_transition_score_hand_computed(spark, tmp_path, monkeypatch):
+
+def test_lm_transition_score_hand_computed(spark, tmp_path):
     """lm_transition_score semantics on a corpus small enough to compute
     by hand: bigram counts c2(a,b)=2, c2(b,a)=1, prefix counts c1(a)=2,
     c1(b)=1, and vocabulary {a, b, solo} → V=3 (the 1-token doc carries
@@ -371,3 +380,23 @@ def test_lm_transition_score_hand_computed(spark, tmp_path, monkeypatch):
     assert (r2["n_bigrams"], r2["avg_trans_prob"], r2["min_trans_prob"]) == (
         1, 0.6, 0.6,
     )
+
+    # cross-engine pin ON THIS corpus: the oracle must agree on the
+    # 1-token-doc vocabulary widening too (the review-caught latent
+    # divergence — the fixture SFs have no <2-token docs to catch it)
+    import duckdb
+
+    from cqlcopy_spark.operators.text import _LM_ORACLE
+    from tests.oracle_harness import compare
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(str(tmp_path), 'documents.parquet')}/*.parquet')"
+        )
+        want = con.sql(_LM_ORACLE).df()
+    finally:
+        con.close()
+    got_df = all_queries()["lm_transition_score"](spark, str(tmp_path))
+    assert not compare(got_df, want)
