@@ -127,20 +127,15 @@ FROM scored
 """
 
 
-@register("lang_id", oracle=_LANGID_ORACLE)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word scoring per language; argmax with a fixed priority
-    order so ties are deterministic. Pure map — no shuffle at all."""
-    d = table(spark, sf_dir, "documents")
-    # stage the split once: the CASE chain references each score up to 4
-    # times and each score embeds a filter over the tokens — unstaged,
-    # the text would re-split ~14× per row if codegen CSE doesn't fire
-    staged = d.select("doc_id", "lang", _tokens().alias("toks"))
+def _pred_lang_expr(toks):
+    """Marker-argmax language predictor over a staged token-array Column
+    — the Spark twin of _LANGID_ORACLE's CASE chain, shared by lang_id
+    and curation_funnel (one definition or their hash parity drifts)."""
 
     def _score(words):
         # NB: no default-arg closure — PySpark binds a Column to EVERY
         # parameter of a higher-order-function lambda, defaults included.
-        return F.size(F.filter(col("toks"), lambda t: t.isin(*words)))
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
     scores = {lg: _score(_MARKERS[lg]) for lg in _PRIORITY}
     pred = F.lit("zh")
@@ -156,7 +151,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
         "en",
     ).otherwise(pred)
-    return staged.select("doc_id", "lang", pred.alias("pred_lang"))
+    return pred
+
+
+@register("lang_id", oracle=_LANGID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word scoring per language; argmax with a fixed priority
+    order so ties are deterministic. Pure map — no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    # stage the split once: the CASE chain references each score up to 4
+    # times and each score embeds a filter over the tokens — unstaged,
+    # the text would re-split ~14× per row if codegen CSE doesn't fire
+    staged = d.select("doc_id", "lang", _tokens().alias("toks"))
+    return staged.select(
+        "doc_id", "lang", _pred_lang_expr(col("toks")).alias("pred_lang")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1797,4 +1806,131 @@ def lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_trans_prob",
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel — per-source survival counts across the curation gates
+# ---------------------------------------------------------------------------
+
+# The report every data pipeline runs before a training launch: how many
+# documents per source survive each gate, cumulatively — language
+# agreement, the gopher rule set, exact-dedup keeper status, and the
+# quality threshold. Each gate reuses the EXACT expression of its
+# standalone op (one definition per predicate or hash parity drifts):
+# _pred_lang_expr/_LANGID_ORACLE, the gopher rule block, the
+# min-doc_id-per-text keeper, and QUALITY_SQL/quality_expr.
+
+_FUNNEL_QUALITY_T = 0.5
+
+
+def _funnel_oracle() -> str:
+    lang_case = """CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh'
+  END"""
+    stops = " + ".join(
+        f"CASE WHEN list_contains(string_split(text,' '), '{s}') THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+    scores = ", ".join(f"{_sql_score(lg)} AS s_{lg}" for lg in _PRIORITY)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text, n_chars,
+         {scores},
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         {stops} AS n_stops
+  FROM documents
+),
+k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+f AS (
+  SELECT source,
+         ({lang_case}) = lang AS ok_lang,
+         (n_words BETWEEN 10 AND 1000)
+           AND ((CAST(n_chars AS DOUBLE) - n_words + 1) / n_words
+                BETWEEN 2.0 AND 12.0)
+           AND (CAST(n_types AS DOUBLE) / n_words >= 0.2)
+           AND (n_stops >= 2) AS ok_gopher,
+         doc_id IN (SELECT doc_id FROM k) AS ok_keep,
+         {QUALITY_SQL} >= CAST({_FUNNEL_QUALITY_T} AS DOUBLE) AS ok_quality
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(SUM(CASE WHEN ok_lang AND ok_gopher THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gopher,
+       CAST(SUM(CASE WHEN ok_lang AND ok_gopher AND ok_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN ok_lang AND ok_gopher AND ok_keep AND ok_quality
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM f GROUP BY source
+"""
+
+
+@register("curation_funnel", oracle=_funnel_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-source survival counts across the four curation
+    gates (language agreement → gopher rules → exact-dedup keeper →
+    quality ≥ _FUNNEL_QUALITY_T). Gate booleans are bit-exact across engines (integer
+    counts, single IEEE divisions, the shared lang CASE chain), so the
+    whole funnel carries a full value-hash oracle.
+
+    Scale shape: ONE corpus scan computes every per-doc flag as codegen
+    map expressions; the keeper set is a partial-combining aggregate on
+    text (md5(text) at 100 TB — dedup_exact's documented key cap) joined
+    back on the 8-byte doc_id (co-partitioned, AQE-splittable); the
+    final rollup partial-aggregates to |sources| rows. No windows, no
+    cross products, nothing driver-side."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "source", "lang", "n_chars", _tokens().alias("toks")
+    )
+    t = col("toks")
+    n_words = F.size(t)
+    n_types = F.size(F.array_distinct(t))
+    n_stops = sum(
+        F.when(F.array_contains(t, s), 1).otherwise(0) for s in _GOPHER_STOPS
+    )
+    mwl = (col("n_chars").cast("double") - n_words + 1) / n_words
+    ttr = n_types.cast("double") / n_words
+    flags = staged.select(
+        "doc_id",
+        "source",
+        (_pred_lang_expr(t) == col("lang")).alias("ok_lang"),
+        (
+            n_words.between(10, 1000)
+            & mwl.between(2.0, 12.0)
+            & (ttr >= 0.2)
+            & (n_stops >= 2)
+        ).alias("ok_gopher"),
+        (quality_expr(t) >= F.lit(_FUNNEL_QUALITY_T)).alias("ok_quality"),
+    )
+    keepers = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    flagged = flags.join(
+        keepers.select("doc_id").withColumn("_k", F.lit(1)), "doc_id", "left"
+    ).withColumn("ok_keep", col("_k").isNotNull())
+
+    def through(*gates):
+        cond = col(gates[0])
+        for g in gates[1:]:
+            cond = cond & col(g)
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            through("ok_lang").alias("n_lang"),
+            through("ok_lang", "ok_gopher").alias("n_gopher"),
+            through("ok_lang", "ok_gopher", "ok_keep").alias("n_dedup"),
+            through("ok_lang", "ok_gopher", "ok_keep", "ok_quality").alias(
+                "n_quality"
+            ),
+        )
+        .orderBy("source")
     )

@@ -400,3 +400,49 @@ def test_lm_transition_score_hand_computed(spark, tmp_path):
         con.close()
     got_df = all_queries()["lm_transition_score"](spark, str(tmp_path))
     assert not compare(got_df, want)
+
+
+def test_curation_funnel_dedup_gate_planted(spark, tmp_path):
+    """The driver fixture has no duplicate texts at sf0.01, so the
+    funnel's exact-dedup keeper gate never fires there — pin it on a
+    planted corpus where it is the discriminating gate, and pin the
+    whole relation against the DuckDB oracle on the same corpus."""
+    import os
+
+    # 10 words, all gates green: lang 'en' wins ties (no foreign
+    # markers), 4 stopwords, ttr 1.0, quality 0.6+10/256*0.4 >= 0.5
+    base = "the data value table one two three four five six"
+    other = "the data value table seven eight nine ten eleven twelve"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),   # dup: fails ONLY the keeper gate
+        (3, base, "en", "s", len(base)),   # dup
+        (4, other, "en", "s", len(other)),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+
+    from cqlcopy_spark.operators.text import _funnel_oracle
+    from cqlcopy_spark.plans.registry import all_queries
+    from tests.oracle_harness import compare
+
+    got = all_queries()["curation_funnel"](spark, str(tmp_path))
+    r = got.collect()[0]
+    assert (
+        r["n_total"], r["n_lang"], r["n_gopher"], r["n_dedup"], r["n_quality"]
+    ) == (4, 4, 4, 2, 2)
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(str(tmp_path), 'documents.parquet')}/*.parquet')"
+        )
+        want = con.sql(_funnel_oracle()).df()
+    finally:
+        con.close()
+    assert not compare(got, want)
