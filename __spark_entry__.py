@@ -148,16 +148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degrade to "no sha known" — not crash queries() and take the
         # whole driver round with it (same standard as _checked_status)
         led = ledger.get(name)
-        if not isinstance(led, dict):
+        has_row = isinstance(led, dict)
+        if not has_row:
             led = {}
         led_sha = led.get("module_sha", "")
         if not isinstance(led_sha, str):
             led_sha = ""
         cur_sha = _cached_sha(qs[name])
-        # fronted only on a POSITIVE content mismatch: both shas known
-        # and different. No ledger row (pre-ledger verdict) or an
-        # unresolvable module falls back to the freshness sweep.
-        changed = bool(led_sha) and bool(cur_sha) and led_sha != cur_sha
+        # fronted on a POSITIVE content mismatch (both shas known and
+        # different), OR on an EXPLICIT empty-sha row — rotation.py
+        # writes those for greens observed in a skipped round whose
+        # module state is gone, meaning the verdict's baseline is
+        # unknown and only a re-check can re-anchor it. No ledger row
+        # at all (pre-ledger verdict) or an unresolvable module falls
+        # back to the freshness sweep.
+        changed = (bool(led_sha) and bool(cur_sha) and led_sha != cur_sha) or (
+            has_row and "module_sha" in led and led_sha == ""
+        )
         return (4 if changed else 5, last_round, 0, name)
 
     return {name: qs[name] for name in sorted(qs, key=rank)}

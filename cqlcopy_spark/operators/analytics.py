@@ -1812,17 +1812,23 @@ def _sketch_distinct_violations(
     whole_est = e.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("w_est")
     )
-    # exact distinct counts, two-phase (no Expand-plan countDistinct)
+    # exact distinct counts, two-phase (no Expand-plan countDistinct).
+    # hll_sketch_agg IGNORES NULL inputs, so the exact references count
+    # only non-NULL user_ids (F.count(col) skips NULLs after the pair
+    # dedup) — counting the NULL pair would drift exact vs estimate by
+    # one per type and skew the 5σ bound; the type itself stays present
+    # (ed = 0) even when every user_id in it is NULL, matching the op's
+    # groupBy over the unfiltered relation.
     exact = (
         e.groupBy("event_type", "user_id")
         .agg(F.lit(1).alias("_1"))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("ed"))
+        .agg(F.count(col("user_id")).alias("ed"))
     )
     exact_all = (
         e.select("user_id")
         .distinct()
-        .agg(F.count(F.lit(1)).alias("ea"))
+        .agg(F.count(col("user_id")).alias("ea"))
     )
 
     types = got.filter(col("event_type") != "ALL")

@@ -404,9 +404,13 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Application is a vocabulary JOIN, not a per-token fold: _bpe_learn's
     final symbol table already holds each word's segmentation, so docs
-    explode to words and look the segmentation up (broadcast — the vocab
-    is orders smaller than the corpus; at larger vocabs this degrades
-    gracefully to a shuffle join on the word). Compression = chars per
+    explode to words and look the segmentation up UNHINTED — training
+    caps at the 65k head but the LEARNED symbol table applied here is
+    full-vocabulary-sized, which grows with the corpus; an explicit
+    broadcast hint is honored unconditionally and would abort at the
+    8 GB ceiling, whereas AQE's size stats broadcast it while it fits
+    (plan pin) and genuinely degrade to a shuffle join on the word
+    past that. Compression = chars per
     subword, exact integer ratio both engines would agree on — but the
     op is iterative end-to-end, so it stays rows-only + pytest."""
     # persist: TWO consumers of the corpus-wide word count — the capped
@@ -421,7 +425,7 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(col("text")), " ")).alias("token"),
     ).filter(col("token").rlike("^[a-z]+$"))
     out = (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

@@ -347,6 +347,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = nodes.count()  # one driver-side scalar, sizes the teleport term
+    if n == 0:
+        # empty link graph (no documents): the rank vector over zero
+        # nodes is the empty relation — returning it beats a
+        # ZeroDivisionError from the 1/n teleport term
+        return nodes.select("node", F.lit(0.0).alias("pr")).limit(0)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # edge transition weight: w/out_w, computed once outside the loop
     trans = edges.join(out_w, "src").select(
@@ -436,6 +441,17 @@ def _pagerank_violations(
     )
     n = nodes.count()  # same single driver scalar graph_pagerank uses
     base = 1.0 - _DAMPING
+    if n == 0:
+        # empty graph: graph_pagerank returns the empty vector, which is
+        # trivially consistent — emit the (empty) violations schema
+        # instead of dividing by zero for the teleport floor. A claimed
+        # nonempty pr over an empty graph still violates: every claimed
+        # node is an extra_node.
+        return pr.select(
+            F.lit("extra_node").alias("kind"),
+            col("node"),
+            col("pr").alias("metric"),
+        ).orderBy("kind", "node")
     floor = base / n
 
     pr = pr.persist()

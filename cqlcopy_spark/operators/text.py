@@ -1152,9 +1152,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode shuffles vocabulary-sized partial (lang, term)
     counts — never raw token rows (map-side combine does the crush);
-    the df table is vocabulary-sized so it BROADCASTS back onto tf;
-    top-k per language is one window over the tiny scored relation. A
-    unique term tiebreak keeps row_number engine-stable."""
+    the df table joins back onto tf UNHINTED: the vocabulary grows
+    with the corpus (heaps-law, 10⁹+ tokens at web scale), so an
+    explicit broadcast hint would abort at the 8 GB ceiling at 100×.
+    AQE's runtime size stats pick the broadcast while df fits (plan
+    pin) and degrade to a shuffle join past the ceiling; top-k per
+    language is one window over the tiny scored relation. A unique
+    term tiebreak keeps row_number engine-stable."""
     d = table(spark, sf_dir, "documents")
     # tf feeds BOTH the df aggregate and the join probe — persist it or
     # the token explosion re-executes per side (CLAUDE.md: self-joins
@@ -1166,7 +1170,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("lang").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
+    scored = tf.join(df_, "term").withColumn(
         "score", col("tf").cast("double") / col("df")
     )
     w = Window.partitionBy("lang").orderBy(col("score").desc(), col("term"))
@@ -1311,8 +1315,11 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is identical to log-PMI while staying bit-identical across
     engines (CLAUDE.md: transcendentals diverge). Shape: bigram and
     unigram counts are map-side-crushed before their shuffles; the
-    unigram table is vocabulary-sized so it BROADCASTS onto the bigram
-    relation twice; the scalar N rides a 1-row broadcast cross join; the
+    unigram table joins the bigram relation twice UNHINTED — the
+    vocabulary grows with the corpus, so an explicit hint would abort
+    at the 8 GB broadcast ceiling at production scale; AQE's size
+    stats broadcast it while it fits (plan pin) and fall back to a
+    shuffle join past that; the scalar N rides a 1-row broadcast cross join; the
     global top-k is a TakeOrdered, never a full sort. (t1, t2) is unique
     in the bigram relation, so the (score, t1, t2) ordering is total —
     the LIMIT boundary is engine-stable."""
@@ -1333,13 +1340,13 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .persist()  # feeds total + both broadcast probes
+        .persist()  # feeds total + both join probes
     )
     total = uni.agg(F.sum("c").alias("n"))
     scored = (
         big.join(F.broadcast(total))
-        .join(F.broadcast(uni.withColumnRenamed("tok", "t1").withColumnRenamed("c", "c_x")), "t1")
-        .join(F.broadcast(uni.withColumnRenamed("tok", "t2").withColumnRenamed("c", "c_y")), "t2")
+        .join(uni.withColumnRenamed("tok", "t1").withColumnRenamed("c", "c_x"), "t1")
+        .join(uni.withColumnRenamed("tok", "t2").withColumnRenamed("c", "c_y"), "t2")
         .select(
             "t1", "t2", "c_xy", "c_x", "c_y",
             # cast each factor BEFORE multiplying: the int64 products

@@ -93,10 +93,15 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
     For the NEWEST unprocessed round, greens record the CURRENT module
     sha — correct only when invoked at round start (see module doc).
     For any SKIPPED intermediate rounds (ritual missed a round): their
-    module states are gone, so greens keep whatever sha the ledger
-    already holds (conservative — at worst an unnecessary re-front) and
-    their FAILED verdicts still remove rows, which is round-independent
-    and must not be lost.
+    module states are gone, so greens with an existing row keep
+    whatever sha the ledger already holds (at worst an unnecessary
+    re-front), greens with NO row record the round with an EMPTY sha —
+    an empty sha means "verdict exists but its baseline content is
+    unknown", which __spark_entry__.py treats as front-on-next-window
+    (without the row, a later rewrite of that module would never
+    trigger content fronting and would fall silently to the slow
+    oldest-first sweep). Failed verdicts still remove rows, which is
+    round-independent and must not be lost.
 
     An UNDECODABLE round file (truncated mid-write — the case
     _checked_status degrades on) stops processing at that file WITHOUT
@@ -147,6 +152,9 @@ def update_ledger(repo: str | Path) -> dict[str, dict]:
                 sha = module_sha(qs[name])
                 if sha:
                     ledger[name] = {"round": rnd, "module_sha": sha}
+            elif name not in ledger:
+                # skipped round, no baseline: empty sha = front next window
+                ledger[name] = {"round": rnd, "module_sha": ""}
         processed_through = rnd
     if processed_through == done:
         return ledger  # nothing parsed — leave the ledger file untouched

@@ -262,3 +262,32 @@ def test_bpe_verify_empty_and_liveness(spark):
     # off-alphabet symbol: replace the symbol array wholesale
     alien = syms.withColumn("syms", F.array(F.col("token"), F.lit("zz")))
     assert "symbol_outside_merge_closure" in kinds(merges, alien)
+
+
+def test_sketch_verify_ignores_null_user_ids(spark, tmp_path):
+    """hll_sketch_agg IGNORES NULL inputs; the verify's exact references
+    must too (r8 ADVICE) — with NULL user_ids planted in every type the
+    exact-vs-estimate comparison would otherwise drift by one per type
+    and the honest pipeline would flag spurious violations."""
+    import datetime
+
+    from cqlcopy_spark.operators.analytics import (
+        _sketch_distinct_violations,
+        sketch_distinct_users,
+    )
+
+    sf = str(tmp_path / "sf_nulls")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, (i % 37) if i % 5 else None, f"type_{i % 3}", 1.0, "{}")
+        for i in range(600)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = sketch_distinct_users(spark, sf)
+    out = _sketch_distinct_violations(spark, sf, got=got)
+    assert out.count() == 0, out.collect()

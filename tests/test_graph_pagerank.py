@@ -116,3 +116,32 @@ def test_pagerank_verify_liveness(spark, corrupt, expect_kind):
     out = _pagerank_violations(spark, SF_SMALL, corrupt(F, pr))
     kinds = {r["kind"] for r in out.collect()}
     assert expect_kind in kinds, kinds
+
+
+def test_pagerank_empty_graph_guard(spark, tmp_path):
+    """An EMPTY link graph (zero documents) must yield the empty rank
+    vector and an empty violations relation — not ZeroDivisionError
+    from the 1/n teleport term (r8 ADVICE). A claimed nonempty vector
+    over the empty graph must still violate (every node is extra)."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.operators.graph import (
+        _pagerank_violations,
+        graph_pagerank,
+        graph_pagerank_verify,
+    )
+
+    sf = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    pr = graph_pagerank(spark, sf)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["node", "pr"]
+    assert graph_pagerank_verify(spark, sf).count() == 0
+
+    fake = spark.createDataFrame([("ghost", 1.0)], "node string, pr double")
+    kinds = {r["kind"] for r in _pagerank_violations(spark, sf, fake).collect()}
+    assert kinds == {"extra_node"}

@@ -1,0 +1,62 @@
+"""1 GB-driver-heap smoke (r8 VERDICT item 6; CLAUDE.md invariant).
+
+The grading harness runs a DEFAULT driver heap (the verify session sets
+no driver-memory config → JVM default 1g), while session_builder's
+tests run at 8g — bpe_verify once OOMed exactly in that gap by
+materializing an 8-level merge-fold lineage per violation branch. Every
+round's NEW heavy-lineage ops must therefore complete under the
+driver's exact session shape, not just the test session's.
+
+This spawns a fresh subprocess (driver memory is fixed at JVM launch —
+an existing session can't be re-shrunk) with the verify skill's session
+config and runs the r8-new heavy ops end-to-end at the driver's sf0.01,
+collecting results the way the driver's hash compare does.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+# the r8-new ops VERDICT flagged for this smoke (heavy lineage: clustered
+# cosine verdicts, corpus-wide span argmin, sequential micro-batch LSH
+# probe, multi-gate funnel reusing four ops' expressions)
+HEAVY_OPS = [
+    "dedup_semdedup",
+    "dedup_spans",
+    "stream_minhash_incremental",
+    "curation_funnel",
+]
+
+_SCRIPT = r"""
+import importlib.util, sys
+spec = importlib.util.spec_from_file_location('__spark_entry__', '/root/repo/__spark_entry__.py')
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+# EXACTLY the verify/driver session: local[8], shuffle 8, NO driver-memory
+spark = (SparkSession.builder.master('local[8]')
+         .config('spark.sql.shuffle.partitions', '8')
+         .config('spark.sql.session.timeZone', 'UTC')
+         .config('spark.ui.enabled', 'false').getOrCreate())
+heap = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+assert heap < 1.2 * 1024**3, f'driver heap {heap} is not the default ~1g'
+qs = mod.queries()
+for name in sys.argv[1:]:
+    rows = qs[name](spark, '/root/testdata/sf0.01').collect()
+    print(name, 'rows:', len(rows), flush=True)
+spark.stop()
+print('HEAP_SMOKE_OK')
+"""
+
+
+def test_heavy_ops_complete_at_default_driver_heap():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, *HEAVY_OPS],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "HEAP_SMOKE_OK" in proc.stdout
+    for name in HEAVY_OPS:
+        assert f"{name} rows:" in proc.stdout

@@ -442,6 +442,35 @@ def test_dehinted_scaling_dim_joins_still_broadcast(spark, name, banned):
     assert "CartesianProduct" not in p, p
 
 
+@pytest.mark.parametrize(
+    "name, banned",
+    [
+        ("tfidf_top_terms", "broadcast(df_"),
+        ("cooccurrence_pmi", "broadcast(uni"),
+        ("bpe_segment_docs", "broadcast(vocab"),
+    ],
+)
+def test_dehinted_vocab_joins_still_broadcast(spark, name, banned):
+    """r8 VERDICT items 1-3: the last corpus-growing broadcast hints —
+    the term document-frequency table (tfidf), the unigram count table
+    (PMI, hinted twice), and the learned BPE symbol table — are gone.
+    Unlike the nation/region dims these tables are VOCABULARY-sized and
+    the vocabulary grows with the corpus (heaps-law sublinear, but
+    10⁹+ distinct tokens at web scale); an explicit hint is honored
+    unconditionally and aborts at the 8 GB ceiling at 100×. These pins
+    prove the deletion cost nothing at bench SF: size stats still pick
+    a broadcast hash join while the table fits, and past the ceiling
+    the same plan degrades to a shuffle join instead of aborting."""
+    import inspect
+
+    src = inspect.getsource(QUERIES[name])
+    assert banned not in src, f"{name} re-grew a vocabulary-table hint"
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """Scale recipe pin: with runtime bloom filters on, a selective dim
     filter (orders priority) injects might_contain(bloom_filter_agg(...))

@@ -446,3 +446,30 @@ def test_curation_funnel_dedup_gate_planted(spark, tmp_path):
     finally:
         con.close()
     assert not compare(got, want)
+
+
+def test_rotation_skipped_round_green_records_empty_sha_row(tmp_path):
+    """r8 ADVICE: a green verdict in a SKIPPED intermediate round with no
+    pre-existing ledger row must still record a row (round + EMPTY sha)
+    — without it a later rewrite of that module never triggers
+    content-hash fronting and falls silently to the oldest-first sweep.
+    __spark_entry__.queries() treats the empty-sha row as
+    front-on-next-window."""
+    import json
+
+    from cqlcopy_spark.plans.registry import all_queries
+    from cqlcopy_spark.plans.rotation import META_KEY, update_ledger
+
+    names = sorted(all_queries())
+    a, b = names[0], names[1]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+
+    # r01 greens `a` in a SKIPPED round (never processed alone), r02 is
+    # the newest and greens only `b`: processing both at once makes r01
+    # an intermediate round whose module state is gone.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({a: ok}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({b: ok}))
+    led = update_ledger(tmp_path)
+    assert led[META_KEY]["last_round"] == 2
+    assert led[a] == {"round": 1, "module_sha": ""}  # front next window
+    assert led[b]["round"] == 2 and led[b]["module_sha"] != ""
