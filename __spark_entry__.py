@@ -84,21 +84,32 @@ _PRIORITY_UNCHECKED = (
 )
 
 # Queries whose standing verdict is known-stale and must re-verify
-# regardless of what the content-hash ledger says (r7 VERDICT items 1-3:
-# the three block-fold consumers whose r05 greens predate their rewrite,
-# plus the five ops edited in round 8 whose re-green the verdict
-# explicitly demands). Self-pruning: fronting deactivates per query once
-# it has a verdict from round >= _FORCE_FRONT_ROUND.
-_FORCE_FRONT_ROUND = 8
+# regardless of what the content-hash ledger says. Round 9 (r8 VERDICT
+# item 3): the 9 entries still carrying r4 verdicts must drain THIS
+# round — round 9's edits to text/curation/graph/analytics front every
+# query in those modules via the content-hash rule (module sha is
+# per-FILE), which would otherwise crowd the oldest cohort out of the
+# 50-slot window for yet another round. Self-pruning: fronting
+# deactivates per query once it has a verdict from round >=
+# _FORCE_FRONT_ROUND.
+_FORCE_FRONT_ROUND = 9
 _FORCE_FRONT = (
-    "timeseries_trend",
-    "winsorize_stats",
-    "decile_bands",
-    "agg_scalar_subquery",
-    "agg_promo_ratio",
-    "filter_disjunctive",
-    "boilerplate_strip",
-    "layout_zorder_stats",
+    "stream_tumbling_agg",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_dedup",
+    "stream_sliding_agg",
+    "stream_static_join",
+    "stream_ohlc",
+    "copy_reconcile",
+    "join_asof_nearest",
+    # the three dehinted vocabulary-join ops (r8 VERDICT item 1): their
+    # r7 greens predate the hint removal, and they sort BEHIND the ~100
+    # older changed-module entries in the rank-4 pool — without forcing
+    # they miss the 50-slot window this round.
+    "tfidf_top_terms",
+    "cooccurrence_pmi",
+    "bpe_segment_docs",
 )
 
 

@@ -163,6 +163,14 @@ def main() -> None:
     # "parsed": null with a truncated tail. stdout carries totals plus
     # the top-20 slowest (the entries regression triage actually reads);
     # the FULL map goes to BENCH_HISTORY.jsonl below.
+    # r8 VERDICT item 8: a query measured for the FIRST time (no prior
+    # history row at this config) that lands >3s is an outlier needing
+    # an immediate plan audit — stream_minhash_incremental entered at
+    # 6.1s and was only noticed in the verdict's top-5 sweep. Surface
+    # them in the stdout line so the audit happens the round they land.
+    base["new_query_outliers_over_3s"] = sorted(
+        n for n, t in timings.items() if n not in prior and t > 3.0
+    )
     top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(json.dumps({**base, "queries": top20, "queries_truncated_to": 20}))
     # Round-over-round history: every run's complete per-query map.

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
@@ -964,6 +964,180 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently over-delete).
     """
     return _span_dedup(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings — arbitrary-length exact-substring dedup (suffix-array shape)
+# ---------------------------------------------------------------------------
+
+# dedup_spans removes repeated FIXED 3-word blocks, so a repeated 50-token
+# run is only removed block-piecewise and block-boundary phase can leave
+# ≤2-word stubs of a genuine duplicate (r8 VERDICT item 2 names this the
+# one daylight vs production C4/RefinedWeb dedup, i.e. the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" suffix-array
+# pass). This operator closes it with SLIDING stride-1 windows: a token is
+# excised iff some k-token window COVERING it is a corpus-wide duplicate
+# (its content's global first occurrence, by (doc_id, start), is at a
+# different position). Any repeated run of length L >= k contributes
+# L-k+1 duplicate windows in its later occurrence, covering ALL L tokens
+# — the run is excised in full, at any phase, with no stubs; runs < k are
+# never touched. Self-overlapping periodic runs resolve conservatively
+# (the later copies' tokens all go; the first occurrence always survives
+# because its windows ARE the argmin).
+
+_SUBSTR_K = 6
+
+_SUBSTR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s,
+         array_to_string(ws[i+1 : i+{_SUBSTR_K}], ' ') AS sub
+  FROM w, UNNEST(range(len(ws) - {_SUBSTR_K} + 1)) AS t(i)
+),
+r AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY sub ORDER BY doc_id, s) AS rn
+  FROM win
+),
+dup AS (SELECT doc_id, s AS ds FROM r WHERE rn > 1),
+tok AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos, ws[j+1] AS wd
+  FROM w, UNNEST(range(len(ws))) AS t(j)
+),
+ev AS (
+  SELECT doc_id, pos, 1 AS is_tok, wd, CAST(NULL AS BIGINT) AS ds FROM tok
+  UNION ALL
+  SELECT doc_id, ds AS pos, 0 AS is_tok, NULL AS wd, ds FROM dup
+),
+scan AS (
+  SELECT doc_id, pos, is_tok, wd,
+         MAX(ds) OVER (PARTITION BY doc_id ORDER BY pos, is_tok
+                       ROWS UNBOUNDED PRECEDING) AS last_ds
+  FROM ev
+)
+SELECT doc_id,
+       COALESCE(string_agg(
+         CASE WHEN is_tok = 1
+                AND (last_ds IS NULL OR last_ds < pos - {_SUBSTR_K} + 1)
+              THEN wd END, ' ' ORDER BY pos, is_tok), '') AS clean_text,
+       CAST(SUM(is_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN is_tok = 1
+                       AND NOT (last_ds IS NULL
+                                OR last_ds < pos - {_SUBSTR_K} + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM scan GROUP BY doc_id
+"""
+
+
+def _substring_dedup(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """Sliding-window exact-substring dedup over a documents frame
+    (doc_id, text): excise every token covered by a k-token window whose
+    content already occurred earlier in the corpus (global (doc_id,
+    start) order), reassemble survivors in order.
+
+    Scale shape (the suffix-array pass, distributed):
+    - windows are a map-only stride-1 posexplode (n rows per n-token
+      doc, no shuffle);
+    - global first occurrence per window content is argmin-via-groupBy
+      (partial-combines map-side; a boilerplate window repeated
+      millions of times collapses per map task) + a skew-splittable
+      probe join — NOT a row_number window (CLAUDE.md hot-key rule);
+    - coverage is a LOCF scan, not a range join: duplicate-window
+      starts and tokens union into one relation, a running MAX over
+      (pos, is_tok) ROWS frame gives each token the latest duplicate
+      start at-or-before it, and the token is removed iff that start
+      is within k-1 positions. ONE window shuffle on doc_id, and the
+      final reassembly groupBy rides the same partitioning.
+    At 100 TB the aggregate/join key becomes md5(sub) so key width is
+    constant (64-bit hashes birthday-collide at ~4e9 distinct windows
+    and would over-delete); window text never rides the coverage side.
+    The (pos, is_tok) order is a ROWS frame over unique tuples —
+    engine-deterministic (CLAUDE.md cumulative-frame rule) — and a
+    duplicate window starting AT a token's position sorts before it,
+    so it covers that token."""
+    words = d.filter(col("text").isNotNull() & (col("text") != "")).select(
+        "doc_id", F.split(col("text"), " ").alias("ws")
+    )
+    # sequence(0, size-k) DESCENDS for size < k (CLAUDE.md trap): gate
+    # window generation on size >= k; shorter docs still contribute
+    # tokens below and survive untouched.
+    wins = (
+        words.filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {k}),"
+                    f" i -> array_join(slice(ws, i + 1, {k}), ' '))"
+                )
+            ).alias("s", "sub"),
+        )
+        .persist()
+    )
+    # ^ persist: feeds BOTH the argmin aggregate and the probe join —
+    # two shuffles over different children, ReuseExchange can't help
+    # (CLAUDE.md self-join rule). Tokens re-read the parquet scan
+    # instead (map-only, the cheapest lineage to re-run).
+    firsts = wins.groupBy("sub").agg(F.min(F.struct("doc_id", "s")).alias("f"))
+    dups = (
+        wins.join(firsts, "sub")
+        .filter((col("doc_id") != col("f.doc_id")) | (col("s") != col("f.s")))
+        .select("doc_id", col("s").alias("ds"))
+    )
+    toks = words.select("doc_id", F.posexplode("ws").alias("pos", "wd"))
+    ev = toks.select(
+        "doc_id",
+        col("pos").cast("long").alias("pos"),
+        F.lit(1).alias("is_tok"),
+        "wd",
+        F.lit(None).cast("long").alias("ds"),
+    ).unionByName(
+        dups.select(
+            "doc_id",
+            col("ds").cast("long").alias("pos"),
+            F.lit(0).alias("is_tok"),
+            F.lit(None).cast("string").alias("wd"),
+            col("ds").cast("long").alias("ds"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scan = ev.withColumn("last_ds", F.max("ds").over(w))
+    keep = (col("is_tok") == 1) & (
+        col("last_ds").isNull() | (col("last_ds") < col("pos") - (k - 1))
+    )
+    kept_struct = F.when(keep, F.struct("pos", "wd"))
+    return scan.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["wd"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("is_tok").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when((col("is_tok") == 1) & ~keep, 1).otherwise(0)
+        ).cast("long").alias("n_removed"),
+    )
+
+
+@register("dedup_substrings", oracle=_SUBSTR_ORACLE)
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length exact-substring dedup (the Lee et al. 2022
+    suffix-array shape, distributed): any corpus-wide repeated run of
+    >= 6 tokens is excised IN FULL from every later occurrence — no
+    block-phase stubs (the residue dedup_spans' fixed blocks can leave;
+    tests/test_dedup_substrings.py plants exactly that case). See
+    _substring_dedup for the window/argmin/LOCF plan."""
+    return _substring_dedup(
         table(spark, sf_dir, "documents").select("doc_id", "text")
     ).orderBy("doc_id")
 

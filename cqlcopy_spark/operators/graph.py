@@ -122,8 +122,9 @@ ORDER BY k.node
 """
 
 
-@register("graph_triangles", oracle=_TRIANGLE_ORACLE)
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _triangle_stats(
+    spark: SparkSession, sf_dir: str, broadcast_nodes: bool = True
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected domain link graph — the third classic graph workload
     beside PageRank and connected components, and the standard
@@ -154,11 +155,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     k = deg.withColumn("okey", F.format_string("%012d|%s", col("d"), col("node")))
-    # broadcast assumes a DOMAIN-level graph (|V| ≪ |E|, node table is
-    # KB-scale); a page-level variant (|V| ~ corpus size) must leave the
-    # order-key table unhinted so the join shuffles on node instead
-    ka = F.broadcast(k.select(col("node").alias("a"), col("okey").alias("okey_a")))
-    kb = F.broadcast(k.select(col("node").alias("b"), col("okey").alias("okey_b")))
+    # broadcast_nodes=True assumes a DOMAIN-level graph (|V| ≪ |E|, node
+    # table is KB-scale); graph_triangles_pages passes False for the
+    # page-level case (|V| ~ corpus size), leaving the order-key table
+    # unhinted so size stats/AQE pick the join — broadcast while it
+    # fits, shuffle-on-node past the ceiling instead of aborting
+    hint = F.broadcast if broadcast_nodes else (lambda df: df)
+    ka = hint(k.select(col("node").alias("a"), col("okey").alias("okey_a")))
+    kb = hint(k.select(col("node").alias("b"), col("okey").alias("okey_b")))
     lo_first = col("okey_a") < col("okey_b")
     o = (
         e.join(ka, "a")
@@ -205,6 +209,28 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-graph triangle counting (|V| ≪ |E|: node/order-key tables
+    broadcast by explicit hint). See _triangle_stats."""
+    return _triangle_stats(spark, sf_dir, broadcast_nodes=True)
+
+
+@register("graph_triangles_pages", oracle=_TRIANGLE_ORACLE)
+def graph_triangles_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-graph triangle counting (r8 VERDICT item 7): |V| ~ corpus
+    size, so the order-key table must NOT carry an unconditional
+    broadcast hint — an explicit hint aborts at the 8 GB ceiling when
+    the node table is web-scale. This variant leaves every node-table
+    join unhinted: size stats/AQE broadcast while it fits (identical
+    plan at bench SF, pinned) and degrade to a shuffle join on node
+    past the ceiling (pinned with broadcasts force-disabled — the plan
+    stays SMJ, no cartesian, no abort). Same relation, same oracle, as
+    graph_triangles; the wedge O(m^1.5) bound is orientation-derived
+    and independent of the node-join strategy."""
+    return _triangle_stats(spark, sf_dir, broadcast_nodes=False)
 
 
 _LINK_PREDICT_CAP = 64  # apex degree cap: hub neighbors carry no signal
@@ -254,8 +280,9 @@ LIMIT {_LINK_PREDICT_TOPN}
 """
 
 
-@register("graph_link_predict", oracle=_LINK_PREDICT_ORACLE)
-def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _link_predictions(
+    spark: SparkSession, sf_dir: str, broadcast_degrees: bool = True
+) -> DataFrame:
     """Common-neighbor link prediction: the top-{N} NON-edges ranked by
     neighborhood Jaccard |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic
     "should these two domains be linked" signal, and the pairwise-
@@ -279,10 +306,13 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(col("b").alias("node"), col("a").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # broadcast_degrees=True is the domain-level-graph assumption (deg
+    # is node-sized, KB here); graph_link_predict_pages passes False so
+    # size stats/AQE pick the degree joins — the page-level |V| ~ corpus
+    # case shuffles on node past the ceiling instead of aborting
+    hint = F.broadcast if broadcast_degrees else (lambda df: df)
     af = (
-        # domain-level-graph assumption: deg is node-sized (KB here);
-        # the page-level variant drops this hint and shuffles on node
-        adj.join(F.broadcast(deg), "node")
+        adj.join(hint(deg), "node")
         .filter(col("d") <= _LINK_PREDICT_CAP)
         .select("node", "nb")
         .persist()
@@ -296,9 +326,10 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     # same domain-level-graph assumption as above: degree lookups stay
-    # broadcast only while nodes ≪ edges; unhinted is the page-level form
-    dx = F.broadcast(deg.select(col("node").alias("x"), col("d").alias("dx")))
-    dy = F.broadcast(deg.select(col("node").alias("y"), col("d").alias("dy")))
+    # hinted only while nodes ≪ edges; the pages variant leaves them
+    # to the optimizer
+    dx = hint(deg.select(col("node").alias("x"), col("d").alias("dx")))
+    dy = hint(deg.select(col("node").alias("y"), col("d").alias("dy")))
     cand = (
         pairs.join(dx, "x")
         .join(dy, "y")
@@ -319,6 +350,24 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_LINK_PREDICT_TOPN)
     )
+
+
+@register("graph_link_predict", oracle=_LINK_PREDICT_ORACLE)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-graph link prediction (|V| ≪ |E|: degree tables broadcast
+    by explicit hint). See _link_predictions."""
+    return _link_predictions(spark, sf_dir, broadcast_degrees=True)
+
+
+@register("graph_link_predict_pages", oracle=_LINK_PREDICT_ORACLE)
+def graph_link_predict_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-graph link prediction (r8 VERDICT item 7): degree-table
+    joins left unhinted so a web-scale node table (|V| ~ corpus)
+    degrades to a shuffle join on node instead of aborting at the 8 GB
+    broadcast ceiling — same relation, same oracle, as
+    graph_link_predict; the hub cap's Sum min(d, cap)^2 pair bound is
+    independent of the degree-join strategy."""
+    return _link_predictions(spark, sf_dir, broadcast_degrees=False)
 
 
 @register("graph_pagerank")  # rows-only: iterative float folds (see module doc)

@@ -656,20 +656,102 @@ def read_quantile_state(spark, state_dir: str, ps=(0.5, 0.9, 0.99)) -> DataFrame
     )
 
 
+def _delta_ids(root: str, below_batch: int) -> list[int]:
+    import re
+
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"delta=(\d+)", d)) and int(m.group(1)) < below_batch
+    )
+
+
+def _compact_versions(root: str) -> list[int]:
+    """COMPLETE compaction versions under root/compact (``v=<b>`` dirs
+    with a _SUCCESS marker — a crash mid-compaction leaves no marker
+    and the partial dir is ignored, then overwritten on retry)."""
+    import re
+
+    croot = os.path.join(root, "compact")
+    if not os.path.isdir(croot):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(croot)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(croot, d, "_SUCCESS"))
+    )
+
+
+_COMPACT_EVERY = 4  # compact once this many deltas accumulate below a batch
+
+
+def _maybe_compact_index(
+    spark, root: str, batch_id: int, schema: str, layout_cols: list[str]
+) -> None:
+    """Compact the index deltas strictly below batch_id into ONE
+    ``compact/v=<batch_id>`` dir, hash-clustered and sorted on
+    layout_cols (r8 VERDICT item 2: the band probe must stop rescanning
+    every delta — at thousands of production batches the per-batch
+    probe's file count was ∝ corpus, the exact 'production replaces
+    with a bucketed table probe' debt the docstring carried).
+
+    Deltas stay on disk as the source of truth: a batch can replay OUT
+    OF ORDER after later batches ran (the sink contract — see
+    test_minhash_apply_batch_replay_is_idempotent, which replays the
+    middle batch), and such a replay needs exactly the deltas below
+    ITSELF; _read_index only consults a compact version ≤ the reading
+    batch, falling back to raw deltas, so compaction is purely a read
+    optimization and can never change what any batch sees. Idempotent:
+    a replay of the trigger batch finds its complete v=<batch_id> and
+    skips; a crash mid-write leaves no _SUCCESS and the retry
+    overwrites. At cluster scale this one dir becomes a metastore
+    bucketed table (bucketBy(layout_cols)) so the probe join also
+    skips the corpus-side shuffle; the sorted parquet layout here is
+    the same data arrangement without the single-session metastore
+    dependency."""
+    ids = _delta_ids(root, batch_id)
+    if len(ids) < _COMPACT_EVERY:
+        return
+    vs = _compact_versions(root)
+    if vs and vs[-1] >= batch_id:
+        return  # this batch's (or a later) compaction already complete
+    paths = [os.path.join(root, f"delta={i}") for i in ids]
+    (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .repartition(*layout_cols)
+        .sortWithinPartitions(*layout_cols)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "compact", f"v={batch_id}"))
+    )
+
+
 def _read_index_deltas(
     spark, root: str, below_batch: int, schema: str
 ) -> DataFrame:
-    """Union of the append-only index deltas delta=<b'> with b' <
-    below_batch (empty frame with `schema` when none exist). Reading
-    strictly BELOW the current batch id is what makes a replayed batch
-    re-derive from the same corpus state it saw the first time."""
-    import re
-
+    """Index state strictly below below_batch: the newest COMPLETE
+    compaction v ≤ below_batch (covering every delta < v) plus the raw
+    deltas in [v, below_batch) — or all raw deltas when no usable
+    compaction exists (empty frame with `schema` when none at all).
+    Reading strictly BELOW the current batch id is what makes a
+    replayed batch re-derive from the same corpus state it saw the
+    first time; ignoring compactions NEWER than the reader keeps
+    out-of-order replays correct (a middle batch replayed after later
+    batches must not see a compact table that includes itself)."""
+    usable = [v for v in _compact_versions(root) if v <= below_batch]
     paths = []
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if (m := re.fullmatch(r"delta=(\d+)", d)) and int(m.group(1)) < below_batch:
-                paths.append(os.path.join(root, d))
+    floor = 0
+    if usable:
+        floor = usable[-1]
+        paths.append(os.path.join(root, "compact", f"v={floor}"))
+    paths += [
+        os.path.join(root, f"delta={i}")
+        for i in _delta_ids(root, below_batch)
+        if i >= floor
+    ]
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
@@ -713,6 +795,25 @@ def minhash_apply_batch(
     )
 
     spark = batch_df.sparkSession
+    # compact BEFORE probing (r8 VERDICT item 2): once _COMPACT_EVERY
+    # deltas sit below this batch, fold them into one (band, key)-
+    # clustered dir so the probe (and the refine's hashes read) stop
+    # rescanning a file set that grows with every batch — see
+    # _maybe_compact_index for the out-of-order-replay safety argument.
+    _maybe_compact_index(
+        spark,
+        os.path.join(state_dir, "bands"),
+        batch_id,
+        "doc_id long, band int, key string",
+        ["band", "key"],
+    )
+    _maybe_compact_index(
+        spark,
+        os.path.join(state_dir, "hashes"),
+        batch_id,
+        "doc_id long, hashes array<long>",
+        ["doc_id"],
+    )
     prev_bands = _read_index_deltas(
         spark,
         os.path.join(state_dir, "bands"),
@@ -805,9 +906,17 @@ def continuous_minhash_dedup_sink(
     Candidate volume per batch is Σ_key n_new(key)·n_all(key) — batch ×
     bucket occupancy, never corpus² (the dedup_incremental asymmetry).
     The delta layout is the production shape: the index is only ever
-    APPENDED (∝ batch per write); at cluster scale bands/ becomes a
-    table bucketed by (band, key) so the probe join co-locates without
-    a shuffle, and hashes/ a doc_id-bucketed table. The cross-run guard
+    APPENDED (∝ batch per write), and once _COMPACT_EVERY deltas
+    accumulate they are folded into a (band, key)-clustered
+    ``compact/v=<b>`` dir (hashes/ clustered by doc_id) so the
+    per-batch probe reads ONE compacted dir plus at most
+    _COMPACT_EVERY-1 tail deltas — bounded, instead of a file set
+    growing with every batch (r8 VERDICT item 2). Deltas stay on disk
+    as replay truth: _read_index_deltas ignores compactions newer than
+    the reading batch, so out-of-order replays still see exactly their
+    original corpus state. At cluster scale the compact dir becomes a
+    metastore bucketed table so the probe join also skips the
+    corpus-side shuffle. The cross-run guard
     (_run_guard) refuses a foreign checkpoint ('error') or wipes the
     delta subdirs and recomputes ('restart') — merging index deltas
     across checkpoint lineages double-counts because batch ids restart.

@@ -471,6 +471,40 @@ def test_dehinted_vocab_joins_still_broadcast(spark, name, banned):
     assert "CartesianProduct" not in p, p
 
 
+@pytest.mark.parametrize(
+    "name", ["graph_triangles_pages", "graph_link_predict_pages"]
+)
+def test_page_graph_variants_shuffle_on_node_past_ceiling(spark, name):
+    """r8 VERDICT item 7: the page-graph variants carry NO node-table
+    broadcast hint. Two halves of the contract: (a) at bench SF the
+    optimizer's size stats still pick broadcast joins (dehinting costs
+    nothing while the node table fits); (b) with broadcasting force-
+    disabled — standing in for a web-scale node table past the 8 GB
+    ceiling — the SAME code plans pure shuffle joins on node, no
+    cartesian, no nested-loop, no abort. The hinted domain-graph twins
+    would ignore (b): an explicit hint is honored unconditionally."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        # the default-conf half above persisted the shared edge lineage
+        # with a stats-picked BHJ baked into its cached physical plan;
+        # the cache manager would splice that InMemoryRelation into the
+        # dehinted plan and fake a broadcast under -1
+        spark.catalog.clearCache()
+        p = plan_of(QUERIES[name](spark, SF_SMALL))
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 0, p
+        assert "SortMergeJoin" in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoop" not in p, p
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """Scale recipe pin: with runtime bloom filters on, a selective dim
     filter (orders priority) injects might_contain(bloom_filter_agg(...))
@@ -825,6 +859,25 @@ def test_span_dedup_partial_argmin_no_window(spark):
     assert "partial_min(struct(doc_id" in p, p
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_substring_dedup_argmin_single_locf_window(spark):
+    """dedup_substrings: first-occurrence resolution stays argmin-via-
+    groupBy (map-side partial_min before the window-content exchange —
+    a hot boilerplate window must partial-combine and leave the probe
+    join AQE-splittable), and token coverage is the ONE doc_id-keyed
+    LOCF Window — never a token×window range join (no cartesian, no
+    extra join) and never a Window over the window-content key. The
+    final reassembly groupBy must ride the LOCF window's doc_id
+    partitioning: 3 shuffle exchanges total (firsts agg, LOCF window,
+    presentation sort)."""
+    p = plan_of(QUERIES["dedup_substrings"](spark, SF_SMALL))
+    assert "partial_min(struct(doc_id" in p, p
+    # one Window node (the doc_id LOCF scan), counted by detail header
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert shuffle_exchanges(p) <= 3, p
 
 
 def test_semdedup_one_arrow_stage_no_cartesian(spark):

@@ -164,3 +164,116 @@ def test_minhash_sink_cross_run_guard(spark, tmp_path):
         (r["new_doc"], r["dup_of"]) for r in read_minhash_pairs(spark, state).collect()
     }
     assert got == want
+
+
+def _split_corpus(n_batches: int, per_batch: int = 3):
+    """Deterministic corpus sliced into n_batches; every batch b>0
+    contains one near-dup of a batch-0 doc so cross-batch probes always
+    have work."""
+    batches = []
+    nid = 100
+    for b in range(n_batches):
+        rows = []
+        for i in range(per_batch):
+            if b > 0 and i == 0:
+                rows.append((nid, _doc(1, tweak=(b % 28) + 1)))
+            else:
+                rows.append((nid, _doc(nid)))
+            nid += 1
+        batches.append(rows)
+    return batches
+
+
+def test_minhash_probe_reads_are_bounded_after_compaction(spark, tmp_path):
+    """r8 VERDICT item 2: at thousands of production batches the probe
+    must NOT rescan every delta. After > _COMPACT_EVERY batches the
+    state must hold a complete compact/v=<b> dir, and the file set a
+    NEW batch reads must be one compacted dir plus at most
+    _COMPACT_EVERY-1 tail deltas — while the cumulative pair report
+    stays equal to the one-shot batch op over the same corpus."""
+    from cqlcopy_spark.plans.registry import all_queries
+    from cqlcopy_spark.streaming.sinks import (
+        _COMPACT_EVERY,
+        _compact_versions,
+        _delta_ids,
+        _read_index_deltas,
+        minhash_apply_batch,
+        read_minhash_pairs,
+    )
+
+    batches = _split_corpus(7)
+    state = str(tmp_path / "state")
+    for b, rows in enumerate(batches):
+        minhash_apply_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, state
+        )
+
+    bands_root = os.path.join(state, "bands")
+    vs = _compact_versions(bands_root)
+    assert vs, "no complete compaction after 7 batches"
+    v = vs[-1]
+    assert v >= _COMPACT_EVERY
+    # what batch 7 would read: the compact dir + deltas in [v, 7) —
+    # bounded by _COMPACT_EVERY, not by the batch count
+    tail = [i for i in _delta_ids(bands_root, 7) if i >= v]
+    assert len(tail) <= _COMPACT_EVERY - 1 + (7 - 7)
+    assert len(tail) == 7 - v
+    # the read itself contains every band row below batch 7 exactly once
+    full = _read_index_deltas(
+        spark, bands_root, 7, "doc_id long, band int, key string"
+    )
+    raw = spark.read.schema("doc_id long, band int, key string").parquet(
+        *[os.path.join(bands_root, f"delta={i}") for i in _delta_ids(bands_root, 7)]
+    )
+    assert (
+        full.groupBy("doc_id", "band", "key").count().filter("count != 1").count()
+        == 0
+    )
+    assert full.count() == raw.count()
+
+    # end-to-end: cumulative report == one-shot batch op on the union
+    corpus = str(tmp_path / "corpus")
+    allrows = [r for b in batches for r in b]
+    spark.createDataFrame(allrows, "doc_id long, text string").write.parquet(
+        os.path.join(corpus, "documents.parquet")
+    )
+    want = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in all_queries()["dedup_fuzzy_minhash"](spark, corpus).collect()
+    }
+    got = {
+        (min(r["new_doc"], r["dup_of"]), max(r["new_doc"], r["dup_of"])): r["jaccard"]
+        for r in read_minhash_pairs(spark, state).collect()
+    }
+    assert got == want
+
+
+def test_minhash_out_of_order_replay_ignores_newer_compaction(spark, tmp_path):
+    """The compaction-safety contract: a MIDDLE batch replayed after
+    later batches (and after compaction) must re-derive from exactly
+    its original corpus state — _read_index_deltas must ignore compact
+    versions newer than the reading batch and fall back to raw deltas.
+    The replay must leave the cumulative report unchanged."""
+    from cqlcopy_spark.streaming.sinks import (
+        minhash_apply_batch,
+        read_minhash_pairs,
+    )
+
+    batches = _split_corpus(6)
+    state = str(tmp_path / "state")
+    frames = [
+        spark.createDataFrame(rows, "doc_id long, text string") for rows in batches
+    ]
+    for b, df in enumerate(frames):
+        minhash_apply_batch(df, b, state)
+    before = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in read_minhash_pairs(spark, state).collect()
+    }
+    assert before
+    minhash_apply_batch(frames[1], 1, state)  # replay past the compaction
+    after = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in read_minhash_pairs(spark, state).collect()
+    }
+    assert after == before
