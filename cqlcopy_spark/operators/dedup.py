@@ -1053,9 +1053,14 @@ def _substring_dedup(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
       start at-or-before it, and the token is removed iff that start
       is within k-1 positions. ONE window shuffle on doc_id, and the
       final reassembly groupBy rides the same partitioning.
-    At 100 TB the aggregate/join key becomes md5(sub) so key width is
-    constant (64-bit hashes birthday-collide at ~4e9 distinct windows
-    and would over-delete); window text never rides the coverage side.
+    The aggregate/join key IS md5(window) — fixed 16 bytes, so neither
+    the argmin shuffle nor the probe join ever moves window TEXT, only
+    doc-position pairs under constant-width keys (64-bit hashes
+    birthday-collide at ~4e9 distinct windows and would over-delete;
+    128 bits is birthday-safe at any corpus size — the same judgment
+    as dedup_spans). The oracle groups by the window text itself:
+    grouping by an injective-in-practice hash induces the same
+    partition of windows, so the relations agree.
     The (pos, is_tok) order is a ROWS frame over unique tuples —
     engine-deterministic (CLAUDE.md cumulative-frame rule) — and a
     duplicate window starting AT a token's position sorts before it,
@@ -1073,7 +1078,7 @@ def _substring_dedup(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(ws) - {k}),"
-                    f" i -> array_join(slice(ws, i + 1, {k}), ' '))"
+                    f" i -> unhex(md5(array_join(slice(ws, i + 1, {k}), ' '))))"
                 )
             ).alias("s", "sub"),
         )

@@ -1347,3 +1347,310 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans — distributed Lloyd clustering + its verify twin
+# ---------------------------------------------------------------------------
+
+# The IVF path (similarity_ann_ivf) trains k-means driver-side on a
+# CAPPED sample — correct for centroid training, but the corpus-wide
+# clustering workload itself (assign EVERY vector, iterate on the full
+# data) is the classic iterative-ML shape this registry had not yet
+# exercised distributedly. Lloyd here runs on the whole corpus: per
+# iteration one Arrow-batched matmul pass assigns vectors AND emits
+# per-Arrow-batch partial sums (map-side combine in the Python stage —
+# the per-cell state that reaches the JVM is one dims-array per batch,
+# never a group-sized list), a k-row JVM aggregate folds the partials,
+# and the k×dim centroid matrix (a CONSTANT-sized hyperparameter table,
+# unlike the corpus-growing vocab tables r9 dehinted) rides back to the
+# driver exactly like graph_pagerank's one scalar. Iterative float
+# folds have no stable SQL oracle -> rows-only + the verify twin below
+# (same discipline as graph_pagerank_verify).
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+
+
+def _kmeans_partials_fn(centroids):
+    """mapInPandas kernel: per Arrow batch, assign each vector to its
+    nearest centroid (BLAS matmul argmin) and emit ONE partial row per
+    occupied cell: (cell, element-wise sum array, count)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches):
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            # argmin |x-c|^2 == argmin |c|^2 - 2 x.c (xx is row-constant)
+            a = (cc[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            cells, sums, cnts = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                cells.append(int(c))
+                sums.append(X[m].sum(axis=0).tolist())
+                cnts.append(int(m.sum()))
+            yield pd.DataFrame({"cell": cells, "s": sums, "cnt": cnts})
+
+    return fn
+
+
+def _kmeans_assign_fn(centroids):
+    """mapInPandas kernel for the final labeled pass: (vec_id, cluster,
+    dist2) per vector, nearest-centroid with lowest-cluster-id ties."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches):
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            xx = (X * X).sum(axis=1)
+            d2 = cc[None, :] - 2.0 * (X @ C.T) + xx[:, None]
+            a = d2.argmin(axis=1)  # np argmin: FIRST minimum -> lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "dist2": d2[np.arange(len(a)), a],
+                }
+            )
+
+    return fn
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Full-corpus Lloyd: returns (final centroid list, assignment
+    DataFrame vs those final centroids). Driver traffic per iteration
+    is the k x dim centroid matrix only."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    ).persist()  # consumed by every iteration pass + the final assign
+    n = e.count()  # one driver scalar (parallelism sizing + init stride)
+    if n == 0:
+        return [], e.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("dist2"),
+        ).limit(0)
+    # deterministic strided init: the K lowest vec_ids on a stride that
+    # spans the id range (seedless, reproducible, like IVF's sample)
+    stride = max(1, n // _KMEANS_K)
+    init = (
+        e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0)
+        .orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .collect()
+    )
+    C = [list(r["emb"]) for r in init]
+    while len(C) < _KMEANS_K:  # degenerate tiny corpus: duplicate last
+        C.append(list(C[-1]))
+    par = max(1, min(spark.sparkContext.defaultParallelism, n // 20_000 + 1))
+    ep = e.repartition(par)
+    for _ in range(_KMEANS_ITERS):
+        part = ep.mapInPandas(
+            _kmeans_partials_fn(C), schema="cell int, s array<double>, cnt long"
+        )
+        # fold the per-batch partials: rows per cell == #Arrow batches
+        # (bounded by partition count), so the collect_list is
+        # partition-sized, never corpus-sized
+        rows = (
+            part.groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array_repeat(F.lit(0.0), _EMB_DIM),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("s"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        for r in rows:
+            if r["cnt"]:
+                C[r["cell"]] = [v / r["cnt"] for v in r["s"]]
+        # cells with no partial row keep their previous centroid
+    assigned = ep.mapInPandas(
+        _kmeans_assign_fn(C), schema="vec_id long, cluster int, dist2 double"
+    )
+    return C, assigned
+
+
+@register("embedding_kmeans")  # rows-only: iterative float folds
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd, 4 iterations, k=8) over the corpus
+    embeddings: per-vector (vec_id, cluster, dist2) against the FINAL
+    centroids — the semantic-bucketing pass SemDeDup-style pruning and
+    IVF indexing build on, run on the full data rather than a training
+    sample. See the section comment for the per-iteration shape; the
+    driver-red escape hatch is embedding_kmeans_verify."""
+    _, assigned = _kmeans_fit(spark, sf_dir)
+    return assigned.orderBy("vec_id")
+
+
+_KMEANS_VERIFY_ORACLE = """
+SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS metric
+WHERE 1 = 0
+"""
+
+
+def _kmeans_violations(
+    spark: SparkSession, sf_dir: str, centroids, assigned: DataFrame
+) -> DataFrame:
+    """Invariant violations of a claimed k-means result (empty iff
+    consistent). The argmin check recomputes distances with a pure-JVM
+    zip_with fold over centroid LITERALS — a different float-summation
+    order and a different code path from the Arrow/BLAS kernel, so a
+    kernel bug cannot hide in its own arithmetic. Checked:
+    - assignment parity: every corpus vec_id exactly once, none
+      invented, cluster id within [0, k);
+    - argmin optimality: dist2(x, c_assigned) <= min_j dist2(x, c_j) +
+      slack AND the reported dist2 matches the JVM recompute (slack
+      1e-6 absolute on unit-scale fixture embeddings covers the
+      BLAS-vs-sequential association difference);
+    - Lloyd descent: one MORE update+assign step must not increase the
+      objective Sum dist2 (Lloyd is monotonically non-increasing; a
+      permuted or stale assignment breaks this the way a corrupted
+      PageRank breaks the contraction bound)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    ).persist()
+    assigned = assigned.persist()
+    if not centroids:
+        return assigned.select(
+            F.lit("assignment_for_empty_corpus").alias("kind"),
+            col("vec_id"),
+            col("dist2").alias("metric"),
+        ).orderBy("vec_id")
+
+    missing = e.join(assigned, "vec_id", "left_anti").select(
+        F.lit("missing_vector").alias("kind"),
+        col("vec_id"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    extra = assigned.join(e, "vec_id", "left_anti").select(
+        F.lit("extra_vector").alias("kind"),
+        col("vec_id"),
+        col("dist2").alias("metric"),
+    )
+    dup = (
+        assigned.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(col("n") > 1)
+        .select(
+            F.lit("duplicate_vector").alias("kind"),
+            col("vec_id"),
+            col("n").cast("double").alias("metric"),
+        )
+    )
+    bad_id = assigned.filter(
+        col("cluster").isNull()
+        | (col("cluster") < 0)
+        | (col("cluster") >= len(centroids))
+    ).select(
+        F.lit("cluster_out_of_range").alias("kind"),
+        col("vec_id"),
+        col("cluster").cast("double").alias("metric"),
+    )
+
+    def jvm_d2(c):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(col("emb"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    slack = 1e-6
+    d2s = F.array(*[jvm_d2(c) for c in centroids])
+    # element_at THROWS on an out-of-range index (ANSI): guard it so an
+    # out-of-range cluster id lands in bad_id above instead of aborting
+    # the whole verify relation
+    in_range = (
+        col("cluster").isNotNull()
+        & (col("cluster") >= 0)
+        & (col("cluster") < len(centroids))
+    )
+    j = e.join(assigned, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "dist2",
+        F.array_min(d2s).alias("best"),
+        F.when(in_range, F.element_at(d2s, col("cluster") + 1)).alias("own"),
+    ).filter(col("own").isNotNull())
+    not_argmin = j.filter(col("own") > col("best") + slack).select(
+        F.lit("not_nearest_centroid").alias("kind"),
+        col("vec_id"),
+        (col("own") - col("best")).alias("metric"),
+    )
+    bad_dist = j.filter(F.abs(col("own") - col("dist2")) > slack).select(
+        F.lit("reported_dist2_mismatch").alias("kind"),
+        col("vec_id"),
+        F.abs(col("own") - col("dist2")).alias("metric"),
+    )
+
+    # one more Lloyd step, through the SAME public kernels
+    C2 = [list(c) for c in centroids]
+    part = e.mapInPandas(
+        _kmeans_partials_fn(C2), schema="cell int, s array<double>, cnt long"
+    )
+    for r in (
+        part.groupBy("cell")
+        .agg(
+            F.aggregate(
+                F.collect_list("s"),
+                F.array_repeat(F.lit(0.0), _EMB_DIM),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("s"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .collect()
+    ):
+        if r["cnt"]:
+            C2[r["cell"]] = [v / r["cnt"] for v in r["s"]]
+    stepped = e.mapInPandas(
+        _kmeans_assign_fn(C2), schema="vec_id long, cluster int, dist2 double"
+    )
+    j_old = assigned.agg(F.sum("dist2").alias("j0"))
+    j_new = stepped.agg(F.sum("dist2").alias("j1"))
+    n = e.count()
+    worse = (
+        j_new.crossJoin(broadcast(j_old))
+        .filter(col("j1") > col("j0") + F.lit(slack * max(n, 1)))
+        .select(
+            F.lit("objective_increased_after_step").alias("kind"),
+            F.lit(None).cast("long").alias("vec_id"),
+            (col("j1") - col("j0")).alias("metric"),
+        )
+    )
+
+    return (
+        missing.unionByName(extra)
+        .unionByName(dup)
+        .unionByName(bad_id)
+        .unionByName(not_argmin)
+        .unionByName(bad_dist)
+        .unionByName(worse)
+        .orderBy("kind", "vec_id")
+    )
+
+
+@register("embedding_kmeans_verify", oracle=_KMEANS_VERIFY_ORACLE)
+def embedding_kmeans_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-runs embedding_kmeans and emits its invariant violations
+    (expected EMPTY) — the driver-red escape hatch for the rows-only
+    iterative op, same pattern as graph_pagerank_verify. Cost: ~one
+    extra assignment pass plus the one-step Lloyd descent check;
+    planted-corruption liveness pins live in tests/test_kmeans.py."""
+    C, assigned = _kmeans_fit(spark, sf_dir)
+    return _kmeans_violations(spark, sf_dir, C, assigned)

@@ -715,3 +715,133 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         F.abs(col("last_value") - col("ewma")).alias("abs_dev"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# timeseries_interpolate — linear interpolation of missing hourly points
+# ---------------------------------------------------------------------------
+
+# The third member of the resample family: gapfill carries the last
+# value FORWARD (LOCF), time_weighted_avg integrates it; this one draws
+# the straight line BETWEEN the bracketing observations — the standard
+# sensor/metric resampler. The observed point per hour is a PICK (the
+# close: latest (ts, event_id) row's value), not a float aggregate, so
+# the only floating arithmetic is the interpolation expression itself,
+# written as the identical IEEE op sequence in both engines:
+# pv + (nv - pv) * (CAST(pos AS DOUBLE) / CAST(gap AS DOUBLE)).
+
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, hour, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hour, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span
+),
+j AS (
+  SELECT s.user_id, s.hour, h.value
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+),
+f AS (
+  SELECT user_id, hour, value,
+         LAST_VALUE(value IGNORE NULLS) OVER w_prec AS pv,
+         LAST_VALUE(CASE WHEN value IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER w_prec AS ph,
+         FIRST_VALUE(value IGNORE NULLS) OVER w_foll AS nv,
+         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER w_foll AS nh
+  FROM j
+  WINDOW
+    w_prec AS (PARTITION BY user_id ORDER BY hour ROWS UNBOUNDED PRECEDING),
+    w_foll AS (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour,
+       CAST(value IS NOT NULL AS BIGINT) AS observed,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE pv + (nv - pv) * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                                   / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+       END AS ivalue
+FROM f
+ORDER BY user_id, hour
+"""
+
+
+@register("timeseries_interpolate", oracle=_INTERP_ORACLE)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series with missing hours LINEARLY interpolated
+    between the bracketing observed points (observed point = that
+    hour's close — latest (ts, event_id) pick, so no float aggregation
+    enters the parity surface).
+
+    Same single-lineage lead-explode shape as timeseries_gapfill (no
+    spine join, no LOCF pass): each observed hourly row lead-window
+    carries its NEXT observed (hour, value) and explodes its own gap
+    range [hour, next-1h]; a generated row at offset pos inside a gap
+    of length gap is pv + (nv-pv)·(pos/gap) by construction — both
+    bracketing neighbors arrive WITH the row, nothing is carried
+    across rows. Two exchanges total ((user, hour) pick agg + the user
+    lead window; the explode is narrow), fan-out ∝ output grid. The
+    oracle derives the same relation through the spine-join + two
+    IGNORE-NULLS-window formulation — an intentionally different
+    derivation of the same algebra, sharing only the interpolation
+    expression (which must be IEEE-identical: pos/gap division first,
+    then multiply, then add).
+
+    No global ORDER BY on the output — the gapfill precedent: the grid
+    is already clustered by user, a total sort is presentation-only
+    and range-shuffles the full grid at scale; the driver compare is
+    order-insensitive."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    hour = F.date_trunc("hour", col("ts"))
+    hourly = e.groupBy("user_id", hour.alias("hour")).agg(
+        F.max(
+            F.struct(
+                col("ts").alias("ts"),
+                col("event_id").alias("event_id"),
+                col("value").alias("value"),
+            )
+        )["value"].alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    led = hourly.select(
+        "user_id",
+        "hour",
+        "v",
+        F.lead("hour").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    exploded = led.select(
+        "user_id",
+        "v",
+        "nv",
+        F.expr("timestampdiff(HOUR, hour, nh)").alias("gap"),
+        F.posexplode(
+            F.sequence(
+                col("hour"),
+                F.coalesce(col("nh") - F.expr("INTERVAL 1 HOUR"), col("hour")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("pos", "grid_hour"),
+    )
+    at_obs = col("pos") == 0
+    return exploded.select(
+        "user_id",
+        col("grid_hour").alias("hour"),
+        at_obs.cast("long").alias("observed"),
+        F.when(at_obs, col("v"))
+        .otherwise(
+            col("v")
+            + (col("nv") - col("v"))
+            * (col("pos").cast("double") / col("gap").cast("double"))
+        )
+        .alias("ivalue"),
+    )

@@ -880,6 +880,30 @@ def test_substring_dedup_argmin_single_locf_window(spark):
     assert shuffle_exchanges(p) <= 3, p
 
 
+def test_interpolate_single_lineage_no_join(spark):
+    """timeseries_interpolate: the gapfill lead-explode discipline — no
+    spine join, no LOCF pass; one (user, hour) pick aggregate + one
+    user lead window (which shares nothing with a join), then a narrow
+    explode. Two shuffle exchanges total, no join operator at all."""
+    p = plan_of(QUERIES["timeseries_interpolate"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert node not in p, p
+    assert shuffle_exchanges(p) <= 2, p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1, p
+
+
+def test_kmeans_assignment_single_arrow_stage(spark):
+    """embedding_kmeans: the RETURNED assignment plan is one Arrow map
+    stage over the persisted corpus — no row-at-a-time Python, no
+    cartesian; the per-iteration centroid folds ran as separate bounded
+    jobs during plan construction and must not leave joins behind."""
+    p = plan_of(QUERIES["embedding_kmeans"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_semdedup_one_arrow_stage_no_cartesian(spark):
     """dedup_semdedup: exactly ONE Arrow stage (the per-cell pair
     kernel); cell assignment and the verdict join stay JVM-side, and
