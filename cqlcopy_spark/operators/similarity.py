@@ -1360,8 +1360,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercised distributedly. Lloyd here runs on the whole corpus: per
 # iteration one Arrow-batched matmul pass assigns vectors AND emits
 # per-Arrow-batch partial sums (map-side combine in the Python stage —
-# the per-cell state that reaches the JVM is one dims-array per batch,
-# never a group-sized list), a k-row JVM aggregate folds the partials,
+# the per-cell state that reaches the JVM is one dims-array per
+# PARTITION, never a group-sized list), a k-row JVM aggregate folds the
+# partials,
 # and the k×dim centroid matrix (a CONSTANT-sized hyperparameter table,
 # unlike the corpus-growing vocab tables r9 dehinted) rides back to the
 # driver exactly like graph_pagerank's one scalar. Iterative float
@@ -1373,9 +1374,13 @@ _KMEANS_ITERS = 4
 
 
 def _kmeans_partials_fn(centroids):
-    """mapInPandas kernel: per Arrow batch, assign each vector to its
-    nearest centroid (BLAS matmul argmin) and emit ONE partial row per
-    occupied cell: (cell, element-wise sum array, count)."""
+    """mapInPandas kernel: assign each vector to its nearest centroid
+    (BLAS matmul argmin) and emit ONE partial row per occupied cell PER
+    PARTITION — the accumulator spans every Arrow batch of the
+    partition and yields once at the end, so the per-cell row count
+    reaching the JVM fold is bounded by the PARTITION count (a
+    per-Arrow-batch yield would emit ~n/10k rows per cell — the flat
+    group-sized collect shape CLAUDE.md's block-fold rule bans)."""
     import numpy as np
     import pandas as pd
 
@@ -1383,19 +1388,27 @@ def _kmeans_partials_fn(centroids):
 
     def fn(batches):
         cc = (C * C).sum(axis=1)
+        sums = np.zeros_like(C)
+        cnts = np.zeros(len(C), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
             # argmin |x-c|^2 == argmin |c|^2 - 2 x.c (xx is row-constant)
             a = (cc[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
-            cells, sums, cnts = [], [], []
             for c in np.unique(a):
                 m = a == c
-                cells.append(int(c))
-                sums.append(X[m].sum(axis=0).tolist())
-                cnts.append(int(m.sum()))
-            yield pd.DataFrame({"cell": cells, "s": sums, "cnt": cnts})
+                sums[c] += X[m].sum(axis=0)
+                cnts[c] += int(m.sum())
+        occ = np.flatnonzero(cnts)
+        if len(occ):
+            yield pd.DataFrame(
+                {
+                    "cell": [int(c) for c in occ],
+                    "s": [sums[c].tolist() for c in occ],
+                    "cnt": [int(cnts[c]) for c in occ],
+                }
+            )
 
     return fn
 
@@ -1442,17 +1455,18 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
             F.lit(0).cast("int").alias("cluster"),
             F.lit(0.0).alias("dist2"),
         ).limit(0)
-    # deterministic strided init: the K lowest vec_ids on a stride that
-    # spans the id range (seedless, reproducible, like IVF's sample)
-    stride = max(1, n // _KMEANS_K)
+    # deterministic scattered init: the K smallest MULTIPLICATIVE-HASH
+    # values of vec_id (seedless, reproducible, spread across the id
+    # space). Unlike a stride filter this can never come back empty on
+    # sparse/hashed ids — n >= 1 guarantees >= 1 seed — and it is a
+    # TakeOrdered(K), not a global sort.
     init = (
-        e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0)
-        .orderBy("vec_id")
+        e.orderBy(F.pmod(col("vec_id") * 2654435761, F.lit(2**32)), "vec_id")
         .limit(_KMEANS_K)
         .collect()
     )
     C = [list(r["emb"]) for r in init]
-    while len(C) < _KMEANS_K:  # degenerate tiny corpus: duplicate last
+    while len(C) < _KMEANS_K:  # corpus smaller than K: duplicate last
         C.append(list(C[-1]))
     par = max(1, min(spark.sparkContext.defaultParallelism, n // 20_000 + 1))
     ep = e.repartition(par)
@@ -1460,9 +1474,10 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         part = ep.mapInPandas(
             _kmeans_partials_fn(C), schema="cell int, s array<double>, cnt long"
         )
-        # fold the per-batch partials: rows per cell == #Arrow batches
-        # (bounded by partition count), so the collect_list is
-        # partition-sized, never corpus-sized
+        # fold the per-partition partials: the kernel accumulates across
+        # its Arrow batches and yields ONCE, so rows per cell here ==
+        # partition count — the collect_list is partition-count-sized,
+        # never corpus-sized
         rows = (
             part.groupBy("cell")
             .agg(

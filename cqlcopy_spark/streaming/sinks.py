@@ -698,27 +698,44 @@ def _maybe_compact_index(
     probe's file count was ∝ corpus, the exact 'production replaces
     with a bucketed table probe' debt the docstring carried).
 
+    INCREMENTAL: each compaction merges the PREVIOUS compact version
+    with only the tail deltas since it (never re-reading all raw
+    deltas — a cumulative re-read would be O(batches²) total I/O), and
+    fires only when _COMPACT_EVERY tail deltas have accumulated SINCE
+    the newest compaction, so between fires a batch does no compaction
+    work at all. Superseded compact versions are deleted after the new
+    one lands (disk = raw deltas + ONE compact copy, not a copy per
+    fire). Write amplification is one corpus rewrite per
+    _COMPACT_EVERY batches — the standard compaction trade; a
+    production deployment layers size-tiered levels on the same
+    contract.
+
     Deltas stay on disk as the source of truth: a batch can replay OUT
     OF ORDER after later batches ran (the sink contract — see
     test_minhash_apply_batch_replay_is_idempotent, which replays the
     middle batch), and such a replay needs exactly the deltas below
     ITSELF; _read_index only consults a compact version ≤ the reading
-    batch, falling back to raw deltas, so compaction is purely a read
-    optimization and can never change what any batch sees. Idempotent:
-    a replay of the trigger batch finds its complete v=<batch_id> and
-    skips; a crash mid-write leaves no _SUCCESS and the retry
-    overwrites. At cluster scale this one dir becomes a metastore
-    bucketed table (bucketBy(layout_cols)) so the probe join also
-    skips the corpus-side shuffle; the sorted parquet layout here is
-    the same data arrangement without the single-session metastore
-    dependency."""
+    batch, falling back to raw deltas, so compaction — and the
+    deletion of superseded compact versions — can never change what
+    any batch sees. Idempotent: a replay of the trigger batch finds
+    its complete v=<batch_id> and skips; a crash mid-write leaves no
+    _SUCCESS and the retry overwrites. At cluster scale the compact
+    dir becomes a metastore bucketed table (bucketBy(layout_cols)) so
+    the probe join also skips the corpus-side shuffle; the sorted
+    parquet layout here is the same data arrangement without the
+    single-session metastore dependency."""
+    import shutil
+
     ids = _delta_ids(root, batch_id)
-    if len(ids) < _COMPACT_EVERY:
-        return
     vs = _compact_versions(root)
     if vs and vs[-1] >= batch_id:
         return  # this batch's (or a later) compaction already complete
-    paths = [os.path.join(root, f"delta={i}") for i in ids]
+    floor = vs[-1] if vs else 0
+    tail = [i for i in ids if i >= floor]
+    if len(tail) < _COMPACT_EVERY:
+        return
+    paths = [os.path.join(root, "compact", f"v={floor}")] if vs else []
+    paths += [os.path.join(root, f"delta={i}") for i in tail]
     (
         spark.read.schema(schema)
         .parquet(*paths)
@@ -727,6 +744,10 @@ def _maybe_compact_index(
         .write.mode("overwrite")
         .parquet(os.path.join(root, "compact", f"v={batch_id}"))
     )
+    # superseded versions: readers at-or-above batch_id use the new one,
+    # readers below it fall back to the retained raw deltas either way
+    for v in vs:
+        shutil.rmtree(os.path.join(root, "compact", f"v={v}"), ignore_errors=True)
 
 
 def _read_index_deltas(

@@ -20,12 +20,21 @@ import sys
 
 # the r8-new ops VERDICT flagged for this smoke (heavy lineage: clustered
 # cosine verdicts, corpus-wide span argmin, sequential micro-batch LSH
-# probe, multi-gate funnel reusing four ops' expressions)
+# probe, multi-gate funnel reusing four ops' expressions) PLUS every
+# r9-new heavy-lineage op — the invariant is "every NEW heavy op runs
+# under the driver's exact 1g session", so this list grows each round
 HEAVY_OPS = [
     "dedup_semdedup",
     "dedup_spans",
     "stream_minhash_incremental",
     "curation_funnel",
+    # r9: persisted corpus-wide window explosion + LOCF scan
+    "dedup_substrings",
+    # r9: per-iteration driver collects, double-persisted corpus,
+    # 8x64-literal JVM distance folds in the verifier
+    "embedding_kmeans_verify",
+    # r9: unhinted node joins (the heavier of the two pages variants)
+    "graph_triangles_pages",
 ]
 
 _SCRIPT = r"""

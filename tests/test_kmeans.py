@@ -119,3 +119,33 @@ def test_empty_corpus_guard(spark, tmp_path):
     ).write.parquet(f"{sf}/embeddings.parquet")
     assert QUERIES["embedding_kmeans"](spark, sf).count() == 0
     assert QUERIES["embedding_kmeans_verify"](spark, sf).count() == 0
+
+
+def test_kmeans_handles_sparse_and_tiny_id_spaces(spark, tmp_path):
+    """Review fix pin: the seed pick must survive vec_id spaces with no
+    multiples of the old stride (sparse odd-only ids) and corpora
+    smaller than K (seeds duplicated, never an IndexError), in both the
+    op and its verifier."""
+    import random
+
+    rng = random.Random(7)
+
+    def corpus(ids):
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    # odd-only ids: the old pmod(vec_id, n//K)==0 stride found nothing
+    sf1 = str(tmp_path / "sf_odd")
+    corpus(range(1, 33, 2)).write.parquet(f"{sf1}/embeddings.parquet")
+    assert QUERIES["embedding_kmeans"](spark, sf1).count() == 16
+    assert QUERIES["embedding_kmeans_verify"](spark, sf1).count() == 0
+
+    # corpus smaller than K
+    sf2 = str(tmp_path / "sf_tiny")
+    corpus([5, 900]).write.parquet(f"{sf2}/embeddings.parquet")
+    assert QUERIES["embedding_kmeans"](spark, sf2).count() == 2
+    assert QUERIES["embedding_kmeans_verify"](spark, sf2).count() == 0

@@ -277,3 +277,43 @@ def test_minhash_out_of_order_replay_ignores_newer_compaction(spark, tmp_path):
         for r in read_minhash_pairs(spark, state).collect()
     }
     assert after == before
+
+
+def test_minhash_compaction_is_incremental_and_prunes_versions(spark, tmp_path):
+    """Review fix pins: compaction must fire only when _COMPACT_EVERY
+    tail deltas accumulated SINCE the newest compaction (not on every
+    batch once the total delta count passes the threshold — that was
+    O(batches²) re-reads), each fire merges the previous compact
+    version with the tail (never re-reading all raw deltas), and
+    superseded compact versions are deleted (disk = raw deltas + ONE
+    compact copy). Raw deltas all survive as replay truth."""
+    from cqlcopy_spark.streaming.sinks import (
+        _compact_versions,
+        _delta_ids,
+        _read_index_deltas,
+        minhash_apply_batch,
+    )
+
+    batches = _split_corpus(9)
+    state = str(tmp_path / "state")
+    for b, rows in enumerate(batches):
+        minhash_apply_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, state
+        )
+    bands_root = os.path.join(state, "bands")
+    # fires at batch 4 (deltas 0-3) and batch 8 (v=4 + deltas 4-7);
+    # batches 5-7 and 9... (9 batches = ids 0..8, so the last fire is 8)
+    assert _compact_versions(bands_root) == [8]
+    # every raw delta retained for out-of-order replay
+    assert _delta_ids(bands_root, 10_000) == list(range(9))
+    # the merged compact + tail still equals the raw union, row-exact
+    schema = "doc_id long, band int, key string"
+    full = _read_index_deltas(spark, bands_root, 9, schema)
+    raw = spark.read.schema(schema).parquet(
+        *[os.path.join(bands_root, f"delta={i}") for i in range(9)]
+    )
+    assert full.count() == raw.count()
+    assert (
+        full.groupBy("doc_id", "band", "key").count().filter("count != 1").count()
+        == 0
+    )
