@@ -1941,3 +1941,164 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_retrieval — posting-list keyword retrieval (BM25-shaped scoring)
+# ---------------------------------------------------------------------------
+
+# The lexical-retrieval twin of similarity_topk: 8 fixed query documents
+# (the lowest doc_ids, the _N_QUERIES convention from similarity.py)
+# rank the corpus by a BM25-shaped relevance score over their shared
+# terms. Scoring is TRANSCENDENTAL-FREE for cross-engine parity: the
+# classic idf = ln((N-df+0.5)/(df+0.5)) is replaced by the rational
+# (N-df+0.5)/(df+0.5) itself — a different (still df-monotone per term)
+# weighting, which is fine because the oracle defines the contract, not
+# a textbook constant. The tf saturation tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl))
+# is rational already. Every float op appears in the IDENTICAL order in
+# both engines, and the per-(query, doc) sum over matched terms folds in
+# TERM order (array_sort + sequential fold) so the add sequence is
+# engine-deterministic. The matched-term list per (query, doc) is
+# bounded by the QUERY's distinct-term count — a workload constant, not
+# corpus-growing, so the collect_list is exempt from the flat-fold ban.
+
+_BM25_K = 5
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT doc_id AS q_id, term
+  FROM (SELECT doc_id, unnest(ws) AS term FROM d WHERE doc_id < 8)
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT q.q_id, tf.doc_id, tf.term,
+         ((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         * ((CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+            / (CAST(tf.tf AS DOUBLE)
+               + {_BM25_K1} * (1.0 - {_BM25_B}
+                               + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                                              / stats.avgdl)))) AS contrib
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> q.q_id
+),
+scored AS (
+  SELECT q_id, doc_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list(struct_pack(t := term, c := contrib))),
+               s -> s.c)),
+           (a, b) -> a + b) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM hits GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT q_id, doc_id, score, n_terms, rank FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+@register("bm25_retrieval", oracle=_BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} corpus documents per query document under a BM25-shaped
+    rational relevance score (see the section comment for the parity
+    design; tiny fixed query set, the similarity_topk convention).
+
+    Scale shape: the corpus term index (doc_id, term, tf) and df table
+    are each ONE map-side-combined aggregate of the token explode; the
+    probe join keys the CORPUS posting lists against the tiny query
+    term set (size stats broadcast it — at most |q|·distinct terms,
+    a workload constant, so the hint question never arises), meaning a
+    stopword posting list never shuffles: candidates stream past the
+    broadcast hash table. Per-(query, doc) scores fold a
+    query-length-bounded matched-term list in term order; top-k is one
+    window over the scored relation with a doc_id tiebreak. The scalar
+    (N, avgdl) stats ride a 1-row broadcast cross join."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(col("text").isNotNull() & (col("text") != ""))
+        .select("doc_id", _tokens().alias("ws"))
+        .persist()  # tf, dl, stats, and the query set all scan it
+    )
+    toks = d.select(
+        "doc_id", F.size("ws").cast("long").alias("dl"), F.explode("ws").alias("term")
+    )
+    # dl rides the tf aggregate (constant within the group) — no
+    # doc-sized dl join, one fewer shuffle + one fewer corpus-growing
+    # join side
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.size("ws")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        toks.filter(col("doc_id") < 8)
+        .groupBy(col("doc_id").alias("q_id"), "term")
+        .agg(F.lit(1))
+        .select("q_id", "term")
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    contrib = (
+        ((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+        * (
+            (col("tf").cast("double") * (k1 + 1.0))
+            / (
+                col("tf").cast("double")
+                + k1 * (1.0 - b + b * (col("dl").cast("double") / col("avgdl")))
+            )
+        )
+    )
+    hits = (
+        tf.join(q, "term")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(col("doc_id") != col("q_id"))
+        .select("q_id", "doc_id", "term", contrib.alias("contrib"))
+    )
+    scored = hits.groupBy("q_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(col("term"), col("contrib")))
+                ),
+                lambda s: s["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("q_id").orderBy(col("score").desc(), col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _BM25_K)
+        .select("q_id", "doc_id", "score", "n_terms", "rank")
+    )

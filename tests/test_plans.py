@@ -880,6 +880,20 @@ def test_substring_dedup_argmin_single_locf_window(spark):
     assert shuffle_exchanges(p) <= 3, p
 
 
+def test_bm25_posting_probe_shape(spark):
+    """bm25_retrieval: the corpus posting lists probe the tiny query
+    term set via hash joins (stats-picked broadcast — the query side is
+    a workload constant), corpus-wide stats ride exactly ONE 1-row
+    broadcast nested-loop cross join, tf/df aggregates partial-combine
+    map-side, and nothing degenerates into a cartesian."""
+    p = plan_of(QUERIES["bm25_retrieval"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_count" in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_interpolate_single_lineage_no_join(spark):
     """timeseries_interpolate: the gapfill lead-explode discipline — no
     spine join, no LOCF pass; one (user, hour) pick aggregate + one
