@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.portable import sql_portable_token
 from cqlcopy_spark.operators.text import QUALITY_SQL
 from cqlcopy_spark.plans.registry import register
 
@@ -1200,3 +1201,84 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination_neardup — train/eval NEAR-dup leakage via MinHash-LSH
+# ---------------------------------------------------------------------------
+
+# The third decontamination gate: contamination_overlap (text.py) scans
+# shared n-grams and contamination_substring exact character runs, but a
+# lightly-edited eval document leaked into training (the RefinedWeb /
+# GPT-3 appendix-C case) evades both thresholds' intent — the standard
+# production gate is NEAR-dup at the document level. Same split
+# convention as split_train_eval / split_drift_tvd (portable_token 90/10),
+# same banding/refine contract as dedup_fuzzy_minhash, but the join is
+# ASYMMETRIC: only the tiny eval side probes the train band index (the
+# dedup_incremental shape — candidates ∝ Σ_key n_eval(key)·n_train(key),
+# never train²). Shares the exact-Jaccard oracle under the same
+# determinism argument as dedup_fuzzy_minhash (fixture true pairs sit at
+# J where the 8×4 banding miss probability is negligible and the
+# pipeline has no randomness).
+
+_CONTAM_NEARDUP_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, {sql_portable_token('doc_id')} % 100 < 90 AS is_train
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_GRAMS_SQL}) AS g FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, COUNT(*) AS common
+  FROM grams e
+  JOIN split se ON se.doc_id = e.doc_id AND NOT se.is_train
+  JOIN grams t ON t.g = e.g
+  JOIN split st ON st.doc_id = t.doc_id AND st.is_train
+  GROUP BY 1, 2
+)
+SELECT eval_doc, train_doc,
+       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+FROM pairs
+JOIN sizes s1 ON pairs.eval_doc = s1.doc_id
+JOIN sizes s2 ON pairs.train_doc = s2.doc_id
+WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common)
+      >= {_JACCARD_THRESHOLD}
+"""
+
+
+def _neardup_contamination(d: DataFrame) -> DataFrame:
+    """(eval_doc, train_doc, jaccard): near-dup pairs ACROSS the 90/10
+    split boundary of a documents frame — eval bands probe train bands,
+    exact-Jaccard refine at the shared threshold."""
+    from cqlcopy_spark.functions.portable import portable_token
+
+    is_train = portable_token(col("doc_id")) % 100 < 90
+    docs = _with_minhash_sig(d).withColumn("is_train", is_train).persist()
+    # band the two sides separately: the probe side is ~10% of the
+    # corpus, so candidate volume is eval × bucket occupancy
+    ev = _band_rows(docs.filter(~col("is_train"))).alias("e")
+    tr = _band_rows(docs.filter(col("is_train"))).alias("t")
+    cand = (
+        ev.join(
+            tr,
+            (col("e.band") == col("t.band")) & (col("e.key") == col("t.key")),
+        )
+        .select(col("e.doc_id").alias("d1"), col("t.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])  # multi-band collisions
+    )
+    return _minhash_verify_pairs(cand, docs.select("doc_id", "hashes")).select(
+        col("d1").alias("eval_doc"), col("d2").alias("train_doc"), "jaccard"
+    )
+
+
+@register("contamination_neardup", oracle=_CONTAM_NEARDUP_ORACLE)
+def contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set documents whose near-duplicate (word-3-gram Jaccard ≥
+    0.5) exists in the training split — the document-level
+    decontamination gate between the n-gram-overlap and exact-substring
+    scans. See the section comment for shape and oracle contract."""
+    return _neardup_contamination(
+        table(spark, sf_dir, "documents")
+    ).orderBy("eval_doc", "train_doc")
