@@ -1459,9 +1459,14 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     # values of vec_id (seedless, reproducible, spread across the id
     # space). Unlike a stride filter this can never come back empty on
     # sparse/hashed ids — n >= 1 guarantees >= 1 seed — and it is a
-    # TakeOrdered(K), not a global sort.
+    # TakeOrdered(K), not a global sort. portable_token, not a raw
+    # vec_id * KNUTH product: ANSI Spark aborts on the int64 overflow
+    # at vec_id >= ~3.47e9 (CLAUDE.md overflow rule) and the helper's
+    # 16-bit decomposition computes the same hash overflow-free.
+    from cqlcopy_spark.functions.portable import portable_token
+
     init = (
-        e.orderBy(F.pmod(col("vec_id") * 2654435761, F.lit(2**32)), "vec_id")
+        e.orderBy(portable_token(col("vec_id")), "vec_id")
         .limit(_KMEANS_K)
         .collect()
     )

@@ -2061,9 +2061,8 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = (
         toks.filter(col("doc_id") < 8)
-        .groupBy(col("doc_id").alias("q_id"), "term")
-        .agg(F.lit(1))
-        .select("q_id", "term")
+        .select(col("doc_id").alias("q_id"), "term")
+        .distinct()
     )
     k1, b = F.lit(1.2), F.lit(0.75)
     contrib = (

@@ -35,6 +35,11 @@ HEAVY_OPS = [
     "embedding_kmeans_verify",
     # r9: unhinted node joins (the heavier of the two pages variants)
     "graph_triangles_pages",
+    # r9 late additions: full-corpus minhash signatures + gram-hash
+    # array re-attach verify join (the lineage family that OOMed
+    # bpe_verify's class), and the posting-list retrieval fold
+    "contamination_neardup",
+    "bm25_retrieval",
 ]
 
 _SCRIPT = r"""

@@ -149,3 +149,13 @@ def test_kmeans_handles_sparse_and_tiny_id_spaces(spark, tmp_path):
     corpus([5, 900]).write.parquet(f"{sf2}/embeddings.parquet")
     assert QUERIES["embedding_kmeans"](spark, sf2).count() == 2
     assert QUERIES["embedding_kmeans_verify"](spark, sf2).count() == 0
+
+    # snowflake-scale ids: a raw vec_id * KNUTH seed hash overflows
+    # int64 at vec_id >= ~3.47e9 and ANSI Spark ABORTS (the portable
+    # 16-bit decomposition must be used instead — CLAUDE.md rule)
+    sf3 = str(tmp_path / "sf_big_ids")
+    corpus(range(5_000_000_000, 5_000_000_000 + 40)).write.parquet(
+        f"{sf3}/embeddings.parquet"
+    )
+    assert QUERIES["embedding_kmeans"](spark, sf3).count() == 40
+    assert QUERIES["embedding_kmeans_verify"](spark, sf3).count() == 0
