@@ -423,6 +423,19 @@ FROM orders b ANTI JOIN updates u ON b.o_orderkey = u.o_orderkey
 """
 
 
+def apply_upsert(base: DataFrame, deltas: DataFrame, key: str) -> DataFrame:
+    """The MERGE-INTO kernel: delta rows win on key, unmatched base rows
+    survive (left-anti), new keys append. Shared by merge_upsert and the
+    property fuzz (tests/test_cdc_property.py) so the resolution algebra
+    is pinned against a pure-Python reference, not just one fixture.
+    Precondition (merge_upsert's construction guarantees it; the fuzz
+    exercises it explicitly): deltas carry at most one row per key —
+    multi-version changelogs go through cdc_apply_changelog's seq-LWW
+    instead."""
+    kept = base.join(deltas.select(key), key, "left_anti")
+    return deltas.unionByName(kept.select(*deltas.columns))
+
+
 @register("merge_upsert", oracle=_MERGE_ORACLE)
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (upsert) without a transactional table format: updated
@@ -446,9 +459,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
     )
-    deltas = updates.unionByName(inserts)
-    kept = base.join(deltas.select("o_orderkey"), "o_orderkey", "left_anti")
-    return deltas.unionByName(kept.select(*deltas.columns))
+    return apply_upsert(base, updates.unionByName(inserts), "o_orderkey")
 
 
 # ---------------------------------------------------------------------------

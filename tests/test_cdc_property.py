@@ -138,3 +138,31 @@ def test_cdc_equal_seq_collision_storm(spark, tmp_path):
     live, full = _run_sink(spark, tmp_path, "storm", [rows[:9], rows[9:]])
     assert full == set(win.values())
     assert live == {w for w in win.values() if w[2] != "D"}
+
+
+def test_merge_upsert_kernel_matches_dict_merge_fuzz(spark):
+    """merge_upsert's kernel (apply_upsert) against the pure-Python
+    reference dict(base) | dict(deltas): delta rows win on key,
+    unmatched base rows survive, new keys append — for random key sets
+    with every overlap shape (disjoint, subset, superset, partial)."""
+    import random
+
+    from cqlcopy_spark.operators.relational import apply_upsert
+
+    for seed in (5, 17, 61):
+        rng = random.Random(seed)
+        base_keys = rng.sample(range(60), rng.randrange(5, 40))
+        delta_keys = rng.sample(range(80), rng.randrange(1, 30))
+        base = [(k, f"b{k}", float(k)) for k in base_keys]
+        deltas = [(k, f"d{k}", k * 1.5) for k in delta_keys]
+        want = {k: (v, x) for k, v, x in base}
+        want.update({k: (v, x) for k, v, x in deltas})
+
+        out = apply_upsert(
+            spark.createDataFrame(base, "key long, val string, x double"),
+            spark.createDataFrame(deltas, "key long, val string, x double"),
+            "key",
+        ).collect()
+        got = {r["key"]: (r["val"], r["x"]) for r in out}
+        assert len(out) == len(got), f"seed {seed}: duplicate keys in output"
+        assert got == want, f"seed {seed}"
