@@ -84,33 +84,20 @@ _PRIORITY_UNCHECKED = (
 )
 
 # Queries whose standing verdict is known-stale and must re-verify
-# regardless of what the content-hash ledger says. Round 9 (r8 VERDICT
-# item 3): the 9 entries still carrying r4 verdicts must drain THIS
-# round — round 9's edits to text/curation/graph/analytics front every
-# query in those modules via the content-hash rule (module sha is
-# per-FILE), which would otherwise crowd the oldest cohort out of the
-# 50-slot window for yet another round. Self-pruning: fronting
-# deactivates per query once it has a verdict from round >=
-# _FORCE_FRONT_ROUND.
-_FORCE_FRONT_ROUND = 9
-_FORCE_FRONT = (
-    "stream_tumbling_agg",
-    "stream_sessionize",
-    "stream_interval_join",
-    "stream_dedup",
-    "stream_sliding_agg",
-    "stream_static_join",
-    "stream_ohlc",
-    "copy_reconcile",
-    "join_asof_nearest",
-    # the three dehinted vocabulary-join ops (r8 VERDICT item 1): their
-    # r7 greens predate the hint removal, and they sort BEHIND the ~100
-    # older changed-module entries in the rank-4 pool — without forcing
-    # they miss the 50-slot window this round.
-    "tfidf_top_terms",
-    "cooccurrence_pmi",
-    "bpe_segment_docs",
-)
+# regardless of what the content-hash ledger says. Self-pruning:
+# fronting deactivates per query once it has a verdict from round >=
+# _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
+# verdicts are already >= the old round — they would all reactivate.
+#
+# Round 10 (r9 VERDICT item 2): contamination_substring's bench side
+# changed from a corpus-growing mod-slice to the capped fixed-size set —
+# its RESULTS changed, so the r8 green is void; but as an r8-checked
+# entry it sorts behind the whole r5-r7 changed-module pool and misses
+# the 50-slot window without forcing. (contamination_overlap got the
+# same rewrite but its r6-stale verdict fronts it naturally; the nine
+# dehinted TPC-H entries front as the r5 tail.)
+_FORCE_FRONT_ROUND = 10
+_FORCE_FRONT = ("contamination_substring",)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

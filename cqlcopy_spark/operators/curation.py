@@ -276,6 +276,80 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# epoch_reshuffle — seeded reproducible training-order shuffle + sharding
+# ---------------------------------------------------------------------------
+
+_RESHUFFLE_EPOCHS = 2  # epochs materialized; each gets an independent permutation
+_RESHUFFLE_SHARDS = 8  # training shards per epoch (parallelism knob at scale)
+
+
+def _epoch_reshuffle_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_portable_token_composite
+
+    key = sql_portable_token_composite(["e.epoch", "doc_id"])
+    return f"""
+WITH keyed AS (
+  SELECT e.epoch, doc_id, {key} AS sort_key
+  FROM documents
+  CROSS JOIN (SELECT unnest(range({_RESHUFFLE_EPOCHS})) AS epoch) e
+)
+SELECT epoch, doc_id, sort_key,
+       sort_key % {_RESHUFFLE_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY epoch, sort_key % {_RESHUFFLE_SHARDS}
+                          ORDER BY sort_key, doc_id) AS pos
+FROM keyed
+"""
+
+
+@register("epoch_reshuffle", oracle=_epoch_reshuffle_oracle())
+def epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle: the curation-to-trainer handoff
+    that gives every training epoch an independent, REPRODUCIBLE global
+    document order with a shard assignment — rerunning the pipeline (or
+    recovering a failed worker) regenerates byte-identical shards and
+    read order, which `df.orderBy(rand(seed))` cannot promise (rand is
+    partition-layout-dependent). shard_assign covers stable CONTENT
+    sharding; this covers training ORDER.
+
+    Shuffle key: portable_token_composite(epoch, doc_id) — the epoch is
+    a seed folded into the hash, so epochs permute independently; the
+    key is engine-portable, overflow-free int arithmetic (portable.py),
+    letting DuckDB replay the exact permutation for the value hash.
+    shard = key % shards (balanced by hash uniformity), pos = rank
+    within the shard by (key, doc_id) — doc_id breaks hash-collision
+    ties, so the order is total and engine-stable.
+
+    Scale shape: pure map to (key, shard) + ONE window partitioned by
+    (epoch, shard) — a sort run per shard, never a global sort; the
+    shard count is the parallelism knob (a real trainer run sizes
+    shards to workers, e.g. 2048 at 100 TB, and writes with
+    partitionBy(epoch, shard) so each worker streams one file run in
+    pos order). Positions are per-shard, not global: a global
+    row_number would funnel 100 TB through one reducer for a number the
+    trainer never needs — worker w reads shard w in pos order, and the
+    (shard, pos) pair IS the reproducible training order."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        F.explode(
+            F.array(*[F.lit(e) for e in range(_RESHUFFLE_EPOCHS)])
+        ).alias("epoch"),
+        "doc_id",
+    ).select(
+        "epoch",
+        "doc_id",
+        portable_token_composite([col("epoch"), col("doc_id")]).alias("sort_key"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
+    return (
+        keyed.withColumn("shard", col("sort_key") % _RESHUFFLE_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("epoch", "doc_id", "sort_key", "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # bpe_train_merges — byte-pair-encoding merge training (iterative)
 # ---------------------------------------------------------------------------
 

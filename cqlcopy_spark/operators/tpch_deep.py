@@ -69,9 +69,12 @@ ORDER BY supp_nation, cust_nation, l_year
 def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by direction and
     year. The nation dim is aliased twice (supplier side / customer side)
-    — both broadcast. Each side's nation filter is applied BEFORE the big
-    joins, so lineitem meets orders already reduced to the ~2/25 of
-    suppliers and customers in scope; the only large shuffles are
+    — both hinted (fixed 25 rows). Each side's nation filter is applied
+    BEFORE the big joins, so lineitem meets orders already reduced to the
+    ~2/25 of suppliers and customers in scope; the pruned supplier leg is
+    still an SF-scaling slice, so it is UNHINTED — stats/AQE pick the
+    broadcast while it fits and flip to a shuffle join past the 8 GB
+    ceiling instead of aborting. The only large shuffles are
     lineitem⋈orders (orderkey) and ⋈customer (custkey). The disjunctive
     direction predicate runs on the reduced rows; the final aggregate is
     ≤ 2 directions × years groups."""
@@ -92,7 +95,7 @@ def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     return (
-        li.join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        li.join(supp, col("l_suppkey") == col("s_suppkey"))
         .join(table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
               col("l_orderkey") == col("o_orderkey"))
         .join(cust, col("o_custkey") == col("c_custkey"))
@@ -233,7 +236,13 @@ def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     global maximum — an aggregate view compared against its own scalar
     MAX. The revenue view is computed once and persisted (both the MAX
     and the probe consume it — self-joins re-execute lineage otherwise);
-    the 1-row MAX broadcasts, so no single-partition window is needed.
+    the 1-row MAX keeps its hint (it cannot grow), so no single-partition
+    window is needed. The supplier lookup joins the TINY side — revenue
+    rows already filtered to the global max (usually one) — against the
+    full SF-scaling supplier table, so supplier is UNHINTED: stats/AQE
+    broadcast whichever side fits (at bench SF that is supplier; at
+    production SF AQE's runtime stats see the ~1-row filtered max side
+    and broadcast THAT, the side a static hint could never name).
     Revenue goes through dsum, so the equality comparison binds to
     bit-identical doubles in both engines — ties (several suppliers at
     the max) all surface, exactly as in SQL."""
@@ -250,7 +259,7 @@ def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(broadcast(mx), col("total_revenue") == col("max_revenue"))
-        .join(broadcast(supp), col("s_suppkey") == col("l_suppkey"))
+        .join(supp, col("s_suppkey") == col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -370,7 +379,7 @@ def join_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(
             (col("n_late_lines") > 0) & (col("n_supp") > 1) & (col("n_late_supp") == 1)
         )
-        .join(broadcast(supp), col("s_suppkey") == col("l_suppkey"))
+        .join(supp, col("s_suppkey") == col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(col("numwait").desc(), col("s_name"))

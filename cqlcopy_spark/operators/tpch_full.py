@@ -137,6 +137,27 @@ def _regional_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFr
     )
 
 
+def _regional_supplier_keys(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """s_suppkey of suppliers in one region, derived as supplier LEFT SEMI
+    broadcast(nation ⋈ region) — NOT by projecting _regional_suppliers.
+    The distinction is stats, not semantics: Catalyst's size-only
+    estimator scores an INNER join output at left×right bytes (supplier ×
+    nation blows past the broadcast threshold even when the true output
+    equals supplier), while a LEFT SEMI output is scored at the left
+    child's size. Pruning legs built on this estimate get a stats-picked
+    broadcast while supplier fits and a shuffle join past the 8 GB
+    ceiling — the unhinted degrade VERDICT r9 item 1 requires."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(_regional_nations(spark, sf_dir, region).select("n_nationkey")),
+            col("s_nationkey") == col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+
+
 _Q2_REGION = "EUROPE"
 
 _Q2_ORACLE = f"""
@@ -174,10 +195,15 @@ def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     extendedprice/quantity per part+supplier — no partsupp in fixtures);
     the correlated subquery decorrelates to a window MIN over partkey, so
     lineitem is read ONCE. Both dimension predicates are applied BEFORE
-    the (part,supp) aggregation as broadcast semi joins: grouping is per
+    the (part,supp) aggregation as semi joins: grouping is per
     (part,supp), so pruning either key commutes with the MIN — the
     shuffle then carries only size-25-part × EUROPE-supplier groups
-    (~1/50 × ~1/5 of the grain) instead of the whole fact table. MIN of
+    (~1/50 × ~1/5 of the grain) instead of the whole fact table. Both
+    pruned dims are slices of SF-SCALING tables (part, supplier), so they
+    carry NO broadcast hint — a hint is honored unconditionally and
+    aborts at the 8 GB ceiling at production SF; the stats/AQE planner
+    picks a broadcast hash join while they fit and degrades to a shuffle
+    join past the ceiling (tests/test_plans.py pins the BHJ pick). MIN of
     per-row IEEE divisions is order-insensitive and bit-identical across
     engines — no dsum needed. Ties (several suppliers at the min) all
     surface; p_partkey+s_name orders the output deterministically."""
@@ -189,19 +215,19 @@ def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         table(spark, sf_dir, "lineitem")
-        .join(broadcast(part.select("p_partkey")),
+        .join(part.select("p_partkey"),
               col("l_partkey") == col("p_partkey"), "left_semi")
-        .join(broadcast(regional_supp.select("s_suppkey")),
+        .join(_regional_supplier_keys(spark, sf_dir, _Q2_REGION),
               col("l_suppkey") == col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_cost"))
     )
     w = Window.partitionBy("l_partkey")
     return (
-        cost.join(broadcast(regional_supp), col("l_suppkey") == col("s_suppkey"))
+        cost.join(regional_supp, col("l_suppkey") == col("s_suppkey"))
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(col("unit_cost") == col("min_cost"))
-        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(part, col("l_partkey") == col("p_partkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -251,9 +277,11 @@ ORDER BY o_year
 def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_9's share of ECONOMY-part volume sold to
     ASIA customers, per year — conditional-sum ÷ total-sum over a 7-table
-    join with nation aliased twice. All four dimension legs (part filtered
-    to 1/6 of types, supplier+nation on the supply side, nation⋈region
-    pruning customers to one region) broadcast; the only big shuffles are
+    join with nation aliased twice. The fixed-size nation⋈region prune
+    (≤25 rows) is hinted; the SF-scaling dim legs (part filtered to 1/6 of
+    types, supplier⋈nation) are UNHINTED — the stats/AQE planner picks a
+    broadcast hash join while they fit and flips to a shuffle join past
+    the 8 GB ceiling instead of aborting. The only big shuffles are
     lineitem⋈orders (orderkey) and ⋈customer (custkey), both on rows
     already cut by the part-type and two-year date filters. The share is
     a ratio of two EXACT integer-cents sums (portable.py exact-sum
@@ -265,6 +293,9 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nat = _supplier_nation(spark, sf_dir).select(
         "s_suppkey", col("n_name").alias("supp_nation")
     )
+    # LEFT SEMI (not inner+project): keeps the size-only stats estimate at
+    # customer's own size so the downstream custkey prune is planned from
+    # real numbers (see _regional_supplier_keys for the estimator rule)
     asia_cust = (
         table(spark, sf_dir, "customer")
         .join(
@@ -272,6 +303,7 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _regional_nations(spark, sf_dir, _Q8_REGION).select("n_nationkey")
             ),
             col("c_nationkey") == col("n_nationkey"),
+            "left_semi",
         )
         .select("c_custkey")
     )
@@ -283,8 +315,8 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
-        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        li.join(part, col("l_partkey") == col("p_partkey"))
+        .join(supp_nat, col("l_suppkey") == col("s_suppkey"))
         .join(o, col("l_orderkey") == col("o_orderkey"))
         .join(asia_cust, col("o_custkey") == col("c_custkey"), "left_semi")
         .withColumn("o_year", F.year(col("o_orderdate")))
@@ -342,9 +374,11 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. Supply cost is proxied by p_retailprice × quantity (the
     fixtures have no partsupp — FIXTURES.md); the shape is unchanged: a
     fact table joined to four dimensions with a LIKE-filtered part leg.
-    The part filter (~1/8 of parts) broadcasts and prunes lineitem before
-    the one big shuffle (orderkey, to fetch the year); supplier⋈nation
-    broadcasts. Group count ≤ nations × years — the aggregate is map-side
+    The part filter (~1/8 of parts) prunes lineitem before the one big
+    shuffle (orderkey, to fetch the year). Both dim legs are slices of
+    SF-SCALING tables and carry NO broadcast hint — the stats/AQE planner
+    picks the broadcast while they fit and degrades to a shuffle join
+    past the 8 GB ceiling. Group count ≤ nations × years — the aggregate is map-side
     partial then tiny. The amount mixes products and a subtraction, all
     per-row IEEE (deterministic); only the SUM needs dsum."""
     part = (
@@ -361,8 +395,8 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_extendedprice", "l_discount",
     )
     return (
-        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
-        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        li.join(part, col("l_partkey") == col("p_partkey"))
+        .join(supp_nat, col("l_suppkey") == col("s_suppkey"))
         .join(o, col("l_orderkey") == col("o_orderkey"))
         .withColumn("o_year", F.year(col("o_orderdate")))
         .withColumn(
@@ -408,16 +442,19 @@ def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a scalar subquery over the same base. The region-pruned base
     is persisted (both the per-part aggregate and the global total
     consume it — self-referencing lineage re-executes otherwise,
-    CLAUDE.md); the 1-row total then broadcasts into the filter, so the
+    CLAUDE.md). The AMERICA-supplier semi join is a SF-scaling slice, so
+    it is UNHINTED (stats/AQE pick the broadcast while it fits, shuffle
+    past the 8 GB ceiling); the 1-row total KEEPS its hint (it cannot
+    grow) and broadcasts into the filter, so the
     only real shuffle is the partkey aggregation. Both sides of the
     comparison are dsum outputs (bit-identical across engines) and the
     fraction multiply is one IEEE op — the cut binds identically.
     part_value DESC with partkey tiebreak orders deterministically."""
-    region_supp = _regional_suppliers(spark, sf_dir, _Q11_REGION).select("s_suppkey")
+    region_supp = _regional_supplier_keys(spark, sf_dir, _Q11_REGION)
     base = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(broadcast(region_supp), col("l_suppkey") == col("s_suppkey"), "left_semi")
+        .join(region_supp, col("l_suppkey") == col("s_suppkey"), "left_semi")
         .select("l_partkey", "l_extendedprice")
         .persist()
     )
@@ -517,9 +554,11 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type, size) combination, excluding a blacklisted supplier set
     — COUNT(DISTINCT) per group plus a NOT IN. The supplier relation is
     derived from lineitem (no partsupp in fixtures). The triple part
-    filter broadcasts into the lineitem probe; the NOT IN becomes a
-    broadcast LEFT ANTI join (s_suppkey is non-null, so NOT IN ≡ anti —
-    no NULL trap). countDistinct expands to a two-phase aggregate:
+    filter prunes the lineitem probe; the NOT IN becomes a LEFT ANTI join
+    (s_suppkey is non-null, so NOT IN ≡ anti — no NULL trap). Both dims
+    are SF-scaling slices (filtered part, supplier blacklist) and carry
+    NO hint: the stats/AQE planner picks broadcast joins while they fit
+    and degrades to shuffle joins past the 8 GB ceiling. countDistinct expands to a two-phase aggregate:
     partial distinct on (group, suppkey), then count — both shuffles key
     on the group columns, no row explosion. Integer counts, no float
     hazard; supplier_cnt DESC + full group tiebreak is deterministic."""
@@ -538,8 +577,8 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
-        .join(broadcast(excluded), col("l_suppkey") == col("s_suppkey"), "left_anti")
+        .join(part, col("l_partkey") == col("p_partkey"))
+        .join(excluded, col("l_suppkey") == col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -580,9 +619,11 @@ def join_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who shipped more than 30% of some bolt
     part's 1996 volume — nested IN subqueries (supplier IN … partkey IN …
     qty > fraction of shipped) flattened into two aggregations of one
-    shared base joined on the part key. The part-name filter broadcasts
-    and prunes lineitem before any shuffle; the base is persisted because
-    both grains consume it (CLAUDE.md self-join rule). Both the
+    shared base joined on the part key. The part-name semi join prunes
+    lineitem before any shuffle; it and the supplier⋈nation leg are
+    SF-scaling slices, so both are UNHINTED (stats/AQE pick the broadcast
+    while they fit, shuffle join past the 8 GB ceiling). The base is
+    persisted because both grains consume it (CLAUDE.md self-join rule). Both the
     per-supplier and per-part totals aggregate the BASE rows directly —
     each a dsum over raw rows, bit-identical across engines — rather
     than re-summing the other grain's doubles; the 0.3 multiply is one
@@ -600,7 +641,7 @@ def join_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(broadcast(part), col("l_partkey") == col("p_partkey"), "left_semi")
+        .join(part, col("l_partkey") == col("p_partkey"), "left_semi")
         .persist()
     )
     per_supp = base.groupBy("l_partkey", "l_suppkey").agg(
@@ -613,7 +654,7 @@ def join_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(per_part, col("l_partkey") == col("t_partkey"))
         .filter(col("supp_qty") > col("part_qty") * 0.3)
-        .join(broadcast(supp_nat), col("l_suppkey") == col("s_suppkey"))
+        .join(supp_nat, col("l_suppkey") == col("s_suppkey"))
         .select("s_name", "n_name")
         .distinct()
         .orderBy("s_name", "n_name")
