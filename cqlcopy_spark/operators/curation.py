@@ -276,6 +276,164 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# domain_upsample — deterministic fractional upsampling with replacement
+# ---------------------------------------------------------------------------
+
+# Per-language mixture repeat factors (the LLM data-mixing move: repeat
+# high-value / low-resource domains fractionally, downsample the
+# over-represented one). 2.5 means "2 copies of every doc + a hash-chosen
+# 50% get a third"; 0.5 is a pure downsample — one unified rule.
+_UPSAMPLE_W = {"en": 0.5, "zh": 1.5, "es": 1.0, "de": 2.0, "fr": 3.25}
+_UPSAMPLE_SALT = 77  # decorrelates the fractional pick from every other
+#                      doc_id-hash decision (split/rebalance/reshuffle)
+_M32_F = 4294967296.0
+
+
+def _upsample_parts() -> "dict[str, tuple[int, int]]":
+    """lang -> (whole copies, fractional-copy token threshold)."""
+    out = {}
+    for lang, w in _UPSAMPLE_W.items():
+        base = int(w)
+        out[lang] = (base, int(round((w - base) * _M32_F)))
+    return out
+
+
+def _domain_upsample_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_portable_token_composite
+
+    tok = sql_portable_token_composite(["doc_id", str(_UPSAMPLE_SALT)])
+    parts = _upsample_parts()
+    base_case = " ".join(f"WHEN '{k}' THEN {v[0]}" for k, v in parts.items())
+    thr_case = " ".join(f"WHEN '{k}' THEN {v[1]}" for k, v in parts.items())
+    return f"""
+WITH counted AS (
+  SELECT doc_id, lang, source,
+         CAST((CASE lang {base_case} ELSE 1 END)
+              + (CASE WHEN {tok} < (CASE lang {thr_case} ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, source, n_copies,
+       unnest(range(1, n_copies + 1)) AS copy_id
+FROM counted WHERE n_copies > 0
+"""
+
+
+@register("domain_upsample", oracle=_domain_upsample_oracle())
+def domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture upsampling WITH replacement — the data-mix
+    step that repeats low-resource/high-value domains by a fractional
+    factor (2.5 → two copies of every doc plus a hash-chosen half get a
+    third) and downsamples the over-represented one (0.5) under the SAME
+    rule: n_copies = ⌊w⌋ + [token(doc, salt) < frac(w)·2³²]. Membership
+    of the fractional copy is a pure function of doc_id (portable hash,
+    salted so it is independent of split/rebalance decisions), so the
+    mixture is reproducible across runs, engines, and partition layouts
+    — `df.sample(fraction, withReplacement=True)` can promise none of
+    that. Downstream, epoch_reshuffle's (epoch, doc) keying spreads the
+    copies apart in training order.
+
+    Scale shape: pure map — a literal CASE for the weights (no weights
+    join at all), one explode whose output is exactly n_copies rows per
+    doc (Σw·N total, the mixture's own size); nothing shuffles at any
+    corpus size. copy_id rides along so downstream stages can
+    distinguish (and e.g. salt per-copy augmentations)."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
+    parts = _upsample_parts()
+    base = F.lit(1)
+    thr = F.lit(0)
+    for lang, (b, t) in parts.items():
+        base = F.when(col("lang") == lang, F.lit(b)).otherwise(base)
+        thr = F.when(col("lang") == lang, F.lit(t)).otherwise(thr)
+    tok = portable_token_composite([col("doc_id"), F.lit(_UPSAMPLE_SALT)])
+    n_copies = (base + F.when(tok < thr, 1).otherwise(0)).cast("long")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", n_copies.alias("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_copies",
+            # sequence(1, 0) would generate a DESCENDING [1, 0] — the
+            # n_copies > 0 filter above is load-bearing, not cosmetic
+            F.explode(F.sequence(F.lit(1).cast("long"), col("n_copies"))).alias(
+                "copy_id"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — per-domain greedy selection to a token budget
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 2000  # tokens admitted per language
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, cum_tokens
+FROM runs WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
+@register("token_budget_select", oracle=_TOKEN_BUDGET_ORACLE)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain greedy selection to a fixed token budget: walk each
+    language's docs best-first (n_chars DESC as the quality proxy,
+    doc_id tiebreak) and admit docs until the budget is spent — the
+    curation step that turns "weights say 2000 tokens of French" into a
+    concrete doc set. A doc is admitted iff the budget was not already
+    exhausted BEFORE it (cum − own < budget), so the last admitted doc
+    may overshoot — the standard greedy knapsack contract, and the form
+    whose window needs no self-join.
+
+    Portability: the cumulative sum uses a ROWS frame over a
+    tie-deterministic key (n_chars DESC, doc_id) — a RANGE frame would
+    share one cumulative value across an equal-quality run and make the
+    budget boundary fall on NO row (CLAUDE.md cumulative-weight rule).
+    Counts are integers end to end: no float hazard anywhere.
+
+    Scale shape: ONE lang-keyed shuffle for the window — each domain is
+    a single sort run. At 100 TB the lever is the sample_per_group move:
+    a sketch-quantile estimate of the admission-score cutoff prefilters
+    map-side to ~budget-sized survivors per domain, and the exact window
+    runs only on those; domains are independent, so skew salting applies
+    per-domain if one dominates."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc(), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < _TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # epoch_reshuffle — seeded reproducible training-order shuffle + sharding
 # ---------------------------------------------------------------------------
 

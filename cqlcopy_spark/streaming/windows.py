@@ -429,12 +429,17 @@ ORDER BY e.event_type, c.c_mktsegment
 
 def _static_join_agg(events: DataFrame, cust: DataFrame) -> DataFrame:
     """Shared logical plan: enrich the event stream with the customer
-    dimension, then aggregate per (event_type, segment)."""
-    from pyspark.sql.functions import broadcast
+    dimension, then aggregate per (event_type, segment).
 
+    The static side is UNHINTED (r10: last site of the SF-scaling hint
+    audit — customer grows with SF, and an explicit hint has no size
+    fallback, it aborts at the 8 GB broadcast ceiling): the planner's
+    size stats pick the broadcast per micro-batch while customer fits
+    and degrade to a shuffle join past it — at which point pre-bucketing
+    both sides on the key is the real lever (SCALE.md)."""
     return (
         events.join(
-            broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             col("user_id") == col("c_custkey"),
         )
         .groupBy("event_type", "c_mktsegment")

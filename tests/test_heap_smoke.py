@@ -40,6 +40,13 @@ HEAVY_OPS = [
     # bpe_verify's class), and the posting-list retrieval fold
     "contamination_neardup",
     "bm25_retrieval",
+    # r10 assessment: the round's new ops (epoch_reshuffle,
+    # domain_upsample, token_budget_select) are single-window /
+    # map+explode lineages with no persist, no collect, no iterative
+    # fold — below this list's heavy-lineage bar. epoch_reshuffle is
+    # included anyway as the round's representative (doc-count × epochs
+    # window ranks are the largest r10-new intermediate).
+    "epoch_reshuffle",
 ]
 
 _SCRIPT = r"""

@@ -216,6 +216,46 @@ def test_q6_is_scan_plus_partial_aggregate(spark):
     assert "Join" not in p, p
 
 
+def test_stream_static_join_dehinted_still_broadcasts(spark):
+    """r10: the last SF-scaling hint site (streaming/windows.py hinted
+    the full customer dim). Dehinted, the stats pick must still be a
+    broadcast at bench SF, with the shuffle-join flip (not an abort)
+    available past the ceiling."""
+    import inspect
+
+    from cqlcopy_spark.streaming.windows import _static_join_agg
+
+    assert "broadcast(" not in inspect.getsource(_static_join_agg)
+    p = plan_of(QUERIES["stream_static_join"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_no_direct_sf_scaling_table_hints_anywhere():
+    """Package-wide regrow guard for the hint class rounds 7-10 deleted:
+    no module may broadcast-hint a DIRECT load of an SF-scaling table
+    (catalog.SF_SCALING_DIMS — part/supplier/customer). Derived frames
+    still need per-module judgment (the pins above/below), but this
+    form — the way every one of the ~20 deleted hints started — is
+    machine-checkable exactly."""
+    import re as _re
+    from pathlib import Path
+
+    import cqlcopy_spark
+    from cqlcopy_spark.catalog import SF_SCALING_DIMS
+
+    pkg = Path(cqlcopy_spark.__file__).parent
+    pat = _re.compile(
+        r"broadcast\(\s*table\(spark,\s*sf_dir,\s*\"(\w+)\"", _re.S
+    )
+    hits = []
+    for py in pkg.rglob("*.py"):
+        for m in pat.finditer(py.read_text()):
+            if m.group(1) in SF_SCALING_DIMS:
+                hits.append(f"{py}:{m.group(1)}")
+    assert not hits, hits
+
+
 def test_tpch_no_sf_scaling_broadcast_hints():
     """r9 VERDICT item 1: the TPC-H modules carry NO broadcast hint on
     any SF-scaling relation (part/supplier/customer slices, joined dim
@@ -307,6 +347,32 @@ def test_contamination_benchmark_broadcasts(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def test_domain_upsample_is_map_only(spark):
+    """Mixture upsampling is a literal-CASE map + explode: no weights
+    join, no exchange of any kind — the 100 TB corpus streams through."""
+    p = plan_of(QUERIES["domain_upsample"](spark, SF_SMALL))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "Generate" in p, p  # the copy explode
+
+
+def test_token_budget_select_single_domain_shuffle(spark):
+    """Budget selection: exactly ONE lang-keyed exchange for the
+    cumulative window (each domain one sort run), never a join or a
+    global sort; the window frame must be ROWS (a RANGE frame shares
+    cumulative values across equal-quality runs — CLAUDE.md)."""
+    import inspect
+
+    from cqlcopy_spark.operators.curation import token_budget_select
+
+    src = inspect.getsource(token_budget_select)
+    assert "rowsBetween" in src
+    p = plan_of(QUERIES["token_budget_select"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
+    assert "Join" not in p, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
 def test_epoch_reshuffle_no_global_sort(spark):
     """epoch_reshuffle must never global-sort: positions are per-(epoch,
     shard) — one hash exchange for the window, no rangepartitioning
@@ -335,7 +401,6 @@ def test_epoch_reshuffle_deterministic_under_repartition(spark):
     for layout in (lambda d: d.coalesce(1), lambda d: d.repartition(13),
                    lambda d: d.repartition(7, "lang")):
         docs = layout(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
-        docs.createOrReplaceTempView("reshuffle_docs")
         from cqlcopy_spark.functions.portable import portable_token_composite
 
         keyed = docs.select(
