@@ -459,6 +459,33 @@ FROM keyed
 """
 
 
+def _epoch_reshuffle_rank(docs: DataFrame) -> DataFrame:
+    """Reshuffle kernel over any frame carrying doc_id: explode epochs,
+    key by portable_token_composite(epoch, doc_id), shard by key, rank
+    within (epoch, shard). Factored so the determinism contract is
+    testable against relaid-out inputs through the REAL code path
+    (tests/test_plans.py feeds coalesced/repartitioned/skew-partitioned
+    frames), the _bm25_rank pattern."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
+    keyed = docs.select(
+        F.explode(
+            F.array(*[F.lit(e) for e in range(_RESHUFFLE_EPOCHS)])
+        ).alias("epoch"),
+        "doc_id",
+    ).select(
+        "epoch",
+        "doc_id",
+        portable_token_composite([col("epoch"), col("doc_id")]).alias("sort_key"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
+    return (
+        keyed.withColumn("shard", col("sort_key") % _RESHUFFLE_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("epoch", "doc_id", "sort_key", "shard", "pos")
+    )
+
+
 @register("epoch_reshuffle", oracle=_epoch_reshuffle_oracle())
 def epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch reshuffle: the curation-to-trainer handoff
@@ -486,25 +513,7 @@ def epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number would funnel 100 TB through one reducer for a number the
     trainer never needs — worker w reads shard w in pos order, and the
     (shard, pos) pair IS the reproducible training order."""
-    from cqlcopy_spark.functions.portable import portable_token_composite
-
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    keyed = d.select(
-        F.explode(
-            F.array(*[F.lit(e) for e in range(_RESHUFFLE_EPOCHS)])
-        ).alias("epoch"),
-        "doc_id",
-    ).select(
-        "epoch",
-        "doc_id",
-        portable_token_composite([col("epoch"), col("doc_id")]).alias("sort_key"),
-    )
-    w = Window.partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
-    return (
-        keyed.withColumn("shard", col("sort_key") % _RESHUFFLE_SHARDS)
-        .withColumn("pos", F.row_number().over(w))
-        .select("epoch", "doc_id", "sort_key", "shard", "pos")
-    )
+    return _epoch_reshuffle_rank(table(spark, sf_dir, "documents").select("doc_id"))
 
 
 # ---------------------------------------------------------------------------

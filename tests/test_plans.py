@@ -264,22 +264,70 @@ def test_tpch_no_sf_scaling_broadcast_hints():
     picks the same BHJ while the side fits (pinned below) and degrades
     to a shuffle join past it. Only fixed-size targets may be hinted:
     the 25-row nation table, nation⋈region prunes, and 1-row aggregates
-    (Q11's global total, Q15's MAX)."""
+    (Q11's global total, Q15's MAX).
+
+    AST-based (review finding): a regex over module source both misfires
+    on docstring prose and misses a REBOUND whitelisted name. Here every
+    broadcast() call's argument is resolved structurally, and a hinted
+    bare name must also have every module-level/function-level binding
+    derive from a fixed-size source (the nation table, a nation⋈region
+    prune, or a .agg() scalar) — rebinding `nat` to a supplier slice
+    fails the guard."""
+    import ast
     import inspect
 
     from cqlcopy_spark.operators import tpch_deep, tpch_full
 
-    # nation/region name the two fixed-size tables (docstrings mention
-    # them in prose too — broadcast(nation ⋈ region) is the kept recipe)
-    allowed = {"n", "nat", "total", "mx", "_regional_nations", "nation", "region"}
+    # ast.unparse renders string literals with SINGLE quotes
+    fixed_markers = ("'nation'", "_regional_nations", ".agg(")
+
+    def _hint_args(tree):
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                f = node.func
+                name = f.id if isinstance(f, ast.Name) else (
+                    f.attr if isinstance(f, ast.Attribute) else None
+                )
+                if name == "broadcast" and node.args:
+                    yield node.args[0]
+
+    def _bindings(tree, name):
+        """Source text of every RHS ever bound to `name` in the module
+        (module level or inside any function)."""
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id == name for t in node.targets
+            ):
+                yield ast.unparse(node.value)
+
+    def _root_name(expr):
+        """Base Name of a method chain: n.filter(x).select(y) -> 'n'."""
+        while True:
+            if isinstance(expr, ast.Call):
+                expr = expr.func
+            elif isinstance(expr, ast.Attribute):
+                expr = expr.value
+            elif isinstance(expr, ast.Name):
+                return expr.id
+            else:
+                return None
+
     for mod in (tpch_full, tpch_deep):
         src = inspect.getsource(mod)
-        for target in re.findall(r"broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src):
-            if target == "table":
-                continue  # direct table hints audited just below
-            assert target in allowed, f"{mod.__name__} re-grew hint on {target}"
-        for tbl in re.findall(r'broadcast\(\s*table\(spark,\s*sf_dir,\s*"(\w+)"', src):
-            assert tbl in ("nation", "region"), f"{mod.__name__} hints SF-scaling {tbl}"
+        tree = ast.parse(src)
+        for arg in _hint_args(tree):
+            text = ast.unparse(arg)
+            if any(m in text for m in ("'nation'", "_regional_nations")):
+                continue  # nation load / nation⋈region prune, hinted inline
+            root = _root_name(arg)
+            assert root is not None, f"{mod.__name__} hints unexpected form: {text}"
+            rhss = list(_bindings(tree, root))
+            assert rhss, f"{mod.__name__}: hinted name {root} has no local binding"
+            for rhs in rhss:
+                assert any(m in rhs for m in fixed_markers), (
+                    f"{mod.__name__}: hinted name {root} bound to "
+                    f"non-fixed-size source: {rhs}"
+                )
 
 
 @pytest.mark.parametrize(
@@ -388,33 +436,15 @@ def test_epoch_reshuffle_deterministic_under_repartition(spark):
     (epoch, doc_id), so ANY physical layout of the input produces
     byte-identical (epoch, doc_id, shard, pos) assignments. rand(seed)
     ordering — the tempting alternative — fails exactly this test."""
-    from pyspark.sql import functions as F
-
-    from cqlcopy_spark.operators.curation import (
-        _RESHUFFLE_EPOCHS,
-        _RESHUFFLE_SHARDS,
-        epoch_reshuffle,
-    )
+    from cqlcopy_spark.operators.curation import _epoch_reshuffle_rank, epoch_reshuffle
 
     base = {tuple(r) for r in epoch_reshuffle(spark, SF_SMALL).collect()}
-    # same data, adversarial layouts: one partition, many, key-skewed
+    # same data through the REAL kernel under adversarial layouts:
+    # one partition, many, key-skewed
     for layout in (lambda d: d.coalesce(1), lambda d: d.repartition(13),
                    lambda d: d.repartition(7, "lang")):
         docs = layout(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
-        from cqlcopy_spark.functions.portable import portable_token_composite
-
-        keyed = docs.select(
-            F.explode(F.array(*[F.lit(e) for e in range(_RESHUFFLE_EPOCHS)])).alias("epoch"),
-            "doc_id",
-        ).select(
-            "epoch", "doc_id",
-            portable_token_composite([F.col("epoch"), F.col("doc_id")]).alias("sort_key"),
-        ).withColumn("shard", F.col("sort_key") % _RESHUFFLE_SHARDS)
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
-        got = {tuple(r) for r in keyed.withColumn("pos", F.row_number().over(w))
-               .select("epoch", "doc_id", "sort_key", "shard", "pos").collect()}
+        got = {tuple(r) for r in _epoch_reshuffle_rank(docs).collect()}
         assert got == base
     # epochs permute independently: epoch-0 and epoch-1 shard labels differ
     by_epoch = {}
