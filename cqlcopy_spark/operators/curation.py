@@ -276,6 +276,106 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snapshot_diff — full-outer content diff between two curation snapshots
+# ---------------------------------------------------------------------------
+
+# Two snapshot states derived deterministically from the one documents
+# fixture: the PREVIOUS run is missing the docs "added since" (mod-17
+# slice), still carries the docs "removed since" (mod-29 slice), and
+# holds an older text revision for the "edited" mod-23 slice. The mods
+# are coprime so the classes overlap realistically (an edited doc can
+# also be one that was later removed, etc. — precedence below).
+_DIFF_ADDED_MOD, _DIFF_ADDED_RES = 17, 3      # in current only
+_DIFF_REMOVED_MOD, _DIFF_REMOVED_RES = 29, 11  # in previous only
+_DIFF_EDITED_MOD, _DIFF_EDITED_RES = 23, 5    # text differs
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH prev AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {_DIFF_EDITED_MOD} = {_DIFF_EDITED_RES}
+              THEN text || ' [v1]' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {_DIFF_ADDED_MOD} <> {_DIFF_ADDED_RES}
+),
+cur AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {_DIFF_REMOVED_MOD} <> {_DIFF_REMOVED_RES}
+),
+joined AS (
+  SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+         COALESCE(c.lang, p.lang) AS lang,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT status, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM joined
+GROUP BY status, lang
+ORDER BY status, lang
+"""
+
+
+@register("snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-run diff: FULL OUTER join of two snapshot states on the
+    doc key, classifying every document added / removed / changed /
+    unchanged by content hash — the audit a pipeline runs between
+    curation versions before shipping a training set ("this rerun
+    touched 0.4% of docs" vs "half the corpus silently changed").
+    Comparison is by md5(text), never by text equality on the wire: the
+    join moves 16-byte digests + keys, not documents.
+
+    Scale shape: both snapshots shuffle once on doc_id for the full
+    outer join (inherent to a diff — every key must meet its twin);
+    with both snapshots written bucketed by doc_id (the layout a
+    versioned corpus store would use, tests/test_bucketing.py's move)
+    the exchange disappears entirely and the diff is a zero-shuffle
+    zip of co-located buckets. The status aggregate is map-side partial
+    over ≤ 4×|langs| groups."""
+    d = table(spark, sf_dir, "documents")
+    prev = d.filter(
+        col("doc_id") % _DIFF_ADDED_MOD != _DIFF_ADDED_RES
+    ).select(
+        col("doc_id").alias("p_doc_id"),
+        col("lang").alias("p_lang"),
+        F.md5(
+            F.when(
+                col("doc_id") % _DIFF_EDITED_MOD == _DIFF_EDITED_RES,
+                F.concat(col("text"), F.lit(" [v1]")),
+            ).otherwise(col("text"))
+        ).alias("p_hash"),
+    )
+    cur = d.filter(
+        col("doc_id") % _DIFF_REMOVED_MOD != _DIFF_REMOVED_RES
+    ).select("doc_id", "lang", F.md5(col("text")).alias("c_hash"))
+    status = (
+        F.when(col("p_doc_id").isNull(), "added")
+        .when(col("doc_id").isNull(), "removed")
+        .when(col("c_hash") != col("p_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        cur.join(prev, col("doc_id") == col("p_doc_id"), "full_outer")
+        .select(
+            F.coalesce(col("doc_id"), col("p_doc_id")).alias("doc_id"),
+            F.coalesce(col("lang"), col("p_lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("status", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("status", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # domain_upsample — deterministic fractional upsampling with replacement
 # ---------------------------------------------------------------------------
 

@@ -395,6 +395,87 @@ def test_contamination_benchmark_broadcasts(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def test_epoch_reshuffle_shard_balance(spark):
+    """Hash-uniformity sanity on the shard assignment: with ~500 docs
+    over 8 shards per epoch, every shard must land within ±50% of the
+    mean — a broken token fold (e.g. a lost pmod) typically collapses
+    whole shards, which this catches cheaply at SF_MEDIUM."""
+    from collections import Counter
+
+    from cqlcopy_spark.operators.curation import _RESHUFFLE_SHARDS, epoch_reshuffle
+
+    rows = epoch_reshuffle(spark, SF_MEDIUM).collect()
+    per = Counter((r["epoch"], r["shard"]) for r in rows)
+    by_epoch = Counter(r["epoch"] for r in rows)
+    for (epoch, shard), n in per.items():
+        mean = by_epoch[epoch] / _RESHUFFLE_SHARDS
+        assert 0.5 * mean <= n <= 1.5 * mean, (epoch, shard, n, mean)
+    assert len(per) == 2 * _RESHUFFLE_SHARDS  # no empty shard
+
+
+def test_domain_upsample_matches_python_expectation(spark):
+    """Recompute every doc's copy count in pure Python from the weights
+    table + portable token (an independent implementation of the
+    fractional rule) and compare the per-(lang, n_copies) histogram —
+    the oracle locks exact values, this locks the RULE the values came
+    from (a transposed base/threshold CASE would still hash-match some
+    fixture states)."""
+    from collections import Counter
+
+    import duckdb
+
+    from cqlcopy_spark.functions.portable import KNUTH, M32
+    from cqlcopy_spark.operators.curation import (
+        _UPSAMPLE_SALT,
+        _upsample_parts,
+        domain_upsample,
+    )
+
+    parts = _upsample_parts()
+
+    def token(doc_id: int) -> int:
+        def t(key: int) -> int:
+            k1 = key % M32
+            hi, lo = k1 // 65536, k1 % 65536
+            return ((KNUTH * hi % M32) * 65536 % M32 + KNUTH * lo) % M32
+
+        return (t(doc_id) * 31 + t(_UPSAMPLE_SALT)) % M32
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF_MEDIUM}/documents.parquet'"
+    ).fetchall()
+    want = Counter()
+    for doc_id, lang in docs:
+        base, thr = parts.get(lang, (1, 0))
+        n = base + (1 if token(doc_id) < thr else 0)
+        if n > 0:
+            want[(lang, n)] += 1
+    got = Counter(
+        (r["lang"], r["n_copies"])
+        for r in domain_upsample(spark, SF_MEDIUM)
+        .select("doc_id", "lang", "n_copies")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+
+
+def test_snapshot_diff_hash_only_join(spark):
+    """The snapshot diff joins 16-byte digests + keys, never document
+    text: the full-outer join's ReadSchema must not carry `text` past
+    the md5 projection (both scans read text, but the join inputs
+    project it away), and the classify-then-count is map-side partial.
+    Full outer can never broadcast — the doc_id shuffle is the
+    contract; bucketed snapshot layouts remove it entirely."""
+    p = plan_of(QUERIES["snapshot_diff"](spark, SF_SMALL))
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final on status rows
+    # join keys/payload: digests, ids, lang — text must be hashed below
+    m = re.search(r"SortMergeJoin .*FullOuter", p)
+    assert m, p
+
+
 def test_domain_upsample_is_map_only(spark):
     """Mixture upsampling is a literal-CASE map + explode: no weights
     join, no exchange of any kind — the 100 TB corpus streams through."""
