@@ -76,3 +76,65 @@ def test_bucketed_agg_skips_shuffle(spark):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed_agg")
+
+
+def test_bucketed_snapshot_diff_skips_shuffle(spark):
+    """SCALE.md's snapshot_diff lever, proven: two snapshot states
+    written bucketed on doc_id full-outer-join with ZERO exchanges —
+    the versioned-corpus-store layout turns the diff into a co-located
+    bucket zip. (Full outer can never broadcast, so without bucketing
+    the doc_id shuffle is unavoidable — this is the only lever.)"""
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_SMALL, "documents")
+    # same snapshot derivation as the operator, INCLUDING the edited
+    # mod-23 slice's older text revision — the counts compare below
+    prev = d.filter(col("doc_id") % 17 != 3).select(
+        col("doc_id").alias("p_doc_id"),
+        F.md5(
+            F.when(
+                col("doc_id") % 23 == 5, F.concat(col("text"), F.lit(" [v1]"))
+            ).otherwise(col("text"))
+        ).alias("p_hash"),
+    )
+    cur = d.filter(col("doc_id") % 29 != 11).select(
+        "doc_id", F.md5("text").alias("c_hash")
+    )
+    spark.sql("DROP TABLE IF EXISTS snap_prev")
+    spark.sql("DROP TABLE IF EXISTS snap_cur")
+    prev.write.mode("overwrite").bucketBy(8, "p_doc_id").sortBy(
+        "p_doc_id"
+    ).saveAsTable("snap_prev")
+    cur.write.mode("overwrite").bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).saveAsTable("snap_cur")
+    try:
+        diff = spark.table("snap_cur").join(
+            spark.table("snap_prev"),
+            col("doc_id") == col("p_doc_id"),
+            "full_outer",
+        )
+        p = plan_of(diff)
+        assert shuffle_exchanges(p) == 0, p
+        assert "SelectedBucketsCount" in p, p
+        # classification agrees with the unbucketed operator's counts
+        from cqlcopy_spark.plans.registry import all_queries
+
+        got = diff.select(
+            F.when(col("p_doc_id").isNull(), "added")
+            .when(col("doc_id").isNull(), "removed")
+            .when(col("c_hash") != col("p_hash"), "changed")
+            .otherwise("unchanged")
+            .alias("status")
+        ).groupBy("status").count()
+        want = (
+            all_queries()["snapshot_diff"](spark, SF_SMALL)
+            .groupBy("status")
+            .agg(F.sum("n_docs").alias("count"))
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_prev")
+        spark.sql("DROP TABLE IF EXISTS snap_cur")
