@@ -491,6 +491,25 @@ FROM runs WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+def _token_budget_kernel(toks: DataFrame, budget: int) -> DataFrame:
+    """Greedy admission kernel over a (doc_id, lang, n_chars, n_tokens)
+    frame: best-first (n_chars DESC, doc_id) cumulative sum per lang,
+    admit while the budget was not exhausted before the doc. Factored
+    for the property fuzz (tests/test_plans.py) — tie-dense n_chars is
+    exactly the cumulative-boundary class CLAUDE.md's ROWS-frame rule
+    exists for, and the fuzz feeds it adversarial tie runs."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc(), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < budget)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
 @register("token_budget_select", oracle=_TOKEN_BUDGET_ORACLE)
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain greedy selection to a fixed token budget: walk each
@@ -521,16 +540,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(F.split(col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(col("n_chars").desc(), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(col("cum_tokens") - col("n_tokens") < _TOKEN_BUDGET)
-        .select("lang", "doc_id", "n_tokens", "cum_tokens")
-    )
+    return _token_budget_kernel(toks, _TOKEN_BUDGET)
 
 
 # ---------------------------------------------------------------------------

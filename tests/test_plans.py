@@ -492,9 +492,9 @@ def test_token_budget_select_single_domain_shuffle(spark):
     cumulative values across equal-quality runs — CLAUDE.md)."""
     import inspect
 
-    from cqlcopy_spark.operators.curation import token_budget_select
+    from cqlcopy_spark.operators.curation import _token_budget_kernel
 
-    src = inspect.getsource(token_budget_select)
+    src = inspect.getsource(_token_budget_kernel)
     assert "rowsBetween" in src
     p = plan_of(QUERIES["token_budget_select"](spark, SF_SMALL))
     assert shuffle_exchanges(p) == 1, p

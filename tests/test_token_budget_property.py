@@ -1,0 +1,85 @@
+"""token_budget_select kernel property fuzz (r10 convention: every new
+numeric kernel fuzzes against a pure-Python reference before its first
+rotation re-check).
+
+The greedy-admission rule — walk each domain best-first by (n_chars
+DESC, doc_id), admit while the budget was not already spent — is a
+cumulative-boundary computation, the exact class where a RANGE frame
+(or a lost tiebreak) makes whole duplicate runs share one cumulative
+value and the budget cut fall on NO row (CLAUDE.md). The fuzz therefore
+generates TIE-DENSE n_chars (tiny value domains, long equal runs),
+zero-token docs, single-doc domains, and budgets straddling run
+boundaries, and demands exact row-set equality including cum_tokens."""
+
+from __future__ import annotations
+
+import random
+
+from tests.conftest import SF_SMALL  # noqa: F401  (repo path side effect)
+
+
+def _ref_select(rows, budget):
+    """rows: (doc_id, lang, n_chars, n_tokens). Pure-Python replay."""
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r[1], []).append(r)
+    out = set()
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: (-r[2], r[0]))
+        cum = 0
+        for doc_id, _, _, n_tokens in docs:
+            before = cum
+            cum += n_tokens
+            if before < budget:
+                out.add((lang, doc_id, n_tokens, cum))
+    return out
+
+
+def _random_rows(seed, n_docs, n_langs, chars_domain, max_tokens):
+    rng = random.Random(seed)
+    return [
+        (
+            i,
+            f"l{rng.randrange(n_langs)}",
+            rng.randrange(chars_domain),  # tiny domain → long tie runs
+            rng.randrange(0, max_tokens + 1),  # zero-token docs included
+        )
+        for i in range(n_docs)
+    ]
+
+
+def test_token_budget_kernel_fuzz(spark):
+    from cqlcopy_spark.operators.curation import _token_budget_kernel
+
+    cases = [
+        # (n_docs, n_langs, chars_domain, max_tokens, budget)
+        (40, 3, 2, 8, 20),    # extreme tie density, small budget
+        (60, 4, 5, 12, 50),   # boundary mid-run
+        (25, 25, 3, 6, 10),   # ~single-doc domains
+        (50, 2, 1, 10, 0),    # all-equal quality; zero budget → nothing
+        (30, 3, 4, 9, 10_000),  # budget exceeds all domains → everything
+    ]
+    for trial, (n_docs, n_langs, dom, mt, budget) in enumerate(cases):
+        for seed in range(3):
+            rows = _random_rows(7000 + 100 * trial + seed, n_docs, n_langs, dom, mt)
+            df = spark.createDataFrame(
+                rows, "doc_id long, lang string, n_chars long, n_tokens long"
+            )
+            got = {tuple(r) for r in _token_budget_kernel(df, budget).collect()}
+            want = _ref_select(rows, budget)
+            assert got == want, (trial, seed, got ^ want)
+
+
+def test_token_budget_zero_budget_and_total_budget(spark):
+    """Degenerate budgets: 0 admits nothing; a budget >= domain total
+    admits every doc with exact cumulative sums."""
+    from cqlcopy_spark.operators.curation import _token_budget_kernel
+
+    rows = [(i, "x", 5, 3) for i in range(10)]  # all identical quality
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, n_tokens long"
+    )
+    assert _token_budget_kernel(df, 0).count() == 0
+    full = {tuple(r) for r in _token_budget_kernel(df, 30).collect()}
+    # ties broken by doc_id: cum walks 3,6,…,30 in doc_id order
+    assert full == {("x", i, 3, 3 * (i + 1)) for i in range(10)}
