@@ -495,7 +495,8 @@ def _token_budget_kernel(toks: DataFrame, budget: int) -> DataFrame:
     """Greedy admission kernel over a (doc_id, lang, n_chars, n_tokens)
     frame: best-first (n_chars DESC, doc_id) cumulative sum per lang,
     admit while the budget was not exhausted before the doc. Factored
-    for the property fuzz (tests/test_plans.py) — tie-dense n_chars is
+    for the property fuzz (tests/test_token_budget_property.py) —
+    tie-dense n_chars is
     exactly the cumulative-boundary class CLAUDE.md's ROWS-frame rule
     exists for, and the fuzz feeds it adversarial tie runs."""
     w = (

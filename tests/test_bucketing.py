@@ -86,18 +86,29 @@ def test_bucketed_snapshot_diff_skips_shuffle(spark):
     the doc_id shuffle is unavoidable — this is the only lever.)"""
     from pyspark.sql import functions as F
 
+    from cqlcopy_spark.operators.curation import (
+        _DIFF_ADDED_MOD,
+        _DIFF_ADDED_RES,
+        _DIFF_EDITED_MOD,
+        _DIFF_EDITED_RES,
+        _DIFF_REMOVED_MOD,
+        _DIFF_REMOVED_RES,
+    )
+
     d = table(spark, SF_SMALL, "documents")
-    # same snapshot derivation as the operator, INCLUDING the edited
-    # mod-23 slice's older text revision — the counts compare below
-    prev = d.filter(col("doc_id") % 17 != 3).select(
+    # same snapshot derivation as the operator (constants imported, not
+    # restated), INCLUDING the edited slice's older text revision — the
+    # counts compare below
+    prev = d.filter(col("doc_id") % _DIFF_ADDED_MOD != _DIFF_ADDED_RES).select(
         col("doc_id").alias("p_doc_id"),
         F.md5(
             F.when(
-                col("doc_id") % 23 == 5, F.concat(col("text"), F.lit(" [v1]"))
+                col("doc_id") % _DIFF_EDITED_MOD == _DIFF_EDITED_RES,
+                F.concat(col("text"), F.lit(" [v1]")),
             ).otherwise(col("text"))
         ).alias("p_hash"),
     )
-    cur = d.filter(col("doc_id") % 29 != 11).select(
+    cur = d.filter(col("doc_id") % _DIFF_REMOVED_MOD != _DIFF_REMOVED_RES).select(
         "doc_id", F.md5("text").alias("c_hash")
     )
     spark.sql("DROP TABLE IF EXISTS snap_prev")

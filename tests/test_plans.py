@@ -279,7 +279,15 @@ def test_tpch_no_sf_scaling_broadcast_hints():
     from cqlcopy_spark.operators import tpch_deep, tpch_full
 
     # ast.unparse renders string literals with SINGLE quotes
-    fixed_markers = ("'nation'", "_regional_nations", ".agg(")
+    def _fixed_size_rhs(rhs: str) -> bool:
+        # a binding is fixed-size iff it loads nation/region, applies the
+        # nation⋈region prune, or is a SCALAR aggregate — a grouped
+        # .agg() output scales with its key's cardinality and must NOT
+        # qualify (review finding: `groupBy('l_partkey').agg(...)` would
+        # otherwise slip a corpus-growing hint past the guard)
+        if "'nation'" in rhs or "'region'" in rhs or "_regional_nations" in rhs:
+            return True
+        return ".agg(" in rhs and "groupBy(" not in rhs and "groupby(" not in rhs
 
     def _hint_args(tree):
         for node in ast.walk(tree):
@@ -317,14 +325,14 @@ def test_tpch_no_sf_scaling_broadcast_hints():
         tree = ast.parse(src)
         for arg in _hint_args(tree):
             text = ast.unparse(arg)
-            if any(m in text for m in ("'nation'", "_regional_nations")):
-                continue  # nation load / nation⋈region prune, hinted inline
+            if any(m in text for m in ("'nation'", "'region'", "_regional_nations")):
+                continue  # nation/region load or nation⋈region prune, inline
             root = _root_name(arg)
             assert root is not None, f"{mod.__name__} hints unexpected form: {text}"
             rhss = list(_bindings(tree, root))
             assert rhss, f"{mod.__name__}: hinted name {root} has no local binding"
             for rhs in rhss:
-                assert any(m in rhs for m in fixed_markers), (
+                assert _fixed_size_rhs(rhs), (
                     f"{mod.__name__}: hinted name {root} bound to "
                     f"non-fixed-size source: {rhs}"
                 )
@@ -402,7 +410,11 @@ def test_epoch_reshuffle_shard_balance(spark):
     whole shards, which this catches cheaply at SF_MEDIUM."""
     from collections import Counter
 
-    from cqlcopy_spark.operators.curation import _RESHUFFLE_SHARDS, epoch_reshuffle
+    from cqlcopy_spark.operators.curation import (
+        _RESHUFFLE_EPOCHS,
+        _RESHUFFLE_SHARDS,
+        epoch_reshuffle,
+    )
 
     rows = epoch_reshuffle(spark, SF_MEDIUM).collect()
     per = Counter((r["epoch"], r["shard"]) for r in rows)
@@ -410,7 +422,7 @@ def test_epoch_reshuffle_shard_balance(spark):
     for (epoch, shard), n in per.items():
         mean = by_epoch[epoch] / _RESHUFFLE_SHARDS
         assert 0.5 * mean <= n <= 1.5 * mean, (epoch, shard, n, mean)
-    assert len(per) == 2 * _RESHUFFLE_SHARDS  # no empty shard
+    assert len(per) == _RESHUFFLE_EPOCHS * _RESHUFFLE_SHARDS  # no empty shard
 
 
 def test_domain_upsample_matches_python_expectation(spark):
@@ -470,10 +482,16 @@ def test_snapshot_diff_hash_only_join(spark):
     p = plan_of(QUERIES["snapshot_diff"](spark, SF_SMALL))
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
-    assert p.count("HashAggregate") >= 2, p  # partial + final on status rows
-    # join keys/payload: digests, ids, lang — text must be hashed below
-    m = re.search(r"SortMergeJoin .*FullOuter", p)
-    assert m, p
+    # partial + final: count detail headers, not substrings — every node
+    # prints twice in a formatted plan (CLAUDE.md pin rule)
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
+    assert re.search(r"SortMergeJoin .*FullOuter", p), p
+    # the hash-only property itself: text#N must be dropped by the md5
+    # projection BELOW the exchanges — neither the join nor any Exchange
+    # section may carry a raw text column
+    for header in re.finditer(r"\(\d+\) (Exchange|SortMergeJoin).*", p):
+        section = p[header.start(): p.find("\n\n", header.start())]
+        assert "text#" not in section, section
 
 
 def test_domain_upsample_is_map_only(spark):
