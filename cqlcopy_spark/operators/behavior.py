@@ -606,3 +606,138 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_experiment_lift — deterministic A/B readout (hash variants, exact lift)
+# ---------------------------------------------------------------------------
+
+def _ab_oracle() -> str:
+    from cqlcopy_spark.functions.portable import (sql_exact_sum,
+                                                  sql_portable_token)
+
+    v = f"({sql_portable_token('user_id')} % 2)"
+    c = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+WITH sums AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN {v} = 0 THEN 1 END) AS BIGINT) AS n_control,
+         CAST(COUNT(CASE WHEN {v} = 1 THEN 1 END) AS BIGINT) AS n_treatment,
+         {sql_exact_sum(f"CASE WHEN {v} = 0 THEN {c} END")} AS sc,
+         {sql_exact_sum(f"CASE WHEN {v} = 1 THEN {c} END")} AS st,
+         {sql_exact_sum(f"CASE WHEN {v} = 0 THEN {c} * {c} END")} AS qc,
+         {sql_exact_sum(f"CASE WHEN {v} = 1 THEN {c} * {c} END")} AS qt
+  FROM events
+  GROUP BY event_type
+),
+means AS (
+  SELECT *,
+         (sc / CAST(100.0 AS DOUBLE)) / n_control   AS mean_control,
+         (st / CAST(100.0 AS DOUBLE)) / n_treatment AS mean_treatment
+  FROM sums WHERE n_control > 1 AND n_treatment > 1
+),
+vars AS (
+  SELECT *,
+         ((qc / CAST(10000.0 AS DOUBLE))
+            - ((n_control * mean_control) * mean_control))
+           / (n_control - 1) AS var_control,
+         ((qt / CAST(10000.0 AS DOUBLE))
+            - ((n_treatment * mean_treatment) * mean_treatment))
+           / (n_treatment - 1) AS var_treatment
+  FROM means
+),
+scored AS (
+  SELECT *,
+         mean_treatment - mean_control AS lift,
+         sqrt(var_control / n_control + var_treatment / n_treatment) AS se
+  FROM vars
+)
+SELECT event_type, n_control, n_treatment, mean_control, mean_treatment,
+       lift, se,
+       CASE WHEN se > 0 THEN lift / se END AS z_score
+FROM scored
+ORDER BY event_type
+"""
+
+
+@register("ab_experiment_lift", oracle=_ab_oracle())
+def ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout over the events stream:
+    users are hash-assigned to control/treatment (portable token mod 2 —
+    assignment is a pure function of user_id, reproducible across
+    engines/runs/layouts, the property a real experiment bucketing
+    service guarantees), and each event_type gets the two-sample
+    readout: per-variant n / mean value, lift, its standard error, and
+    the z-score.
+
+    Float portability: event values are exact 2-decimal money, so all
+    sums run in INTEGER cents (value ≤ ~561 ⇒ cents ≤ 56.1k, cents² ≤
+    3.2e9 per row — int64-safe at any corpus size via the decimal(38,0)
+    accumulator; portable.py exact-sum route). Means/variances/z are
+    then a FIXED tree of IEEE ops on exact ints — bit-identical in both
+    engines, sqrt included (the one portable transcendental). Sample
+    variance uses the (ssq − n·mean²)/(n−1) form with explicit
+    association mirrored in the oracle. Variants with fewer than 2
+    events are filtered (variance undefined), and z is NULL when se = 0
+    rather than an engine-dependent infinity.
+
+    Scale shape: ONE conditional aggregate over (event_type) — map-side
+    partial, shuffle ∝ event types × 7 numbers; no join, no window, no
+    second pass. At 100 TB this is the cheapest query in the repo after
+    the pure scans."""
+    from cqlcopy_spark.functions.portable import exact_sum, portable_token
+
+    e = table(spark, sf_dir, "events")
+    variant = F.pmod(portable_token(col("user_id")), F.lit(2))
+    cents_v = F.round(col("value") * 100).cast("long")
+    is_c, is_t = variant == 0, variant == 1
+    sums = (
+        e.select("event_type", is_c.alias("c"), is_t.alias("t"), cents_v.alias("cv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(col("c"), 1)).alias("n_control"),
+            F.count(F.when(col("t"), 1)).alias("n_treatment"),
+            exact_sum(F.when(col("c"), col("cv"))).alias("sc"),
+            exact_sum(F.when(col("t"), col("cv"))).alias("st"),
+            exact_sum(F.when(col("c"), col("cv") * col("cv"))).alias("qc"),
+            exact_sum(F.when(col("t"), col("cv") * col("cv"))).alias("qt"),
+        )
+        .filter((col("n_control") > 1) & (col("n_treatment") > 1))
+    )
+    means = sums.withColumns(
+        {
+            "mean_control": (col("sc") / F.lit(100.0)) / col("n_control"),
+            "mean_treatment": (col("st") / F.lit(100.0)) / col("n_treatment"),
+        }
+    )
+    vars_ = means.withColumns(
+        {
+            "var_control": (
+                (col("qc") / F.lit(10000.0))
+                - ((col("n_control") * col("mean_control")) * col("mean_control"))
+            ) / (col("n_control") - 1),
+            "var_treatment": (
+                (col("qt") / F.lit(10000.0))
+                - ((col("n_treatment") * col("mean_treatment")) * col("mean_treatment"))
+            ) / (col("n_treatment") - 1),
+        }
+    )
+    scored = vars_.withColumns(
+        {
+            "lift": col("mean_treatment") - col("mean_control"),
+            "se": F.sqrt(
+                col("var_control") / col("n_control")
+                + col("var_treatment") / col("n_treatment")
+            ),
+        }
+    )
+    return scored.select(
+        "event_type",
+        "n_control",
+        "n_treatment",
+        "mean_control",
+        "mean_treatment",
+        "lift",
+        "se",
+        F.when(col("se") > 0, col("lift") / col("se")).alias("z_score"),
+    ).orderBy("event_type")

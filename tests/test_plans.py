@@ -472,6 +472,17 @@ def test_domain_upsample_matches_python_expectation(spark):
     assert got == want
 
 
+def test_ab_lift_single_conditional_aggregate(spark):
+    """ab_experiment_lift is ONE conditional aggregate: a partial+final
+    HashAggregate pair on event_type, no join/window anywhere, and the
+    variant hash + cents conversion run map-side below the partial
+    (shuffle carries event-types × 7 numbers, not events)."""
+    p = plan_of(QUERIES["ab_experiment_lift"](spark, SF_SMALL))
+    assert "Join" not in p and "Window" not in p, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
+    assert shuffle_exchanges(p) <= 2, p  # agg exchange + presentation sort
+
+
 def test_snapshot_diff_hash_only_join(spark):
     """The snapshot diff joins 16-byte digests + keys, never document
     text: the full-outer join's ReadSchema must not carry `text` past
