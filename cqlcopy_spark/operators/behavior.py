@@ -685,9 +685,16 @@ def ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial, shuffle ∝ event types × 7 numbers; no join, no window, no
     second pass. At 100 TB this is the cheapest query in the repo after
     the pure scans."""
+    return _ab_lift_kernel(table(spark, sf_dir, "events"))
+
+
+def _ab_lift_kernel(e: DataFrame) -> DataFrame:
+    """Two-sample readout kernel over any (user_id, event_type, value)
+    frame — factored so the exact-int sums and the fixed IEEE
+    mean/variance/z tree are property-fuzzable against a pure-Python
+    replay on arbitrary event sets (tests/test_ab_lift_property.py)."""
     from cqlcopy_spark.functions.portable import exact_sum, portable_token
 
-    e = table(spark, sf_dir, "events")
     variant = F.pmod(portable_token(col("user_id")), F.lit(2))
     cents_v = F.round(col("value") * 100).cast("long")
     is_c, is_t = variant == 0, variant == 1
