@@ -613,11 +613,11 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _ab_oracle() -> str:
-    from cqlcopy_spark.functions.portable import (sql_exact_sum,
+    from cqlcopy_spark.functions.portable import (sql_cents, sql_exact_sum,
                                                   sql_portable_token)
 
     v = f"({sql_portable_token('user_id')} % 2)"
-    c = "CAST(round(value * 100) AS BIGINT)"
+    c = sql_cents("value")
     return f"""
 WITH sums AS (
   SELECT event_type,
@@ -638,12 +638,12 @@ means AS (
 ),
 vars AS (
   SELECT *,
-         ((qc / CAST(10000.0 AS DOUBLE))
+         greatest(((qc / CAST(10000.0 AS DOUBLE))
             - ((n_control * mean_control) * mean_control))
-           / (n_control - 1) AS var_control,
-         ((qt / CAST(10000.0 AS DOUBLE))
+           / (n_control - 1), CAST(0.0 AS DOUBLE)) AS var_control,
+         greatest(((qt / CAST(10000.0 AS DOUBLE))
             - ((n_treatment * mean_treatment) * mean_treatment))
-           / (n_treatment - 1) AS var_treatment
+           / (n_treatment - 1), CAST(0.0 AS DOUBLE)) AS var_treatment
   FROM means
 ),
 scored AS (
@@ -693,10 +693,11 @@ def _ab_lift_kernel(e: DataFrame) -> DataFrame:
     frame — factored so the exact-int sums and the fixed IEEE
     mean/variance/z tree are property-fuzzable against a pure-Python
     replay on arbitrary event sets (tests/test_ab_lift_property.py)."""
-    from cqlcopy_spark.functions.portable import exact_sum, portable_token
+    from cqlcopy_spark.functions.portable import (cents, exact_sum,
+                                                   portable_token)
 
     variant = F.pmod(portable_token(col("user_id")), F.lit(2))
-    cents_v = F.round(col("value") * 100).cast("long")
+    cents_v = cents(col("value"))
     is_c, is_t = variant == 0, variant == 1
     sums = (
         e.select("event_type", is_c.alias("c"), is_t.alias("t"), cents_v.alias("cv"))
@@ -719,14 +720,24 @@ def _ab_lift_kernel(e: DataFrame) -> DataFrame:
     )
     vars_ = means.withColumns(
         {
-            "var_control": (
-                (col("qc") / F.lit(10000.0))
-                - ((col("n_control") * col("mean_control")) * col("mean_control"))
-            ) / (col("n_control") - 1),
-            "var_treatment": (
-                (col("qt") / F.lit(10000.0))
-                - ((col("n_treatment") * col("mean_treatment")) * col("mean_treatment"))
-            ) / (col("n_treatment") - 1),
+            # greatest(_, 0.0): the (ssq − n·mean²) cancellation can land
+            # a hair NEGATIVE for constant-valued variants — Spark's sqrt
+            # would yield NaN and DuckDB's ERRORS the whole oracle query
+            # (same clamp as events_anomaly_zscore above)
+            "var_control": F.greatest(
+                (
+                    (col("qc") / F.lit(10000.0))
+                    - ((col("n_control") * col("mean_control")) * col("mean_control"))
+                ) / (col("n_control") - 1),
+                F.lit(0.0),
+            ),
+            "var_treatment": F.greatest(
+                (
+                    (col("qt") / F.lit(10000.0))
+                    - ((col("n_treatment") * col("mean_treatment")) * col("mean_treatment"))
+                ) / (col("n_treatment") - 1),
+                F.lit(0.0),
+            ),
         }
     )
     scored = vars_.withColumns(

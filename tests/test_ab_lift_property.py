@@ -44,8 +44,11 @@ def _ref(rows):
             continue
         mean_c = (float(sc) / 100.0) / nc
         mean_t = (float(st) / 100.0) / nt
-        var_c = ((float(qc) / 10000.0) - ((nc * mean_c) * mean_c)) / (nc - 1)
-        var_t = ((float(qt) / 10000.0) - ((nt * mean_t) * mean_t)) / (nt - 1)
+        # max(_, 0.0) mirrors the operator's greatest() clamp: the
+        # cancellation lands a hair negative for constant-valued
+        # variants, and sqrt of that is NaN/error territory
+        var_c = max(((float(qc) / 10000.0) - ((nc * mean_c) * mean_c)) / (nc - 1), 0.0)
+        var_t = max(((float(qt) / 10000.0) - ((nt * mean_t) * mean_t)) / (nt - 1), 0.0)
         lift = mean_t - mean_c
         se = math.sqrt(var_c / nc + var_t / nt)
         z = lift / se if se > 0 else None
@@ -92,12 +95,34 @@ def test_ab_lift_reference_parity_fuzz(spark):
             assert _run(spark, rows) == _ref(rows), (trial, seed)
 
 
-def test_ab_lift_zero_variance_yields_null_z(spark):
-    """All-equal values in both variants → se = 0 → z must be NULL (not
-    an engine-dependent infinity), and both means exactly equal."""
-    rows = [(u, "e", 3.21) for u in range(40)]
-    got = _run(spark, rows)
-    assert got == _ref(rows)
-    (row,) = got
-    assert row[7] is None  # z_score
-    assert row[3] == row[4]  # identical means bitwise
+def test_ab_lift_constant_variants_clamp_to_null_z(spark):
+    """Constant-valued variants are the catastrophic-cancellation case:
+    (ssq − n·mean²) lands a hair NEGATIVE (e.g. −19.99 at these group
+    sizes — verified), so without the greatest(_, 0.0) clamp Spark's
+    sqrt yields NaN and DuckDB ERRORS the whole oracle query. With the
+    clamp, the cancellation residue is either clamped to se = 0 (z NULL,
+    never an engine-dependent infinity) or a tiny positive se with a
+    bitwise-zero lift (z exactly 0.0) — both "no significance", both
+    engine-agreed; means come out bitwise equal either way."""
+    for value in (-19.99, 3.21, 0.07):
+        rows = [(u, "e", value) for u in range(40)]
+        got = _run(spark, rows)
+        assert got == _ref(rows)
+        (row,) = got
+        assert row[7] in (None, (0.0).hex()), (value, row)  # z_score
+        assert row[3] == row[4], (value, row)  # identical means bitwise
+
+
+def test_ab_lift_constant_per_type_fuzz(spark):
+    """Fuzz shape the random generator cannot produce: every event_type
+    carries ONE fixed price (the fixed-price-SKU case) — exercises the
+    negative-radicand clamp across many (value, group-size) pairs."""
+    rng = random.Random(77)
+    for seed in range(4):
+        prices = {f"e{k}": rng.randrange(-60000, 60000) / 100.0 for k in range(6)}
+        rows = [
+            (rng.randrange(40), et, price)
+            for et, price in prices.items()
+            for _ in range(rng.randrange(4, 50))
+        ]
+        assert _run(spark, rows) == _ref(rows), seed
