@@ -89,15 +89,27 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 10 (r9 VERDICT item 2): contamination_substring's bench side
-# changed from a corpus-growing mod-slice to the capped fixed-size set —
-# its RESULTS changed, so the r8 green is void; but as an r8-checked
-# entry it sorts behind the whole r5-r7 changed-module pool and misses
-# the 50-slot window without forcing. (contamination_overlap got the
-# same rewrite but its r6-stale verdict fronts it naturally; the nine
-# dehinted TPC-H entries front as the r5 tail.)
-_FORCE_FRONT_ROUND = 10
-_FORCE_FRONT = ("contamination_substring",)
+# Round 11 (r10 VERDICT items 1, 2, 4):
+# - cast_dynamic / copy_roundtrip / k_anonymity: r6-stale verdicts on
+#   UNCHANGED modules — the changed-module pool (97 entries) fills the
+#   window ahead of the rank-5 freshness sweep, so they never surface
+#   without forcing; the verdict demands all 7 r6 entries re-checked.
+# - token_budget_select: rewritten this round (histogram-cutoff
+#   prefilter before the exact window) — its r10 green is void, and as
+#   a chg-r10 entry it sorts behind the chg-r6/r7 pool.
+# - contamination_overlap / contamination_substring: bench-set
+#   derivation factored into a shared _bench_docs() helper this round
+#   (r10 VERDICT item 4 "done = both ops re-green"); same chg-r10
+#   window-miss as above.
+_FORCE_FRONT_ROUND = 11
+_FORCE_FRONT = (
+    "cast_dynamic",
+    "copy_roundtrip",
+    "k_anonymity",
+    "token_budget_select",
+    "contamination_overlap",
+    "contamination_substring",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

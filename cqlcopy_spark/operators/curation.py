@@ -389,13 +389,36 @@ _UPSAMPLE_SALT = 77  # decorrelates the fractional pick from every other
 _M32_F = 4294967296.0
 
 
-def _upsample_parts() -> "dict[str, tuple[int, int]]":
-    """lang -> (whole copies, fractional-copy token threshold)."""
+def _upsample_parts(
+    weights: "dict[str, float] | None" = None,
+) -> "dict[str, tuple[int, int]]":
+    """lang -> (whole copies, fractional-copy token threshold). Takes an
+    explicit weight map for the property fuzz; defaults to the workload
+    constants."""
     out = {}
-    for lang, w in _UPSAMPLE_W.items():
+    for lang, w in (_UPSAMPLE_W if weights is None else weights).items():
         base = int(w)
         out[lang] = (base, int(round((w - base) * _M32_F)))
     return out
+
+
+def _n_copies_col(parts: "dict[str, tuple[int, int]]", salt: int) -> "F.Column":
+    """The fractional-copy kernel: n_copies = ⌊w⌋ + [token(doc_id, salt)
+    < frac(w)·2³²] as a literal CASE over the weight map — no weights
+    join, pure map. Unknown langs default to one copy, no fractional
+    pick. Factored for the property fuzz
+    (tests/test_upsample_property.py), which replays the rule in pure
+    Python over random weight maps including w<1, integer w, and
+    frac ≈ 0/1 threshold-rounding edges."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
+    base = F.lit(1)
+    thr = F.lit(0)
+    for lang, (b, t) in parts.items():
+        base = F.when(col("lang") == lang, F.lit(b)).otherwise(base)
+        thr = F.when(col("lang") == lang, F.lit(t)).otherwise(thr)
+    tok = portable_token_composite([col("doc_id"), F.lit(salt)])
+    return (base + F.when(tok < thr, 1).otherwise(0)).cast("long")
 
 
 def _domain_upsample_oracle() -> str:
@@ -438,16 +461,7 @@ def domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (Σw·N total, the mixture's own size); nothing shuffles at any
     corpus size. copy_id rides along so downstream stages can
     distinguish (and e.g. salt per-copy augmentations)."""
-    from cqlcopy_spark.functions.portable import portable_token_composite
-
-    parts = _upsample_parts()
-    base = F.lit(1)
-    thr = F.lit(0)
-    for lang, (b, t) in parts.items():
-        base = F.when(col("lang") == lang, F.lit(b)).otherwise(base)
-        thr = F.when(col("lang") == lang, F.lit(t)).otherwise(thr)
-    tok = portable_token_composite([col("doc_id"), F.lit(_UPSAMPLE_SALT)])
-    n_copies = (base + F.when(tok < thr, 1).otherwise(0)).cast("long")
+    n_copies = _n_copies_col(_upsample_parts(), _UPSAMPLE_SALT)
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", n_copies.alias("n_copies"))
@@ -528,20 +542,61 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget boundary fall on NO row (CLAUDE.md cumulative-weight rule).
     Counts are integers end to end: no float hazard anywhere.
 
-    Scale shape: ONE lang-keyed shuffle for the window — each domain is
-    a single sort run. At 100 TB the lever is the sample_per_group move:
-    a sketch-quantile estimate of the admission-score cutoff prefilters
-    map-side to ~budget-sized survivors per domain, and the exact window
-    runs only on those; domains are independent, so skew salting applies
-    per-domain if one dominates."""
+    Scale shape — cutoff prefilter BEFORE the exact window (the
+    sample_per_group move): the naive plan shuffles the whole corpus
+    into one sort run per language. Instead, a per-(lang, n_chars)
+    token histogram — a partial-combining groupBy whose shuffle is
+    bounded by (#langs × distinct doc lengths), independent of corpus
+    row count — yields each language's admission-score cutoff: the
+    smallest n_chars whose strictly-greater buckets haven't already
+    spent the budget. Only docs at-or-above the cutoff (superset of the
+    admitted set, exact by the monotonicity of the bucket prefix sums —
+    no doc below the cutoff can be admitted, every doc at or above it
+    may be) reach the lang-keyed window, so the per-domain sort handles
+    ~budget-sized survivors at ANY corpus size. The cutoff table is one
+    row per language: broadcast by construction.
+
+    The exact integer histogram strictly dominates the sketch-quantile
+    cutoff sketched earlier for this op: n_chars is an integer score,
+    so the "sketch" degenerates to a collision-free mergeable histogram
+    with NO error margin, no survivor-shortfall fallback pass, and
+    bitwise-identical results to the unfiltered window (the oracle SQL
+    is untouched). A continuous double-valued admission score is where
+    sketch_quantiles_merge's epsilon-rank summary + safety margin would
+    take over. toks is persisted: both the histogram and the survivor
+    pass consume it, and re-tokenizing the full corpus twice is the
+    expensive lineage CLAUDE.md's self-join rule exists for."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
         "n_chars",
         F.size(F.split(col("text"), " ")).cast("long").alias("n_tokens"),
+    ).persist()
+    # per-(lang, n_chars) token mass; one row per distinct length — the
+    # ROWS cumulative below is tie-free by construction
+    hist = toks.groupBy("lang", "n_chars").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
     )
-    return _token_budget_kernel(toks, _TOKEN_BUDGET)
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoffs = (
+        hist.withColumn("cum_bucket", F.sum("bucket_tokens").over(hw))
+        # same admission predicate as the kernel, at bucket granularity:
+        # keep buckets whose strictly-better mass hasn't spent the budget
+        .filter(col("cum_bucket") - col("bucket_tokens") < _TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("cutoff"))
+    )
+    survivors = (
+        toks.join(F.broadcast(cutoffs), "lang")
+        .filter(col("n_chars") >= col("cutoff"))
+        .drop("cutoff")
+    )
+    return _token_budget_kernel(survivors, _TOKEN_BUDGET)
 
 
 # ---------------------------------------------------------------------------

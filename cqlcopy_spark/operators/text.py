@@ -832,6 +832,27 @@ _BENCH_CAP = 64  # max bench docs — fixed-size BY CONSTRUCTION (r9 VERDICT
 #                  the id cap below, bench ≤ 64 docs at EVERY SF and the
 #                  hint is sound.
 _BENCH_MAX_ID = _BENCH_MOD * _BENCH_CAP  # ids 0,50,…,3150 qualify
+
+
+def _sql_is_bench() -> str:
+    """Oracle-side twin of _bench_split's predicate (the driver compares
+    the two engines' results, so the cap must be IDENTICAL on both)."""
+    return f"doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX_ID}"
+
+
+def _bench_split(d: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(bench, corpus) split of the documents frame — the ONE place the
+    held-out-benchmark membership rule lives (r10 VERDICT item 4: both
+    contamination ops previously inlined it and a source-string guard
+    held them equal; a shared helper makes the guard structural).
+
+    The bench side is FIXED-SIZE BY CONSTRUCTION: ≤ _BENCH_CAP docs via
+    the id cap at EVERY SF — the property that makes broadcasting a
+    bench-derived frame sound. A bare mod-slice is a 2% corpus-growing
+    side, the same 8 GB-broadcast-ceiling abort class as the deleted
+    TPC-H hints (r9 VERDICT item 2)."""
+    is_bench = (col("doc_id") % _BENCH_MOD == 0) & (col("doc_id") < _BENCH_MAX_ID)
+    return d.filter(is_bench), d.filter(~is_bench)
 _CONTAM_N = 8  # 8-gram window: standard for contamination (3-grams of a
 #                small vocabulary collide on nearly every doc pair —
 #                long windows make the index selective, which is also
@@ -851,9 +872,9 @@ WITH grams AS (
   SELECT doc_id, unnest({_CONTAM_GRAMS_SQL}) AS g FROM documents
 ),
 bench AS (SELECT doc_id AS bench_id, g FROM grams
-          WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX_ID}),
+          WHERE {_sql_is_bench()}),
 corpus AS (SELECT doc_id, g FROM grams
-           WHERE NOT (doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX_ID}))
+           WHERE NOT ({_sql_is_bench()}))
 SELECT c.doc_id,
        CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
        MIN(b.bench_id) AS first_bench_id
@@ -864,7 +885,9 @@ GROUP BY c.doc_id
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination scan — the pre-training hygiene step that
     flags training docs sharing any word 8-gram with a held-out eval set
-    (here: the first {_BENCH_CAP} doc_ids ≡ 0 mod 50 play the benchmark).
+    (here: the first _BENCH_CAP (64) doc_ids ≡ 0 mod 50 play the
+    benchmark; membership rule shared with contamination_substring via
+    _bench_split).
     Same inverted-index shape as dedup_ngram_jaccard but with the long
     gram window contamination checks actually use: selectivity of the
     gram IS the bound on join candidate volume. The benchmark side is
@@ -883,9 +906,9 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # construction means each side grams only its own docs
         return _gram_rows(side, n=_CONTAM_N)
 
-    is_bench = (col("doc_id") % _BENCH_MOD == 0) & (col("doc_id") < _BENCH_MAX_ID)
-    bench = _grams(d.filter(is_bench)).select(col("doc_id").alias("bench_id"), "g")
-    corpus = _grams(d.filter(~is_bench))
+    bench_docs, corpus_docs = _bench_split(d)
+    bench = _grams(bench_docs).select(col("doc_id").alias("bench_id"), "g")
+    corpus = _grams(corpus_docs)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -919,13 +942,13 @@ list_distinct(list_transform(
 WITH bench AS (
   SELECT doc_id AS bench_id, unnest({_sql_char_windows(1)}) AS w
   FROM documents
-  WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX_ID}
+  WHERE {_sql_is_bench()}
     AND len(text) >= {_SUB_N}
 ),
 corpus AS (
   SELECT doc_id, unnest({_sql_char_windows(_SUB_STRIDE)}) AS w
   FROM documents
-  WHERE NOT (doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MAX_ID})
+  WHERE NOT ({_sql_is_bench()})
     AND len(text) >= {_SUB_N}
 )
 SELECT c.doc_id,
@@ -975,11 +998,9 @@ def contamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    is_bench = (col("doc_id") % _BENCH_MOD == 0) & (col("doc_id") < _BENCH_MAX_ID)
-    bench = windows(d.filter(is_bench), 1).select(
-        col("doc_id").alias("bench_id"), "w"
-    )
-    corpus = windows(d.filter(~is_bench), _SUB_STRIDE)
+    bench_docs, corpus_docs = _bench_split(d)
+    bench = windows(bench_docs, 1).select(col("doc_id").alias("bench_id"), "w")
+    corpus = windows(corpus_docs, _SUB_STRIDE)
     return (
         corpus.join(F.broadcast(bench), "w")
         .groupBy("doc_id")
@@ -1490,14 +1511,33 @@ _FH_DIM = 64  # feature-hash buckets
 _FH_PREFIX = 8  # fold the first 8 codepoints per token (dedup.py precedent)
 
 
-def _fh_oracle() -> str:
+def _tok_fold_col(tok) -> "F.Column":
+    """First-_FH_PREFIX-codepoint polynomial fold of a token column (or
+    lambda variable) — the shared token→int64 code under both the
+    feature-hash vectorizer and the linear quality classifier."""
+    fold = None
+    for k in range(_FH_PREFIX):
+        term = F.when(
+            F.length(tok) > k, F.ascii(F.substring(tok, k + 1, 1)).cast("long")
+        ).otherwise(F.lit(0)) * F.lit(31 ** (_FH_PREFIX - 1 - k))
+        fold = term if fold is None else fold + term
+    return fold
+
+
+def _sql_tok_bucket(var: str = "tok") -> str:
+    """Oracle twin of portable_token(_tok_fold_col(tok)) % _FH_DIM over
+    the named SQL column / lambda variable."""
     fold = " + ".join(
-        f"(CASE WHEN {k} < length(tok) "
-        f"THEN CAST(ascii(substr(tok, {k + 1}, 1)) AS BIGINT) ELSE 0 END) "
+        f"(CASE WHEN {k} < length({var}) "
+        f"THEN CAST(ascii(substr({var}, {k + 1}, 1)) AS BIGINT) ELSE 0 END) "
         f"* {31 ** (_FH_PREFIX - 1 - k)}"
         for k in range(_FH_PREFIX)
     )
-    tok_bucket = f"({sql_portable_token(f'({fold})')} % {_FH_DIM})"
+    return f"({sql_portable_token(f'({fold})')} % {_FH_DIM})"
+
+
+def _fh_oracle() -> str:
+    tok_bucket = _sql_tok_bucket("tok")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1538,14 +1578,7 @@ def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed; float formatting differs between engines, so the DOUBLE
     norm rides as its own column and the vector stays integer)."""
     d = table(spark, sf_dir, "documents")
-    tok = col("tok")
-    fold = None
-    for k in range(_FH_PREFIX):
-        term = F.when(
-            F.length(tok) > k, F.ascii(F.substring(tok, k + 1, 1)).cast("long")
-        ).otherwise(F.lit(0)) * F.lit(31 ** (_FH_PREFIX - 1 - k))
-        fold = term if fold is None else fold + term
-    bucket = portable_token(fold) % _FH_DIM
+    bucket = portable_token(_tok_fold_col(col("tok"))) % _FH_DIM
     counts = (
         d.select("doc_id", F.explode(F.split(col("text"), " ")).alias("tok"))
         .select("doc_id", bucket.alias("bucket"))
@@ -1569,6 +1602,212 @@ def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vec, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")
             )
         ).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — linear hashed-feature classifier gate (fastText move)
+# ---------------------------------------------------------------------------
+
+# Fixed per-bucket weights over the embed_feature_hash space — a trained
+# fastText/logistic quality model exports exactly this: one weight per
+# hashed feature. Deterministic small integers here (pseudo-uniform in
+# [-8, 8] via the Knuth multiplier, mirrored so Σw = 0 EXACTLY — with
+# hash-uniform buckets the per-token expected score is then 0 and the
+# keep gate splits the corpus instead of constant-rejecting) so the dot
+# product is EXACT integer arithmetic in both engines; a real deployment
+# would paste its trained weights into this list (scaled to ints —
+# standard quantization).
+_QC_W_HALF = [
+    ((2654435761 * (b + 1)) % 4294967296) % 17 - 8 for b in range(_FH_DIM // 2)
+]
+_QC_W = _QC_W_HALF + [-w for w in _QC_W_HALF]
+
+# Decision threshold on the per-token score, as a RATIONAL τ = NUM/DEN
+# (a trained model ships a calibrated operating point the same way).
+# The gate compares DEN·score_raw >= NUM·n_tokens — exact int64, never
+# a float comparison. τ = -8/5 = -1.6 sits at the fixture corpus's
+# median per-token score, so the gate genuinely splits.
+_QC_THR_NUM = -8
+_QC_THR_DEN = 5  # must stay > 0 or the inequality flips
+
+
+def _qc_cols() -> "tuple[F.Column, F.Column]":
+    """(n_tokens, score_raw) classifier columns over a documents frame —
+    the shared kernel under quality_classifier (per-doc gate) and
+    source_quality_block (per-domain rollout)."""
+    w_arr = F.array(*[F.lit(w) for w in _QC_W])
+    toks = F.split(F.coalesce(col("text"), F.lit("")), " ")
+    bucket = lambda t: (portable_token(_tok_fold_col(t)) % _FH_DIM).cast("int")  # noqa: E731
+    score_raw = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(w_arr, bucket(t) + 1).cast("long"),
+    )
+    return F.size(toks).cast("long"), score_raw
+
+
+def _sql_qc_cols() -> "tuple[str, str]":
+    """Oracle twin of _qc_cols: (n_tokens, score_raw) SQL expressions."""
+    wlist = "[" + ", ".join(str(w) for w in _QC_W) + "]"
+    n_tokens = "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)"
+    score_raw = f"""CAST(list_sum(list_transform(
+           string_split(COALESCE(text, ''), ' '),
+           tok -> list_extract({wlist}, {_sql_tok_bucket('tok')} + 1)
+         )) AS BIGINT)"""
+    return n_tokens, score_raw
+
+
+def _qc_oracle() -> str:
+    n_tokens, score_raw = _sql_qc_cols()
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {n_tokens} AS n_tokens,
+         {score_raw} AS score_raw
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, score_raw,
+       CAST(score_raw AS DOUBLE) / n_tokens AS score,
+       CAST(CASE WHEN {_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_tokens
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+@register("quality_classifier", oracle=_qc_oracle())
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (r10 VERDICT item 5) — the
+    fastText-classifier move real curation stacks run beside the
+    statistical gates (lm_transition_score, quality_gopher_rules): score
+    every document with a FIXED hashed-feature weight vector and gate on
+    a threshold. Because the model is linear over token-count features,
+    the dot product w·x collapses to a plain sum over tokens of
+    w[bucket(token)] — no histogram, no explode, no shuffle: the whole
+    scorer is ONE codegen'd fold per row (same F.aggregate shape as the
+    bm25 rational-idf fold), so the 100 TB corpus streams through a
+    map-only plan at scan speed.
+
+    Portability: weights are integers, token bucketing is the shared
+    portable ring hash (embed_feature_hash's exact space — a trained
+    w would apply to its oracled vectors verbatim), so score_raw is
+    exact int64 in both engines; the only float is ONE division
+    (score_raw/n_tokens), IEEE-identical everywhere, and the keep gate
+    cross-multiplies the rational threshold (DEN·score_raw >=
+    NUM·n_tokens), never comparing doubles. n_tokens >= 1
+    always: split('') yields one empty token in both engines, whose fold
+    is 0 — no division guard needed."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, score_raw = _qc_cols()
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        score_raw.alias("score_raw"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "score_raw",
+        (col("score_raw").cast("double") / col("n_tokens")).alias("score"),
+        F.when(
+            F.lit(_QC_THR_DEN) * col("score_raw")
+            >= F.lit(_QC_THR_NUM) * col("n_tokens"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_quality_block — per-domain classifier rollup → blocklist derivation
+# ---------------------------------------------------------------------------
+
+# Block a source when fewer than _QB_NUM/_QB_DEN of its docs pass the
+# classifier gate — the domain-level filter move (curation stacks block
+# whole domains whose doc-level quality is systematically low, rather
+# than paying per-doc filtering on every crawl of a junk domain).
+_QB_NUM = 1
+_QB_DEN = 2  # block iff keep_rate < 1/2, exact: DEN·n_keep < NUM·n_docs
+
+
+def _qb_oracle() -> str:
+    n_tokens, score_raw = _sql_qc_cols()
+    return f"""
+WITH s AS (
+  SELECT source, {n_tokens} AS n_tokens, {score_raw} AS score_raw
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN {_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_tokens
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(score_raw) AS BIGINT) AS sum_raw,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM s GROUP BY source
+)
+SELECT source, n_docs, n_keep,
+       CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+       CAST(sum_raw AS DOUBLE) / sum_tokens AS mean_token_score,
+       CAST(CASE WHEN {_QB_DEN} * n_keep < {_QB_NUM} * n_docs
+            THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM g
+"""
+
+
+@register("source_quality_block", oracle=_qb_oracle())
+def source_quality_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist derivation: roll the linear classifier's per-doc
+    keep gate up to each source and block sources whose keep rate falls
+    under a rational threshold — the domain-level filter real curation
+    stacks run ahead of per-doc gating (one blocklist entry retires a
+    junk domain's entire future crawl volume).
+
+    Exactness: counts and both numerators/denominators are int64 all the
+    way through the aggregate (the classifier's integer weights +
+    cross-multiplied gates); the two per-source divisions (keep_rate,
+    mean_token_score) are single IEEE ops on exact integers, and the
+    blocked flag itself never touches a double.
+
+    Scale shape: scan → codegen'd token fold (the same map-only scorer
+    as quality_classifier) → ONE partial-combining groupBy(source) whose
+    shuffle carries 4 integers per (task, source) — at 100 TB that is
+    #sources × #tasks rows, not corpus rows. No window, no join, no
+    second scan."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, score_raw = _qc_cols()
+    keep = F.when(
+        F.lit(_QC_THR_DEN) * col("score_raw") >= F.lit(_QC_THR_NUM) * col("n_tokens"),
+        1,
+    ).otherwise(0)
+    g = (
+        d.select(
+            "source", n_tokens.alias("n_tokens"), score_raw.alias("score_raw")
+        )
+        .select("source", "n_tokens", "score_raw", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            F.sum("score_raw").alias("sum_raw"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        (col("n_keep").cast("double") / col("n_docs")).alias("keep_rate"),
+        (col("sum_raw").cast("double") / col("sum_tokens")).alias(
+            "mean_token_score"
+        ),
+        F.when(F.lit(_QB_DEN) * col("n_keep") < F.lit(_QB_NUM) * col("n_docs"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("blocked"),
     )
 
 

@@ -41,12 +41,15 @@ HEAVY_OPS = [
     "contamination_neardup",
     "bm25_retrieval",
     # r10 assessment: the round's new ops (epoch_reshuffle,
-    # domain_upsample, token_budget_select) are single-window /
-    # map+explode lineages with no persist, no collect, no iterative
-    # fold — below this list's heavy-lineage bar. epoch_reshuffle is
-    # included anyway as the round's representative (doc-count × epochs
-    # window ranks are the largest r10-new intermediate).
+    # domain_upsample) are single-window / map+explode lineages with no
+    # persist, no collect, no iterative fold — below this list's
+    # heavy-lineage bar. epoch_reshuffle is included anyway as the
+    # round's representative (doc-count × epochs window ranks are the
+    # largest r10-new intermediate).
     "epoch_reshuffle",
+    # r11: gained a persisted shared intermediate + histogram-cutoff
+    # broadcast (prefilter-before-window rewrite)
+    "token_budget_select",
 ]
 
 _SCRIPT = r"""
