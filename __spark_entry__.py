@@ -98,7 +98,7 @@ _PRIORITY_UNCHECKED = (
 #   prefilter before the exact window) — its r10 green is void, and as
 #   a chg-r10 entry it sorts behind the chg-r6/r7 pool.
 # - contamination_overlap / contamination_substring: bench-set
-#   derivation factored into a shared _bench_docs() helper this round
+#   derivation factored into the shared _bench_split() helper this round
 #   (r10 VERDICT item 4 "done = both ops re-green"); same chg-r10
 #   window-miss as above.
 _FORCE_FRONT_ROUND = 11

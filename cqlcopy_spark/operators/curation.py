@@ -573,8 +573,18 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(F.split(col("text"), " ")).cast("long").alias("n_tokens"),
     ).persist()
+    return _token_budget_prefiltered(toks, _TOKEN_BUDGET)
+
+
+def _token_budget_prefiltered(toks: DataFrame, budget: int) -> DataFrame:
+    """Histogram-cutoff prefilter + exact kernel over a (doc_id, lang,
+    n_chars, n_tokens) frame — factored so the equivalence fuzz
+    (tests/test_token_budget_property.py) can prove it bitwise-equal to
+    the bare _token_budget_kernel on adversarial inputs (tie-dense
+    scores, boundary-exact budgets, NULL lang)."""
     # per-(lang, n_chars) token mass; one row per distinct length — the
-    # ROWS cumulative below is tie-free by construction
+    # ROWS cumulative below is tie-free by construction. NULL lang
+    # groups as its own key, exactly like the kernel's partitionBy.
     hist = toks.groupBy("lang", "n_chars").agg(
         F.sum("n_tokens").alias("bucket_tokens")
     )
@@ -587,16 +597,23 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.withColumn("cum_bucket", F.sum("bucket_tokens").over(hw))
         # same admission predicate as the kernel, at bucket granularity:
         # keep buckets whose strictly-better mass hasn't spent the budget
-        .filter(col("cum_bucket") - col("bucket_tokens") < _TOKEN_BUDGET)
+        .filter(col("cum_bucket") - col("bucket_tokens") < budget)
         .groupBy("lang")
         .agg(F.min("n_chars").alias("cutoff"))
+        .withColumnRenamed("lang", "cutoff_lang")
     )
+    # NULL-SAFE equi-join (review finding): a plain `on="lang"` inner
+    # join drops NULL-lang docs that the window/oracle both admit as
+    # their own partition — eqNullSafe keeps the NULL group while still
+    # planning a broadcast hash join (join_null_safe's precedent).
     survivors = (
-        toks.join(F.broadcast(cutoffs), "lang")
+        toks.join(
+            F.broadcast(cutoffs), toks["lang"].eqNullSafe(cutoffs["cutoff_lang"])
+        )
         .filter(col("n_chars") >= col("cutoff"))
-        .drop("cutoff")
+        .drop("cutoff_lang", "cutoff")
     )
-    return _token_budget_kernel(survivors, _TOKEN_BUDGET)
+    return _token_budget_kernel(survivors, budget)
 
 
 # ---------------------------------------------------------------------------

@@ -1012,6 +1012,64 @@ def contamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# contamination_excise — APPLY the contamination gate: clean training set
+# ---------------------------------------------------------------------------
+
+
+def _excise_oracle() -> str:
+    return f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, unnest({_sql_char_windows(1)}) AS w
+  FROM documents
+  WHERE {_sql_is_bench()} AND len(text) >= {_SUB_N}
+),
+corpus AS (
+  SELECT doc_id, unnest({_sql_char_windows(_SUB_STRIDE)}) AS w
+  FROM documents
+  WHERE NOT ({_sql_is_bench()}) AND len(text) >= {_SUB_N}
+),
+flagged AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (w))
+SELECT d.doc_id, d.lang, d.source,
+       CAST(len(string_split(COALESCE(d.text, ''), ' ')) AS BIGINT) AS n_tokens
+FROM documents d
+WHERE NOT ({_sql_is_bench()})
+  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@register("contamination_excise", oracle=_excise_oracle())
+def contamination_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLIED (the step after the scan): the clean
+    training set is the corpus minus every doc the exact-substring check
+    flagged — and minus the held-out benchmark docs themselves, which
+    must never train. The detect ops report; this op produces the frame
+    the tokenizer/packer actually consumes, so the detect→excise
+    composition is verified end to end.
+
+    Scale shape: the flagged set is contamination-rate-sized (a key set,
+    doc_id only), so the LEFT ANTI join leaves the corpus side in place
+    — stats score an anti join's output at the LEFT child, AQE picks a
+    broadcast build for the small flagged side at bench SF, and past
+    broadcast size it degrades to a doc_id hash join, never a corpus
+    re-shuffle of text (the projection carries doc_id/lang/source +
+    token count, not text)."""
+    d = table(spark, sf_dir, "documents")
+    _, corpus_docs = _bench_split(d)
+    flagged = contamination_substring(spark, sf_dir).select("doc_id")
+    return (
+        corpus_docs.join(flagged, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split(F.coalesce(col("text"), F.lit("")), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pack_sequences — fixed-token-budget sequence packing plan
 # ---------------------------------------------------------------------------
 

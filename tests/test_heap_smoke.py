@@ -50,6 +50,9 @@ HEAVY_OPS = [
     # r11: gained a persisted shared intermediate + histogram-cutoff
     # broadcast (prefilter-before-window rewrite)
     "token_budget_select",
+    # r11: corpus char-window explode + broadcast bench join + distinct
+    # agg, then an anti join on top — the round's heaviest new lineage
+    "contamination_excise",
 ]
 
 _SCRIPT = r"""

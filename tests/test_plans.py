@@ -589,6 +589,18 @@ def test_source_quality_block_single_partial_agg(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
 
 
+def test_contamination_excise_anti_join(spark):
+    """The excision is a LEFT ANTI join of the corpus against the
+    contamination-rate-sized flagged key set: never a cartesian, and the
+    flagged side enters the join as doc_id keys only (its window strings
+    and per-doc aggregates are pruned/reduced before the join)."""
+    p = plan_of(QUERIES["contamination_excise"](spark, SF_SMALL))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    # the detect stage's bench-side broadcast survives inside the lineage
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_domain_upsample_is_map_only(spark):
     """Mixture upsampling is a literal-CASE map + explode: no weights
     join, no exchange of any kind — the 100 TB corpus streams through."""

@@ -35,28 +35,15 @@ def _py_score(text: str, w: list) -> tuple:
 
 
 def _run(spark, rows):
-    """rows: (doc_id, lang, text) through the real registered operator's
-    kernel path (same expressions, ad-hoc frame)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import col
-
-    from cqlcopy_spark.functions.portable import portable_token
-    from cqlcopy_spark.operators.text import _FH_DIM, _QC_W, _tok_fold_col
+    """rows: (doc_id, lang, text) through the REAL operator kernel —
+    _qc_cols() itself, not a re-implementation (review finding: a hand
+    copy here would keep passing against the stale wiring if the
+    operator's expressions drifted in lockstep with the SQL twin)."""
+    from cqlcopy_spark.operators.text import _qc_cols
 
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    w_arr = F.array(*[F.lit(w) for w in _QC_W])
-    toks = F.split(F.coalesce(col("text"), F.lit("")), " ")
-    score = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(
-            w_arr, (portable_token(_tok_fold_col(t)) % _FH_DIM).cast("int") + 1
-        ).cast("long"),
-    )
-    out = df.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens"), score.alias("raw")
-    )
+    n_tokens, score_raw = _qc_cols()
+    out = df.select("doc_id", n_tokens.alias("n_tokens"), score_raw.alias("raw"))
     return {r.doc_id: (r.n_tokens, r.raw) for r in out.collect()}
 
 

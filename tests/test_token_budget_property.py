@@ -83,3 +83,37 @@ def test_token_budget_zero_budget_and_total_budget(spark):
     full = {tuple(r) for r in _token_budget_kernel(df, 30).collect()}
     # ties broken by doc_id: cum walks 3,6,…,30 in doc_id order
     assert full == {("x", i, 3, 3 * (i + 1)) for i in range(10)}
+
+
+def test_prefilter_bitwise_equals_bare_kernel(spark):
+    """r11 equivalence fuzz (review finding): the histogram-cutoff
+    prefilter must be BITWISE-equal to the unfiltered kernel — the
+    docstring's central claim. Adversarial inputs: tie-dense n_chars
+    (whole buckets straddle the budget boundary), budgets landing
+    exactly on bucket edges, zero-token docs, and NULL lang (its own
+    partition in window semantics; a null-unsafe join would drop it)."""
+    from cqlcopy_spark.operators.curation import (
+        _token_budget_kernel,
+        _token_budget_prefiltered,
+    )
+
+    cases = [
+        (50, 3, 2, 8, 20),      # extreme tie density
+        (60, 4, 5, 12, 50),     # boundary mid-run
+        (40, 2, 1, 10, 30),     # ONE bucket per lang: cutoff == only edge
+        (30, 3, 4, 9, 10_000),  # budget exceeds all domains
+        (25, 25, 3, 6, 10),     # ~single-doc domains
+    ]
+    for trial, (n_docs, n_langs, dom, mt, budget) in enumerate(cases):
+        rows = _random_rows(31000 + trial, n_docs, n_langs, dom, mt)
+        # a NULL-lang cohort rides along in every trial
+        rows += [
+            (10_000 + i, None, i % max(dom, 1), 3) for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long, n_tokens long"
+        )
+        bare = {tuple(r) for r in _token_budget_kernel(df, budget).collect()}
+        pre = {tuple(r) for r in _token_budget_prefiltered(df, budget).collect()}
+        assert pre == bare, (trial, pre ^ bare)
+        assert any(t[0] is None for t in bare) or budget == 0  # NULL lang admitted
