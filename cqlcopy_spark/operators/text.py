@@ -1143,6 +1143,51 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pack_utilization — per-shard context-window utilization report
+# ---------------------------------------------------------------------------
+
+_PACK_UTIL_ORACLE = f"""
+WITH packs AS ({_PACK_ORACLE})
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS shard_docs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS shard_tokens,
+       CAST(COUNT(*) * {_PACK_BUDGET} AS BIGINT) AS capacity,
+       CAST(SUM(pack_tokens) AS DOUBLE)
+         / (COUNT(*) * {_PACK_BUDGET}) AS utilization
+FROM packs GROUP BY shard
+"""
+
+
+@register("pack_utilization", oracle=_PACK_UTIL_ORACLE)
+def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window utilization report over the packing layout — the
+    number a trainer capacity-plans with: per shard, how many
+    {budget}-token sequences the corpus fills and what fraction of that
+    capacity is real tokens (greedy contiguous fill makes every pack
+    except the tail exactly full, so 1 − utilization is the per-shard
+    tail waste; a shard diverging from its peers signals a skewed doc
+    assignment).
+
+    Shape: one more tiny aggregate on top of pack_sequences' lineage —
+    shard is a prefix of the pack grouping key, so the rollup reuses the
+    SAME hash(shard) partitioning: still exactly one exchange end to
+    end. Counts and sums stay int64; the single division is one IEEE op
+    on exact integers."""
+    packs = pack_sequences(spark, sf_dir)
+    return packs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").alias("shard_docs"),
+        F.sum("pack_tokens").alias("shard_tokens"),
+        (F.count(F.lit(1)) * _PACK_BUDGET).alias("capacity"),
+        (
+            F.sum("pack_tokens").cast("double")
+            / (F.count(F.lit(1)) * _PACK_BUDGET)
+        ).alias("utilization"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # domain_mix_weights — per-source sampling weights for a token budget
 # ---------------------------------------------------------------------------
 

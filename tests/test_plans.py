@@ -698,6 +698,15 @@ def test_pack_sequences_single_shuffle(spark):
     assert shuffle_exchanges(p) == 1, p
 
 
+def test_pack_utilization_single_shuffle(spark):
+    """The per-shard rollup stacks on pack_sequences' lineage and reuses
+    the SAME hash(shard) partitioning (shard is a prefix of the pack
+    grouping key): still exactly ONE exchange end to end, no join."""
+    p = plan_of(QUERIES["pack_utilization"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
+    assert "Join" not in p, p
+
+
 def test_driver_query_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     """The grading driver correctness-checks only the first 50 queries()
     entries per round. queries() must rank previously-FAILED names
