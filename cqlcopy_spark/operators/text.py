@@ -266,6 +266,73 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_fertility — per-language tokenizer-fit diagnostic
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+           AS subword_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws,
+       CAST(SUM(subword_tokens) AS BIGINT) AS sum_subword,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(subword_tokens)
+         AS chars_per_subword,
+       CAST(SUM(subword_tokens) AS DOUBLE) / SUM(ws_tokens)
+         AS fertility
+FROM t GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fit report — the multilingual diagnostic a
+    training team reads before fixing a mixture: fertility (subword
+    tokens per whitespace word; high fertility means the tokenizer
+    fragments that language and its effective context window shrinks)
+    and chars-per-subword (compression). Languages the tokenizer serves
+    poorly cost more tokens per unit text, which silently distorts any
+    token-denominated budget or mixture weight.
+
+    Shape: scan → codegen map (split size + JVM regex count) → ONE
+    partial-combining groupBy(lang) carrying 4 integers per (task,
+    lang). All sums int64; the two ratios are single IEEE divisions on
+    exact integers, post-shuffle."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(_tokens()).cast("long").alias("ws_tokens"),
+        F.regexp_count(col("text"), F.lit(_BPE_RE))
+        .cast("long")
+        .alias("subword_tokens"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("ws_tokens").alias("sum_ws"),
+        F.sum("subword_tokens").alias("sum_subword"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws",
+        "sum_subword",
+        (col("sum_chars").cast("double") / col("sum_subword")).alias(
+            "chars_per_subword"
+        ),
+        (col("sum_subword").cast("double") / col("sum_ws")).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_normalize — canonical cleanup before dedup/tokenization
 # ---------------------------------------------------------------------------
 
@@ -1163,11 +1230,13 @@ FROM packs GROUP BY shard
 def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window utilization report over the packing layout — the
     number a trainer capacity-plans with: per shard, how many
-    {budget}-token sequences the corpus fills and what fraction of that
-    capacity is real tokens (greedy contiguous fill makes every pack
-    except the tail exactly full, so 1 − utilization is the per-shard
-    tail waste; a shard diverging from its peers signals a skewed doc
-    assignment).
+    {budget}-token sequences the corpus fills and the ratio of real
+    tokens to that capacity. Greedy contiguous fill makes every pack
+    except the tail exactly full, so utilization below 1 measures the
+    tail shortfall — and it can EXCEED 1 when the final doc straddles
+    past the last pack boundary (its tokens count in the pack it starts
+    in). A shard diverging from its peers signals a skewed doc
+    assignment.
 
     Shape: one more tiny aggregate on top of pack_sequences' lineage —
     shard is a prefix of the pack grouping key, so the rollup reuses the
@@ -1175,15 +1244,18 @@ def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. Counts and sums stay int64; the single division is one IEEE op
     on exact integers."""
     packs = pack_sequences(spark, sf_dir)
-    return packs.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_packs"),
-        F.sum("n_docs").alias("shard_docs"),
-        F.sum("pack_tokens").alias("shard_tokens"),
-        (F.count(F.lit(1)) * _PACK_BUDGET).alias("capacity"),
-        (
-            F.sum("pack_tokens").cast("double")
-            / (F.count(F.lit(1)) * _PACK_BUDGET)
-        ).alias("utilization"),
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("shard_docs"),
+            F.sum("pack_tokens").alias("shard_tokens"),
+        )
+        # derive, don't re-aggregate: one source of truth per number
+        .withColumn("capacity", col("n_packs") * _PACK_BUDGET)
+        .withColumn(
+            "utilization", col("shard_tokens").cast("double") / col("capacity")
+        )
     )
 
 

@@ -34,6 +34,6 @@ def test_utilization_replays_from_packs(spark):
         # tokens strictly exceed the capacity of n_packs - 1 packs. (A
         # straddling FINAL doc can push utilization past 1.0 — its
         # tokens count in the pack it STARTS in — so there is no upper
-        # bound to pin, only the contiguity lower bound.)
-        if docs:
-            assert tokens > (n_packs - 1) * _PACK_BUDGET
+        # bound to pin, only the contiguity lower bound. Every shard in
+        # the packs output has >= 1 doc by construction: no empty guard.)
+        assert tokens > (n_packs - 1) * _PACK_BUDGET

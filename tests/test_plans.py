@@ -577,6 +577,16 @@ def test_quality_classifier_is_map_only(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_tokenizer_fertility_single_partial_agg(spark):
+    """scan → codegen map (split size + JVM regex count) → ONE
+    partial-combining groupBy(lang); no window, no join, no Python."""
+    p = plan_of(QUERIES["tokenizer_fertility"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
+    assert "Join" not in p and "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
+
+
 def test_source_quality_block_single_partial_agg(spark):
     """The domain rollup is scan → codegen fold → ONE partial-combining
     groupBy(source): the shuffle carries 4 integers per (task, source),
