@@ -1186,6 +1186,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(_tokens()).alias("n_tokens"),
     )
+    return _pack_from_toks(toks, _PACK_BUDGET)
+
+
+def _pack_from_toks(toks: DataFrame, budget: int) -> DataFrame:
+    """Greedy-contiguous placement kernel over a (doc_id, shard,
+    n_tokens) frame — factored so the property fuzz
+    (tests/test_pack_property.py) replays the rule in pure Python over
+    adversarial inputs (zero-token docs, docs straddling several packs,
+    single-doc shards)."""
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1197,7 +1206,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer floor division on BOTH sides: DuckDB's `/` on ints is float
     # division and its CAST rounds-to-nearest, Spark's cast truncates —
     # `//` and `div` agree exactly (offsets are non-negative)
-    pack = F.expr(f"start_offset div {_PACK_BUDGET}")
+    pack = F.expr(f"start_offset div {budget}")
     return (
         placed.groupBy("shard", pack.alias("pack_id"))
         .agg(
