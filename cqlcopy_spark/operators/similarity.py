@@ -1674,3 +1674,194 @@ def embedding_kmeans_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-corruption liveness pins live in tests/test_kmeans.py."""
     C, assigned = _kmeans_fit(spark, sf_dir)
     return _kmeans_violations(spark, sf_dir, C, assigned)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq — product quantization (PQ) codebook encode + error report
+# ---------------------------------------------------------------------------
+
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — public method): split the 64-dim vector into M subspaces,
+# k-means each subspace independently, store M small codes per vector.
+# 64 doubles (512 bytes) compress to M bytes — the memory move that lets
+# billion-vector indexes fit in RAM; asymmetric distance runs on codes.
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (M * SUB must equal the embedding dim)
+_PQ_K = 16  # centroids per subspace → one code is 4 bits
+_PQ_ITERS = 4
+_PQ_TRAIN_CAP = 512  # driver-side training sample cap (IVF's trade)
+
+
+def _pq_train(X: "object") -> "list":
+    """Per-subspace Lloyd on the driver sample (numpy): strided seedless
+    init, empty cells keep their centroid — deterministic for a given
+    sample, so the verify twin's identical re-train reproduces the
+    SAME float64 codebooks bit for bit. Returns M arrays of (K, SUB)."""
+    import numpy as np
+
+    books = []
+    for m in range(_PQ_M):
+        Xs = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        idx = (np.arange(_PQ_K) * len(Xs)) // _PQ_K
+        C = Xs[idx].copy()
+        xx = (Xs * Xs).sum(axis=1)
+        for _ in range(_PQ_ITERS):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T) + xx[:, None]
+            a = d2.argmin(axis=1)
+            for c in range(_PQ_K):
+                sel = a == c
+                if sel.any():
+                    C[c] = Xs[sel].mean(axis=0)
+        books.append(C)
+    return books
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """(codebooks, encoded frame). Encoding distances accumulate
+    PER-DIMENSION IN ASCENDING ORDER — the exact IEEE op sequence the
+    verify twin's JVM fold replays, so code assignments and recon_err
+    are BITWISE comparable across the two paths (no tie tolerance
+    needed: both sides take the first minimum)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n_corpus = e.count()
+    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
+    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
+    books = _pq_train(X)
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            n = Xb.shape[0]
+            codes = np.zeros((n, _PQ_M), dtype=np.int64)
+            err = np.zeros(n)
+            for m in range(_PQ_M):
+                Xs = Xb[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                D = np.zeros((n, _PQ_K))
+                for j in range(_PQ_SUB):  # dim-ascending fold == JVM order
+                    diff = Xs[:, j][:, None] - C[m][None, :, j]
+                    D += diff * diff
+                a = D.argmin(axis=1)  # first minimum, like array_position
+                codes[:, m] = a
+                err += D[np.arange(n), a]  # subspace-ascending, like JVM sum
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"].to_numpy(),
+                    "codes": ["-".join(str(c) for c in row) for row in codes],
+                    "recon_err": err,
+                }
+            )
+
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
+    enc = e.repartition(par).mapInPandas(
+        encode,
+        schema="vec_id long, emb array<double>, codes string, recon_err double",
+    )
+    return books, enc
+
+
+@register("embedding_pq")  # rows-only: k-means codebooks aren't SQL-expressible
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each vector compresses to {M} 4-bit
+    codes (one per 8-dim subspace, nearest of {K} per-subspace k-means
+    centroids) plus its exact reconstruction error — 128× smaller than
+    the raw doubles, the standard memory layout under billion-scale ANN.
+
+    Scale shape: codebooks train driver-side on a capped strided sample
+    (M × K × 8 doubles of driver state — the IVF trade); encoding is one
+    Arrow-batched map over the corpus, no shuffle at all. The codes
+    column is the '-'-joined integer string (array columns can't be
+    driver-hashed); exactness of every assignment is driver-checked by
+    embedding_pq_verify's empty-relation contract."""
+    _, enc = _pq_fit(spark, sf_dir)
+    return enc.select("vec_id", "codes", "recon_err")
+
+
+_PQ_VERIFY_ORACLE = """
+SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS subspace,
+       CAST(NULL AS VARCHAR) AS kind
+WHERE 1 = 0
+"""
+
+
+@register("embedding_pq_verify", oracle=_PQ_VERIFY_ORACLE)
+def embedding_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable exactness proof for embedding_pq: re-train the
+    deterministic codebooks, then recompute every assignment JVM-side —
+    a literal expression fold per (subspace, centroid), accumulating
+    per-dimension in the same ascending order as the encoder — and emit
+    one row per violation: a code that is not the first-minimum
+    centroid of its subspace ('code'), a code outside [0, K) ('range'),
+    or a reconstruction error that is not the bitwise sum of the
+    subspace minima ('err'). Expected output: EMPTY (the oracle is the
+    empty relation, so the driver turns any violation red). Liveness —
+    a planted corruption IS flagged — pins in tests/test_pq.py.
+
+    The JVM/numpy bitwise agreement is BY CONSTRUCTION: both paths run
+    (x_j − c_j)² adds dim-ascending and pick the first minimum, so no
+    tie tolerance is needed anywhere."""
+    books, enc = _pq_fit(spark, sf_dir)
+    return _pq_violations(books, enc)
+
+
+def _pq_violations(books: "list", enc: DataFrame) -> DataFrame:
+    """Violation rows for an encoded frame against the codebooks —
+    factored from embedding_pq_verify so the liveness test can corrupt
+    `enc` and assert the exact planted rows come back."""
+    enc = enc.persist()  # M violation branches share the encode lineage
+    code_arr = F.transform(F.split(col("codes"), "-"), lambda s: s.cast("long"))
+    checks = enc.select(
+        "vec_id", "emb", "recon_err", code_arr.alias("code_arr")
+    )
+
+    def dist_expr(m: int, k: int):
+        # HOF fold, not an unrolled literal tree: the M·K·SUB-term unroll
+        # compiles past Janino's 64 KB method limit and falls back to
+        # interpreted eval. zip_with + aggregate loop at RUNTIME with the
+        # same dim-ascending IEEE add order (0 + d₀ + d₁ + …), so the
+        # bitwise contract with the encoder is unchanged.
+        c_lit = F.array(*[F.lit(float(books[m][k, j])) for j in range(_PQ_SUB)])
+        xs = F.slice(col("emb"), m * _PQ_SUB + 1, _PQ_SUB)
+        return F.aggregate(
+            F.zip_with(xs, c_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    jvm_err = None
+    viols = []
+    for m in range(_PQ_M):
+        darr = F.array(*[dist_expr(m, k) for k in range(_PQ_K)])
+        dmin = F.array_min(darr)
+        jvm_code = F.array_position(darr, dmin) - 1  # first min, 0-based
+        assigned = F.element_at(col("code_arr"), m + 1)
+        viols.append(
+            checks.filter(
+                (assigned < 0) | (assigned >= _PQ_K)
+            ).select("vec_id", F.lit(m).alias("subspace"), F.lit("range").alias("kind"))
+        )
+        viols.append(
+            checks.filter(jvm_code != assigned).select(
+                "vec_id", F.lit(m).alias("subspace"), F.lit("code").alias("kind")
+            )
+        )
+        jvm_err = dmin if jvm_err is None else jvm_err + dmin
+    viols.append(
+        checks.filter(jvm_err != col("recon_err")).select(
+            "vec_id", F.lit(-1).alias("subspace"), F.lit("err").alias("kind")
+        )
+    )
+    out = viols[0]
+    for v in viols[1:]:
+        out = out.unionByName(v)
+    return out.select("vec_id", col("subspace").cast("long"), "kind")
