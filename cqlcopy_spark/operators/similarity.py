@@ -1817,51 +1817,68 @@ def embedding_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_violations(books: "list", enc: DataFrame) -> DataFrame:
     """Violation rows for an encoded frame against the codebooks —
     factored from embedding_pq_verify so the liveness test can corrupt
-    `enc` and assert the exact planted rows come back."""
-    enc = enc.persist()  # M violation branches share the encode lineage
-    code_arr = F.transform(F.split(col("codes"), "-"), lambda s: s.cast("long"))
-    checks = enc.select(
-        "vec_id", "emb", "recon_err", code_arr.alias("code_arr")
-    )
+    `enc` and assert the exact planted rows come back.
 
-    def dist_expr(m: int, k: int):
-        # HOF fold, not an unrolled literal tree: the M·K·SUB-term unroll
-        # compiles past Janino's 64 KB method limit and falls back to
-        # interpreted eval. zip_with + aggregate loop at RUNTIME with the
-        # same dim-ascending IEEE add order (0 + d₀ + d₁ + …), so the
-        # bitwise contract with the encoder is unchanged.
-        c_lit = F.array(*[F.lit(float(books[m][k, j])) for j in range(_PQ_SUB)])
-        xs = F.slice(col("emb"), m * _PQ_SUB + 1, _PQ_SUB)
-        return F.aggregate(
-            F.zip_with(xs, c_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    Structure (two CLAUDE.md rules at once):
+    - bpe_verify rule: ALL checks project off ONE scan as a
+      filtered-array explode of per-row violation kinds — the first cut
+      union'd 17 filter branches over a persisted encode and re-walked
+      the corpus per branch (6.5s at sf0.1).
+    - deep-generated-tree rule: the M·K distance folds are SQL TEXT
+      (selectExpr), not Python-lambda HOFs — each pyspark lambda costs
+      py4j round trips at EAGER ANALYSIS time, and 128 of them took
+      ~5-6s of driver-side plan build PER REP (execution was ~1s). The
+      SQL text parses JVM-side in milliseconds; the runtime fold is the
+      same zip_with + aggregate loop (unrolled literal trees compile
+      past Janino's 64 KB method limit into interpreted fallback).
+    The folds accumulate dim-ascending from 0.0 and take the first
+    minimum — the encoder's exact IEEE op sequence, so the comparison
+    stays bitwise with no tie tolerance."""
+
+    def dist_sql(m: int, k: int) -> str:
+        # CAST('<repr>' AS DOUBLE): repr round-trips the float64 exactly
+        # and string-cast parses via Double.parseDouble — a bare SQL
+        # decimal literal would be DECIMAL-typed (CLAUDE.md)
+        arr = ", ".join(
+            f"CAST('{float(books[m][k, j])!r}' AS DOUBLE)" for j in range(_PQ_SUB)
+        )
+        return (
+            f"aggregate(zip_with(slice(emb, {m * _PQ_SUB + 1}, {_PQ_SUB}), "
+            f"array({arr}), (a, b) -> (a - b) * (a - b)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
 
-    jvm_err = None
-    viols = []
+    checks = enc.selectExpr(
+        "vec_id",
+        "emb",
+        "recon_err",
+        "transform(split(codes, '-'), s -> CAST(s AS BIGINT)) AS code_arr",
+    )
+    darrs = checks.selectExpr(
+        "*",
+        *[
+            f"array({', '.join(dist_sql(m, k) for k in range(_PQ_K))}) AS d{m}"
+            for m in range(_PQ_M)
+        ],
+    )
+    kinds = []
     for m in range(_PQ_M):
-        darr = F.array(*[dist_expr(m, k) for k in range(_PQ_K)])
-        dmin = F.array_min(darr)
-        jvm_code = F.array_position(darr, dmin) - 1  # first min, 0-based
-        assigned = F.element_at(col("code_arr"), m + 1)
-        viols.append(
-            checks.filter(
-                (assigned < 0) | (assigned >= _PQ_K)
-            ).select("vec_id", F.lit(m).alias("subspace"), F.lit("range").alias("kind"))
+        assigned = f"element_at(code_arr, {m + 1})"
+        kinds.append(
+            f"IF({assigned} < 0 OR {assigned} >= {_PQ_K}, "
+            f"named_struct('subspace', CAST({m} AS BIGINT), 'kind', 'range'), NULL)"
         )
-        viols.append(
-            checks.filter(jvm_code != assigned).select(
-                "vec_id", F.lit(m).alias("subspace"), F.lit("code").alias("kind")
-            )
+        kinds.append(
+            f"IF(array_position(d{m}, array_min(d{m})) - 1 != {assigned}, "
+            f"named_struct('subspace', CAST({m} AS BIGINT), 'kind', 'code'), NULL)"
         )
-        jvm_err = dmin if jvm_err is None else jvm_err + dmin
-    viols.append(
-        checks.filter(jvm_err != col("recon_err")).select(
-            "vec_id", F.lit(-1).alias("subspace"), F.lit("err").alias("kind")
-        )
+    # left-associative + chain == the encoder's subspace-ascending sum
+    err_sum = " + ".join(f"array_min(d{m})" for m in range(_PQ_M))
+    kinds.append(
+        f"IF(({err_sum}) != recon_err, "
+        f"named_struct('subspace', CAST(-1 AS BIGINT), 'kind', 'err'), NULL)"
     )
-    out = viols[0]
-    for v in viols[1:]:
-        out = out.unionByName(v)
-    return out.select("vec_id", col("subspace").cast("long"), "kind")
+    return darrs.selectExpr(
+        "vec_id",
+        f"explode(filter(array({', '.join(kinds)}), x -> x IS NOT NULL)) AS v",
+    ).selectExpr("vec_id", "v.subspace AS subspace", "v.kind AS kind")

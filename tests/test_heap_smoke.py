@@ -53,8 +53,8 @@ HEAVY_OPS = [
     # r11: corpus char-window explode + broadcast bench join + distinct
     # agg, then an anti join on top — the round's heaviest new lineage
     "contamination_excise",
-    # r11: persisted Arrow encode + 2M+1 union'd violation branches of
-    # 16-way HOF distance folds (the verify-twin lineage family)
+    # r11: Arrow encode + the 128-fold SQL-text distance recompute with
+    # filtered-array explode (the verify-twin lineage family)
     "embedding_pq_verify",
 ]
 
