@@ -1716,6 +1716,31 @@ def _pq_train(X: "object") -> "list":
     return books
 
 
+def _pq_encode_batch(C: "list", Xb: "object"):
+    """(codes, recon_err) for one batch of raw float64 vectors — the
+    encode kernel's arithmetic, factored module-level so the property
+    fuzz (tests/test_pq_fuzz.py) can drive it against an independent
+    pure-Python reference. Every op is a defined IEEE sequence: distances
+    accumulate PER-DIMENSION IN ASCENDING ORDER, assignment is the FIRST
+    minimum, recon_err sums subspace minima in ascending subspace order —
+    bitwise reproducible in any engine that replays that sequence."""
+    import numpy as np
+
+    n = Xb.shape[0]
+    codes = np.zeros((n, _PQ_M), dtype=np.int64)
+    err = np.zeros(n)
+    for m in range(_PQ_M):
+        Xs = Xb[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        D = np.zeros((n, _PQ_K))
+        for j in range(_PQ_SUB):  # dim-ascending fold == JVM order
+            diff = Xs[:, j][:, None] - C[m][None, :, j]
+            D += diff * diff
+        a = D.argmin(axis=1)  # first minimum, like array_position
+        codes[:, m] = a
+        err += D[np.arange(n), a]  # subspace-ascending, like JVM sum
+    return codes, err
+
+
 def _pq_fit(spark: SparkSession, sf_dir: str):
     """(codebooks, encoded frame). Encoding distances accumulate
     PER-DIMENSION IN ASCENDING ORDER — the exact IEEE op sequence the
@@ -1731,6 +1756,12 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     n_corpus = e.count()
     stride = max(1, n_corpus // _PQ_TRAIN_CAP)
     sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    # sort by vec_id: collect() row order is parquet-split dependent, and
+    # both the strided init and np.mean accumulate in row order — sorting
+    # makes the trained codebooks independent of the scan layout, so the
+    # determinism contract holds across environments, not just within a
+    # session (r11 ADVICE)
+    sample.sort(key=lambda r: r["vec_id"])
     X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
     books = _pq_train(X)
     bc = spark.sparkContext.broadcast(books)
@@ -1741,18 +1772,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
             if not len(pdf):
                 continue
             Xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            n = Xb.shape[0]
-            codes = np.zeros((n, _PQ_M), dtype=np.int64)
-            err = np.zeros(n)
-            for m in range(_PQ_M):
-                Xs = Xb[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-                D = np.zeros((n, _PQ_K))
-                for j in range(_PQ_SUB):  # dim-ascending fold == JVM order
-                    diff = Xs[:, j][:, None] - C[m][None, :, j]
-                    D += diff * diff
-                a = D.argmin(axis=1)  # first minimum, like array_position
-                codes[:, m] = a
-                err += D[np.arange(n), a]  # subspace-ascending, like JVM sum
+            codes, err = _pq_encode_batch(C, Xb)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -1882,3 +1902,193 @@ def _pq_violations(books: "list", enc: DataFrame) -> DataFrame:
         "vec_id",
         f"explode(filter(array({', '.join(kinds)}), x -> x IS NOT NULL)) AS v",
     ).selectExpr("vec_id", "v.subspace AS subspace", "v.kind AS kind")
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_topk — ADC (asymmetric distance) top-k retrieval over PQ codes
+# ---------------------------------------------------------------------------
+
+# The search half of PQ (Jégou et al. 2011 §IV — public method): queries
+# stay RAW while the corpus is scored from its codes alone. Per query,
+# precompute an M×K lookup table LUT[m][k] = <q_m, C[m][k]> (one inner
+# product per subspace centroid); the approximate inner product of q with
+# any encoded vector is then M table lookups + adds — no access to the
+# raw corpus doubles. Top candidates by approximate cosine are re-ranked
+# with the exact cosine on their raw vectors (the standard refine step),
+# so emitted scores are exact and only RECALL is approximate.
+_PQ_CAND = 8 * _TOP_K  # per-partition ADC candidates kept per query
+
+
+@register("embedding_pq_topk")  # rows-only: PQ recall < 1 by design
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: the retrieval path that makes embedding_pq's codes
+    useful. Shares the trained codebooks and encoded corpus with
+    embedding_pq via _pq_fit, so it queries exactly the artifact that
+    operator stores.
+
+    Scale shape (the reason PQ exists at billion scale): query LUTs are
+    Q × M × K doubles of driver state (8×8×16 here — kmeans-class);
+    scoring is ONE Arrow-batched map over the codes with a per-partition
+    top-{cand} cut per query, so the corpus is scanned once and NEVER
+    shuffled — only partitions × Q × {cand} candidate rows leave the
+    map. Refine joins the tiny candidate set against the broadcast query
+    frame and computes the exact cosine JVM-side with the shared
+    left-to-right _dot fold (bitwise equal to similarity_topk's), so
+    embedding_pq_search_verify can hold every emitted pair to exactness.
+    The final window sees ≤ partitions × Q × {cand} rows, not Q × N."""
+    import numpy as np
+    import pandas as pd
+
+    books, enc = _pq_fit(spark, sf_dir)
+
+    # Queries are tiny by contract (_N_QUERIES): collect raw vectors and
+    # build the per-query subspace LUTs driver-side (ann_ivf's probe-list
+    # pattern — at large Q this becomes a broadcast join against a
+    # codebook table instead).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    qrows = sorted(
+        e.filter(col("vec_id") < _N_QUERIES).collect(), key=lambda r: r["vec_id"]
+    )
+    q_data, q_ids, luts = [], [], []
+    for r in qrows:
+        x = np.asarray(r["emb"], dtype=np.float64)
+        nrm = 0.0
+        for k in range(len(x)):  # same sequential fold as the refine _dot
+            nrm += x[k] * x[k]
+        if nrm == 0.0:
+            continue  # zero-norm query has no cosine neighbors
+        q_data.append((int(r["vec_id"]), x.tolist(), float(np.sqrt(nrm))))
+        q_ids.append(int(r["vec_id"]))
+        # LUT[m][k] = <q_m, C[m][k]> — the M×K table ADC reads per query
+        luts.append(
+            np.stack(
+                [books[m] @ x[m * _PQ_SUB : (m + 1) * _PQ_SUB] for m in range(_PQ_M)]
+            )
+        )
+    lut_all = np.stack(luts) if luts else np.zeros((0, _PQ_M, _PQ_K))
+    bc = spark.sparkContext.broadcast((q_ids, lut_all))
+
+    def adc_scan(batches):
+        q_id_arr, L = bc.value  # L: (Q, M, K)
+        nq = len(q_id_arr)
+        if nq == 0:
+            return
+        # running per-partition top-_PQ_CAND per query, merged per batch —
+        # state is bounded at Q × _PQ_CAND rows however large the partition
+        best = [
+            {"score": np.empty(0), "vec_id": np.empty(0, dtype=np.int64), "emb": []}
+            for _ in range(nq)
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(
+                [[int(s) for s in c.split("-")] for c in pdf["codes"]],
+                dtype=np.int64,
+            )
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            vec_ids = pdf["vec_id"].to_numpy()
+            # zero-norm corpus vectors have no cosine: all-zero components
+            # is the EXACT predicate for sum-of-squares == 0 (non-negative
+            # terms can't cancel), matching the refine's nrm > 0 filter
+            nonzero = (X != 0).any(axis=1)
+            nrm = np.sqrt((X * X).sum(axis=1))
+            # adc[i, q] = sum_m LUT[q][m][codes[i, m]] — approximate <q, x>
+            adc = np.zeros((len(pdf), nq))
+            for m in range(_PQ_M):
+                adc += L[:, m, codes[:, m]].T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = adc / nrm[:, None]  # ÷q_nrm is rank-invariant per query
+            for qi in range(nq):
+                keep = nonzero & (vec_ids != q_id_arr[qi])
+                s, v = score[keep, qi], vec_ids[keep]
+                emb_vals = [x for x, k in zip(pdf["emb"], keep) if k]
+                s = np.concatenate([best[qi]["score"], s])
+                v = np.concatenate([best[qi]["vec_id"], v])
+                emb_vals = best[qi]["emb"] + emb_vals
+                # deterministic cut: score DESC, vec_id ASC tiebreak
+                order = np.lexsort((v, -s))[:_PQ_CAND]
+                best[qi] = {
+                    "score": s[order],
+                    "vec_id": v[order],
+                    "emb": [emb_vals[i] for i in order],
+                }
+        out = {
+            "q_id": np.concatenate(
+                [np.full(len(b["vec_id"]), q, dtype=np.int64)
+                 for q, b in zip(q_id_arr, best)]
+            ),
+            "vec_id": np.concatenate([b["vec_id"] for b in best]),
+            "emb": [x for b in best for x in b["emb"]],
+        }
+        if len(out["q_id"]):
+            yield pd.DataFrame(out)
+
+    cands = enc.select("vec_id", "emb", "codes").mapInPandas(
+        adc_scan, schema="q_id long, vec_id long, emb array<double>"
+    )
+    q_df = spark.createDataFrame(
+        q_data, "q_id long, q_emb array<double>, q_nrm double"
+    )
+    # exact refine: nrm + cosine recomputed JVM-side with the shared fold,
+    # so every emitted pair carries the bitwise-exact cosine
+    sims = (
+        cands.join(broadcast(q_df), "q_id")
+        .withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
+        .filter(col("nrm") > 0)
+        .select(
+            "q_id",
+            col("vec_id").alias("n_id"),
+            (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(col("cosine").desc(), col("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+@register("embedding_pq_search_verify", oracle=_ANN_VERIFY_ORACLE)
+def embedding_pq_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable refine-exactness proof for embedding_pq_topk —
+    the similarity_ann_verify contract applied to the ADC pipeline:
+    recompute the FULL exact cosine pair set independently and emit one
+    row per violated claim (a pair whose cosine isn't the bitwise exact
+    cosine or that references a self/zero-norm pair, a rank that isn't
+    the (cosine DESC, n_id) row number over the emitted set, a query
+    exceeding top-k). Expected output: EMPTY against the empty-relation
+    oracle, so any violation flips the driver verdict red. Recall (<1 by
+    design) is pinned separately in tests/test_pq_search.py along with a
+    planted-neighbor liveness check.
+
+    Scale shape: the exact side is similarity_topk's broadcast-Q corpus
+    scan; the ADC output is ≤ Q × k rows, so every violation join is
+    broadcast-trivial — cost is the verification corpus scan, run at
+    bench SF, not production."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
+        col("nrm") > 0
+    )
+    q = n.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("q_id"),
+        col("emb").alias("q_emb"),
+        col("nrm").alias("q_nrm"),
+    )
+    exact = n.join(broadcast(q), col("vec_id") != col("q_id")).select(
+        "q_id",
+        col("vec_id").alias("n_id"),
+        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    return _ann_violations(
+        embedding_pq_topk(spark, sf_dir), exact, "pq_adc"
+    ).orderBy("algo", "q_id", "n_id", "kind")

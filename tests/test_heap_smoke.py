@@ -56,6 +56,10 @@ HEAVY_OPS = [
     # r11: Arrow encode + the 128-fold SQL-text distance recompute with
     # filtered-array explode (the verify-twin lineage family)
     "embedding_pq_verify",
+    # r12: ADC search — train+encode lineage feeding a second Arrow
+    # stage (per-partition top-CAND state) plus the brute-force exact
+    # pair recompute in the verify twin (persisted three-branch check)
+    "embedding_pq_search_verify",
 ]
 
 _SCRIPT = r"""

@@ -1360,3 +1360,19 @@ def test_keep_best_partial_argmax_no_window(spark):
     p = plan_of(QUERIES["dedup_keep_best"](spark, SF_SMALL))
     assert "partial_max(struct(q" in p, p
     assert "Window" not in p, p
+
+
+def test_pq_topk_one_scan_no_corpus_shuffle(spark):
+    """embedding_pq_topk: the ADC scale shape — ONE parquet scan feeding
+    encode + ADC as two Arrow stages with the per-partition top-CAND cut
+    INSIDE the map (the corpus never reaches an exchange); the only
+    shuffle carries candidate rows into the final window, queries join
+    by broadcast, and nothing degenerates into a cartesian."""
+    p = plan_of(QUERIES["embedding_pq_topk"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1, p
+    assert shuffle_exchanges(p) == 1, p
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BatchEvalPython"):
+        assert node not in p, p
