@@ -89,26 +89,20 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 11 (r10 VERDICT items 1, 2, 4):
-# - cast_dynamic / copy_roundtrip / k_anonymity: r6-stale verdicts on
-#   UNCHANGED modules — the changed-module pool (97 entries) fills the
-#   window ahead of the rank-5 freshness sweep, so they never surface
-#   without forcing; the verdict demands all 7 r6 entries re-checked.
-# - token_budget_select: rewritten this round (histogram-cutoff
-#   prefilter before the exact window) — its r10 green is void, and as
-#   a chg-r10 entry it sorts behind the chg-r6/r7 pool.
-# - contamination_overlap / contamination_substring: bench-set
-#   derivation factored into the shared _bench_split() helper this round
-#   (r10 VERDICT item 4 "done = both ops re-green"); same chg-r10
-#   window-miss as above.
-_FORCE_FRONT_ROUND = 11
+# Round 12 (r11 VERDICT item 3 — drain the r7 freshness tail): the four
+# r7-stale entries on UNCHANGED modules (temporal_joins.py, cassandra.py,
+# paged_source.py) never surface naturally — the changed-module pool
+# (50 rank-4 entries: 11 chg-r7 + 36 chg-r8 + 3 chg-r9) fills the window
+# ahead of the rank-5 freshness sweep; forcing these four completes the
+# verdict's "CORRECTNESS_r12 contains the full r7 list" demand. (The six
+# r11 forces all re-greened in r11 and are pruned — with the round bumped
+# they would otherwise reactivate.)
+_FORCE_FRONT_ROUND = 12
 _FORCE_FRONT = (
-    "cast_dynamic",
-    "copy_roundtrip",
-    "k_anonymity",
-    "token_budget_select",
-    "contamination_overlap",
-    "contamination_substring",
+    "join_asof",
+    "join_range",
+    "scan_token_range",
+    "source_paged_scan",
 )
 
 

@@ -567,6 +567,11 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass consume it, and re-tokenizing the full corpus twice is the
     expensive lineage CLAUDE.md's self-join rule exists for."""
     d = table(spark, sf_dir, "documents")
+    # persisted for the whole session (dedup.py precedent): the caller
+    # consumes the returned frame lazily, so this function can't
+    # unpersist — the InMemoryRelation stays pinned and can splice into
+    # later same-lineage plan builds (CLAUDE.md conf-override note);
+    # bench.py/tests clearCache() between queries for exactly this reason
     toks = d.select(
         "doc_id",
         "lang",
@@ -599,7 +604,15 @@ def _token_budget_prefiltered(toks: DataFrame, budget: int) -> DataFrame:
         # keep buckets whose strictly-better mass hasn't spent the budget
         .filter(col("cum_bucket") - col("bucket_tokens") < budget)
         .groupBy("lang")
-        .agg(F.min("n_chars").alias("cutoff"))
+        .agg(
+            F.min("n_chars").alias("cutoff"),
+            # NULL n_chars sorts LAST under the kernel's DESC order, so
+            # its bucket survives only when every bucket does; min()
+            # skips it, and `n_chars >= cutoff` below evaluates NULL —
+            # without this flag a NULL-score doc the kernel admits would
+            # be silently dropped by the prefilter (r11 ADVICE)
+            F.max(col("n_chars").isNull()).alias("null_kept"),
+        )
         .withColumnRenamed("lang", "cutoff_lang")
     )
     # NULL-SAFE equi-join (review finding): a plain `on="lang"` inner
@@ -610,8 +623,11 @@ def _token_budget_prefiltered(toks: DataFrame, budget: int) -> DataFrame:
         toks.join(
             F.broadcast(cutoffs), toks["lang"].eqNullSafe(cutoffs["cutoff_lang"])
         )
-        .filter(col("n_chars") >= col("cutoff"))
-        .drop("cutoff_lang", "cutoff")
+        .filter(
+            (col("n_chars") >= col("cutoff"))
+            | (col("n_chars").isNull() & col("null_kept"))
+        )
+        .drop("cutoff_lang", "cutoff", "null_kept")
     )
     return _token_budget_kernel(survivors, budget)
 

@@ -1282,3 +1282,105 @@ def contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_contamination(
         table(spark, sf_dir, "documents")
     ).orderBy("eval_doc", "train_doc")
+
+
+# ---------------------------------------------------------------------------
+# decontamination_report — the three gates' verdicts, per eval document
+# ---------------------------------------------------------------------------
+
+# One row per (gate, eval doc) with leakage severity: how many training
+# docs hit it, the first offender, and (for the near-dup gate) the worst
+# similarity. This is the eval-integrity view the three standalone gates
+# don't give directly — they report per TRAIN doc (the excision side);
+# an eval owner asks the transposed question: "which of MY benchmark
+# documents are compromised, how badly, and through which gate?".
+#
+# Each gate keeps its own eval universe (the exact gates use the fixed
+# _bench_split slice; the near-dup gate the portable-token 90/10 split —
+# the same conventions their standalone ops are driver-checked under);
+# the `gate` column scopes the key, so the union is well-defined.
+
+
+def _decon_report_oracle() -> str:
+    from cqlcopy_spark.operators.text import (
+        _CONTAM_GRAMS_SQL,
+        _SUB_N,
+        _SUB_STRIDE,
+        _sql_char_windows,
+        _sql_is_bench,
+    )
+
+    return f"""
+WITH og AS (
+  SELECT doc_id, unnest({_CONTAM_GRAMS_SQL}) AS g FROM documents
+),
+o_bench AS (SELECT doc_id AS bench_id, g FROM og WHERE {_sql_is_bench()}),
+o_corpus AS (SELECT doc_id, g FROM og WHERE NOT ({_sql_is_bench()})),
+s_bench AS (
+  SELECT doc_id AS bench_id, unnest({_sql_char_windows(1)}) AS w
+  FROM documents WHERE {_sql_is_bench()} AND len(text) >= {_SUB_N}
+),
+s_corpus AS (
+  SELECT doc_id, unnest({_sql_char_windows(_SUB_STRIDE)}) AS w
+  FROM documents WHERE NOT ({_sql_is_bench()}) AND len(text) >= {_SUB_N}
+),
+nd AS ({_CONTAM_NEARDUP_ORACLE})
+SELECT 'ngram_overlap' AS gate, b.bench_id AS eval_doc,
+       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_train_docs,
+       MIN(c.doc_id) AS first_train_doc,
+       CAST(NULL AS DOUBLE) AS max_score
+FROM o_corpus c JOIN o_bench b USING (g) GROUP BY b.bench_id
+UNION ALL
+SELECT 'exact_substring', b.bench_id,
+       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT),
+       MIN(c.doc_id), CAST(NULL AS DOUBLE)
+FROM s_corpus c JOIN s_bench b USING (w) GROUP BY b.bench_id
+UNION ALL
+SELECT 'neardup', eval_doc,
+       CAST(COUNT(DISTINCT train_doc) AS BIGINT),
+       MIN(train_doc), MAX(jaccard)
+FROM nd GROUP BY eval_doc
+"""
+
+
+@register("decontamination_report", oracle=_decon_report_oracle())
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc leakage summary across all three decontamination
+    gates (r11 VERDICT item 8): word-8-gram overlap, verbatim 24-char
+    substring, and document-level near-dup — each reusing its standalone
+    gate's exact pair derivation (text._overlap_pairs /
+    text._substring_pairs / _neardup_contamination), so this report
+    cannot drift from the gates it summarizes (replay-consistency is
+    pinned in tests/test_decon_report.py).
+
+    Scale shape: inherits each gate's — the two exact gates broadcast
+    the fixed-size bench index into one corpus scan each; the near-dup
+    gate asymmetrically probes the train band index; each per-gate
+    rollup is a partial-combining groupBy over pair rows (output-sized,
+    never corpus-sized). The union is three independent pipelines — no
+    shared shuffle, no new scale hazard."""
+    from cqlcopy_spark.operators.text import _overlap_pairs, _substring_pairs
+
+    d = table(spark, sf_dir, "documents")
+
+    def rollup(pairs: DataFrame, gate: str, eval_col: str, train_col: str,
+               score_col: "str | None") -> DataFrame:
+        aggs = [
+            F.count_distinct(col(train_col)).alias("n_train_docs"),
+            F.min(train_col).alias("first_train_doc"),
+            (F.max(score_col) if score_col else F.lit(None).cast("double"))
+            .alias("max_score"),
+        ]
+        return pairs.groupBy(col(eval_col).alias("eval_doc")).agg(*aggs).select(
+            F.lit(gate).alias("gate"), "eval_doc", "n_train_docs",
+            "first_train_doc", "max_score",
+        )
+
+    ov = rollup(_overlap_pairs(d), "ngram_overlap", "bench_id", "doc_id", None)
+    sub = rollup(
+        _substring_pairs(d), "exact_substring", "bench_id", "doc_id", None
+    )
+    nd = rollup(
+        _neardup_contamination(d), "neardup", "eval_doc", "train_doc", "jaccard"
+    )
+    return ov.unionByName(sub).unionByName(nd)

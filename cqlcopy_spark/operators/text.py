@@ -282,9 +282,9 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws,
        CAST(SUM(subword_tokens) AS BIGINT) AS sum_subword,
-       CAST(SUM(n_chars) AS DOUBLE) / SUM(subword_tokens)
+       CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(subword_tokens), 0)
          AS chars_per_subword,
-       CAST(SUM(subword_tokens) AS DOUBLE) / SUM(ws_tokens)
+       CAST(SUM(subword_tokens) AS DOUBLE) / NULLIF(SUM(ws_tokens), 0)
          AS fertility
 FROM t GROUP BY lang
 """
@@ -319,16 +319,22 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").alias("sum_ws"),
         F.sum("subword_tokens").alias("sum_subword"),
     )
+    # zero-sum guard, mirrored on both sides (oracle: NULLIF): a language
+    # whose docs are all empty/whitespace yields sum_subword = 0 (or a
+    # zero-token split → sum_ws = 0), where Spark double division is NULL
+    # but DuckDB IEEE division is inf — a latent driver hash divergence
+    # (r11 ADVICE). when(denom > 0, ...) is NULL otherwise, like NULLIF.
+    def _safe_ratio(num, denom):
+        return F.when(col(denom) > 0, col(num).cast("double") / col(denom))
+
     return g.select(
         "lang",
         "n_docs",
         "sum_chars",
         "sum_ws",
         "sum_subword",
-        (col("sum_chars").cast("double") / col("sum_subword")).alias(
-            "chars_per_subword"
-        ),
-        (col("sum_subword").cast("double") / col("sum_ws")).alias("fertility"),
+        _safe_ratio("sum_chars", "sum_subword").alias("chars_per_subword"),
+        _safe_ratio("sum_subword", "sum_ws").alias("fertility"),
     )
 
 
@@ -963,27 +969,31 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     production SF), so it soundly BROADCASTS — the training corpus never
     shuffles, a hard requirement when the corpus is the 100 TB side. Output: contaminated doc → distinct benchmark
     docs hit and the first (min) benchmark id, for reporting/excision."""
-    from cqlcopy_spark.operators.dedup import _gram_rows
-
-    d = table(spark, sf_dir, "documents")
-
-    def _grams(side):
-        # shared exploded n-gram builder (dedup._gram_rows: staged split,
-        # short-doc guard, collapse-safe explode); filtering BEFORE gram
-        # construction means each side grams only its own docs
-        return _gram_rows(side, n=_CONTAM_N)
-
-    bench_docs, corpus_docs = _bench_split(d)
-    bench = _grams(bench_docs).select(col("doc_id").alias("bench_id"), "g")
-    corpus = _grams(corpus_docs)
     return (
-        corpus.join(F.broadcast(bench), "g")
+        _overlap_pairs(table(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(
             F.count_distinct(col("bench_id")).alias("n_bench_docs"),
             F.min("bench_id").alias("first_bench_id"),
         )
     )
+
+
+def _overlap_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id [corpus], bench_id) — every word-8-gram hit across the
+    bench split; the pair-level core shared by contamination_overlap
+    (grouped per train doc) and decontamination_report (per eval doc).
+    Uses dedup._gram_rows (staged split, short-doc guard, collapse-safe
+    explode); filtering BEFORE gram construction means each side grams
+    only its own docs."""
+    from cqlcopy_spark.operators.dedup import _gram_rows
+
+    bench_docs, corpus_docs = _bench_split(d)
+    bench = _gram_rows(bench_docs, n=_CONTAM_N).select(
+        col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = _gram_rows(corpus_docs, n=_CONTAM_N)
+    return corpus.join(F.broadcast(bench), "g").select("doc_id", "bench_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1045,37 +1055,41 @@ def contamination_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window strings would be xxhash64-folded before the join (8-byte
     keys, same semantics); the raw-string join here keeps the pipeline
     DuckDB-verifiable end to end."""
-    d = table(spark, sf_dir, "documents")
-
-    def windows(df, stride: int):
-        idx = F.sequence(
-            F.lit(1), F.length("text") - F.lit(_SUB_N - 1), F.lit(stride)
-        )
-        return (
-            df.filter(F.length("text") >= _SUB_N)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(
-                        F.transform(
-                            idx, lambda i: F.substring(col("text"), i, _SUB_N)
-                        )
-                    )
-                ).alias("w"),
-            )
-        )
-
-    bench_docs, corpus_docs = _bench_split(d)
-    bench = windows(bench_docs, 1).select(col("doc_id").alias("bench_id"), "w")
-    corpus = windows(corpus_docs, _SUB_STRIDE)
     return (
-        corpus.join(F.broadcast(bench), "w")
+        _substring_pairs(table(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(
             F.count_distinct(col("bench_id")).alias("n_bench_docs"),
             F.min("bench_id").alias("first_bench_id"),
         )
     )
+
+
+def _char_windows(df: DataFrame, stride: int) -> DataFrame:
+    """(doc_id, w): distinct length-_SUB_N char windows at the stride."""
+    idx = F.sequence(
+        F.lit(1), F.length("text") - F.lit(_SUB_N - 1), F.lit(stride)
+    )
+    return df.filter(F.length("text") >= _SUB_N).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.substring(col("text"), i, _SUB_N))
+            )
+        ).alias("w"),
+    )
+
+
+def _substring_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id [corpus], bench_id) — every verbatim char-window hit
+    across the bench split; pair-level core shared by
+    contamination_substring and decontamination_report."""
+    bench_docs, corpus_docs = _bench_split(d)
+    bench = _char_windows(bench_docs, 1).select(
+        col("doc_id").alias("bench_id"), "w"
+    )
+    corpus = _char_windows(corpus_docs, _SUB_STRIDE)
+    return corpus.join(F.broadcast(bench), "w").select("doc_id", "bench_id")
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,9 @@ HEAVY_OPS = [
     # stage (per-partition top-CAND state) plus the brute-force exact
     # pair recompute in the verify twin (persisted three-branch check)
     "embedding_pq_search_verify",
+    # r12: three-gate union — two broadcast bench indexes + the
+    # persisted minhash band probe in one plan
+    "decontamination_report",
 ]
 
 _SCRIPT = r"""

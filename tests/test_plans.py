@@ -1376,3 +1376,16 @@ def test_pq_topk_one_scan_no_corpus_shuffle(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "SortMergeJoin", "BatchEvalPython"):
         assert node not in p, p
+
+
+def test_decon_report_all_joins_broadcast_no_cartesian(spark):
+    """decontamination_report: the three-gate union must inherit each
+    gate's shape — every join a broadcast probe (fixed-size bench index
+    / band-bucket / refine sides), never a corpus shuffle join or a
+    cartesian, and each rollup partial-combines (map-side partials)."""
+    p = plan_of(QUERIES["decontamination_report"](spark, SF_SMALL))
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in p, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3, p
+    assert len(re.findall(r"\(\d+\) Union", p)) == 1, p

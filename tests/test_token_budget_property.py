@@ -110,6 +110,12 @@ def test_prefilter_bitwise_equals_bare_kernel(spark):
         rows += [
             (10_000 + i, None, i % max(dom, 1), 3) for i in range(6)
         ]
+        # and NULL-n_chars docs (r11 ADVICE): they sort LAST under the
+        # kernel's DESC order and are admitted whenever budget remains —
+        # the prefilter's null_kept flag must carry them through (min()
+        # skips the NULL bucket and `n_chars >= cutoff` evaluates NULL)
+        rows += [(20_000 + i, f"l{i % n_langs}", None, 2) for i in range(4)]
+        rows += [(20_100, None, None, 2)]  # NULL lang AND NULL score
         df = spark.createDataFrame(
             rows, "doc_id long, lang string, n_chars long, n_tokens long"
         )
@@ -117,3 +123,28 @@ def test_prefilter_bitwise_equals_bare_kernel(spark):
         pre = {tuple(r) for r in _token_budget_prefiltered(df, budget).collect()}
         assert pre == bare, (trial, pre ^ bare)
         assert any(t[0] is None for t in bare) or budget == 0  # NULL lang admitted
+        if budget >= 10_000:  # roomy budget: the NULL-score docs ARE admitted
+            assert any(t[1] >= 20_000 for t in bare)
+
+
+def test_prefilter_all_null_scores_language(spark):
+    """Degenerate: a language whose every doc has NULL n_chars — the
+    cutoff is NULL (min of no non-null buckets) and ONLY the null_kept
+    branch can admit anything; must still equal the bare kernel."""
+    from cqlcopy_spark.operators.curation import (
+        _token_budget_kernel,
+        _token_budget_prefiltered,
+    )
+
+    rows = [(i, "onlynull", None, 4) for i in range(8)]
+    rows += [(100 + i, "mixed", None if i % 2 else 10 + i, 5) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, n_tokens long"
+    )
+    for budget in (0, 9, 12, 1_000):
+        bare = {tuple(r) for r in _token_budget_kernel(df, budget).collect()}
+        pre = {tuple(r) for r in _token_budget_prefiltered(df, budget).collect()}
+        assert pre == bare, (budget, pre ^ bare)
+    assert any(
+        t[0] == "onlynull" for t in _token_budget_kernel(df, 9).collect()
+    )

@@ -57,3 +57,44 @@ def test_fertility_replays_from_rows(spark):
         assert (r.n_docs, r.sum_chars, r.sum_ws, r.sum_subword) == (n, chars, ws, sub)
         assert r.fertility == sub / ws
         assert r.chars_per_subword == chars / sub
+
+
+def test_fertility_zero_denominator_is_null_both_engines(spark, tmp_path):
+    """A language whose docs are all whitespace has sum_subword = 0:
+    Spark must emit NULL ratios (not a crash), and the DuckDB oracle's
+    NULLIF must agree — the exact cross-engine divergence the r11
+    ADVICE flagged (Spark /0.0 → NULL vs DuckDB IEEE → inf)."""
+    import duckdb
+    import math
+
+    from cqlcopy_spark.operators.text import (
+        _FERTILITY_ORACLE,
+        tokenizer_fertility,
+    )
+
+    rows = [
+        (1, "zz", 3, "   "),          # whitespace-only: 0 subword tokens
+        (2, "zz", 1, " "),
+        (3, "en", 7, "abc def"),      # control language
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, "srcA", n) for i, l, n, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    got = {r.lang: r for r in tokenizer_fertility(spark, str(tmp_path)).collect()}
+    assert got["zz"].sum_subword == 0
+    assert got["zz"].chars_per_subword is None
+    assert got["en"].fertility == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(_FERTILITY_ORACLE).fetchall()}
+    # NULLIF path: NULL, never inf/nan
+    assert oracle["zz"][5] is None
+    assert not math.isnan(oracle["en"][5])
+    assert got["en"].chars_per_subword == oracle["en"][5]
