@@ -729,24 +729,8 @@ def similarity_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the violation joins are broadcast-trivial. Cost is one extra corpus
     scan per variant — the price of verification, run at bench SF, not
     production."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _emb_double("embedding").alias("emb")
-    )
-    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
-        col("nrm") > 0
-    )
-    q = n.filter(col("vec_id") < _N_QUERIES).select(
-        col("vec_id").alias("q_id"),
-        col("emb").alias("q_emb"),
-        col("nrm").alias("q_nrm"),
-    )
-    exact = n.join(broadcast(q), col("vec_id") != col("q_id")).select(
-        "q_id",
-        col("vec_id").alias("n_id"),
-        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
-            "cosine"
-        ),
-    ).persist()  # two consumers (both variants' pair joins)
+    # persisted: two consumers (both variants' pair joins)
+    exact = _exact_pair_set(spark, sf_dir).persist()
     lsh = _ann_violations(similarity_ann_lsh(spark, sf_dir), exact, "lsh")
     ivf = _ann_violations(similarity_ann_ivf(spark, sf_dir), exact, "ivf")
     return lsh.unionByName(ivf).orderBy("algo", "q_id", "n_id", "kind")
@@ -1919,64 +1903,62 @@ def _pq_violations(books: "list", enc: DataFrame) -> DataFrame:
 _PQ_CAND = 8 * _TOP_K  # per-partition ADC candidates kept per query
 
 
-@register("embedding_pq_topk")  # rows-only: PQ recall < 1 by design
-def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-k: the retrieval path that makes embedding_pq's codes
-    useful. Shares the trained codebooks and encoded corpus with
-    embedding_pq via _pq_fit, so it queries exactly the artifact that
-    operator stores.
-
-    Scale shape (the reason PQ exists at billion scale): query LUTs are
-    Q × M × K doubles of driver state (8×8×16 here — kmeans-class);
-    scoring is ONE Arrow-batched map over the codes with a per-partition
-    top-{cand} cut per query, so the corpus is scanned once and NEVER
-    shuffled — only partitions × Q × {cand} candidate rows leave the
-    map. Refine joins the tiny candidate set against the broadcast query
-    frame and computes the exact cosine JVM-side with the shared
-    left-to-right _dot fold (bitwise equal to similarity_topk's), so
-    embedding_pq_search_verify can hold every emitted pair to exactness.
-    The final window sees ≤ partitions × Q × {cand} rows, not Q × N."""
+def _collect_queries(e: DataFrame) -> "list":
+    """[(q_id, x, q_nrm)] for the non-zero-norm query vectors, sorted by
+    vec_id — collected driver-side (tiny by the _N_QUERIES contract,
+    ann_ivf's pattern); norms accumulate with the refine _dot's
+    sequential fold so the zero-norm exclusion matches it exactly."""
     import numpy as np
-    import pandas as pd
 
-    books, enc = _pq_fit(spark, sf_dir)
-
-    # Queries are tiny by contract (_N_QUERIES): collect raw vectors and
-    # build the per-query subspace LUTs driver-side (ann_ivf's probe-list
-    # pattern — at large Q this becomes a broadcast join against a
-    # codebook table instead).
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _emb_double("embedding").alias("emb")
-    )
-    qrows = sorted(
+    out = []
+    for r in sorted(
         e.filter(col("vec_id") < _N_QUERIES).collect(), key=lambda r: r["vec_id"]
-    )
-    q_data, q_ids, luts = [], [], []
-    for r in qrows:
+    ):
         x = np.asarray(r["emb"], dtype=np.float64)
         nrm = 0.0
-        for k in range(len(x)):  # same sequential fold as the refine _dot
+        for k in range(len(x)):
             nrm += x[k] * x[k]
         if nrm == 0.0:
             continue  # zero-norm query has no cosine neighbors
-        q_data.append((int(r["vec_id"]), x.tolist(), float(np.sqrt(nrm))))
-        q_ids.append(int(r["vec_id"]))
-        # LUT[m][k] = <q_m, C[m][k]> — the M×K table ADC reads per query
-        luts.append(
-            np.stack(
-                [books[m] @ x[m * _PQ_SUB : (m + 1) * _PQ_SUB] for m in range(_PQ_M)]
-            )
+        out.append((int(r["vec_id"]), x, float(np.sqrt(nrm))))
+    return out
+
+
+def _query_luts(books: "list", queries: "list") -> "object":
+    """(Q, M, K) ADC lookup tables: LUT[q][m][k] = <q_m, books[m][k]>."""
+    import numpy as np
+
+    luts = [
+        np.stack(
+            [books[m] @ x[m * _PQ_SUB : (m + 1) * _PQ_SUB] for m in range(_PQ_M)]
         )
-    lut_all = np.stack(luts) if luts else np.zeros((0, _PQ_M, _PQ_K))
-    bc = spark.sparkContext.broadcast((q_ids, lut_all))
+        for _, x, _ in queries
+    ]
+    return np.stack(luts) if luts else np.zeros((0, _PQ_M, _PQ_K))
+
+
+def _adc_scan_kernel(bc):
+    """mapInPandas kernel shared by embedding_pq_topk and
+    similarity_ivfpq: ADC-score every input row against every query from
+    codes alone and keep a RUNNING per-partition top-_PQ_CAND per query —
+    state is bounded at Q × _PQ_CAND rows however large the partition,
+    merged per Arrow batch with a deterministic (score DESC, vec_id ASC)
+    cut.
+
+    bc.value = (q_id_arr, L, consts, probes). consts/probes are None for
+    plain PQ; for IVFADC consts is the (Q, cells) <q, c(cell)> matrix
+    (the residual decomposition's per-cell constant) and probes the
+    per-query probed cell sets — rows outside a query's probed cells are
+    masked INSIDE the map, which IS the IVF cut: the corpus never joins
+    or shuffles before candidates exist."""
+    import numpy as np
+    import pandas as pd
 
     def adc_scan(batches):
-        q_id_arr, L = bc.value  # L: (Q, M, K)
+        q_id_arr, L, CN, probe_sets = bc.value  # L: (Q, M, K)
         nq = len(q_id_arr)
         if nq == 0:
             return
-        # running per-partition top-_PQ_CAND per query, merged per batch —
-        # state is bounded at Q × _PQ_CAND rows however large the partition
         best = [
             {"score": np.empty(0), "vec_id": np.empty(0, dtype=np.int64), "emb": []}
             for _ in range(nq)
@@ -1985,7 +1967,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             codes = np.array(
-                [[int(s) for s in c.split("-")] for c in pdf["codes"]],
+                [[int(c) for c in s.split("-")] for s in pdf["codes"]],
                 dtype=np.int64,
             )
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
@@ -1999,16 +1981,21 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc = np.zeros((len(pdf), nq))
             for m in range(_PQ_M):
                 adc += L[:, m, codes[:, m]].T
+            cells = None
+            if CN is not None:
+                cells = pdf["cell"].to_numpy()
+                adc += CN[:, cells].T  # + <q, c(cell)> per (row, query)
             with np.errstate(divide="ignore", invalid="ignore"):
                 score = adc / nrm[:, None]  # ÷q_nrm is rank-invariant per query
             for qi in range(nq):
                 keep = nonzero & (vec_ids != q_id_arr[qi])
+                if probe_sets is not None:
+                    keep &= np.isin(cells, list(probe_sets[qi]))
                 s, v = score[keep, qi], vec_ids[keep]
                 emb_vals = [x for x, k in zip(pdf["emb"], keep) if k]
                 s = np.concatenate([best[qi]["score"], s])
                 v = np.concatenate([best[qi]["vec_id"], v])
                 emb_vals = best[qi]["emb"] + emb_vals
-                # deterministic cut: score DESC, vec_id ASC tiebreak
                 order = np.lexsort((v, -s))[:_PQ_CAND]
                 best[qi] = {
                     "score": s[order],
@@ -2026,14 +2013,18 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(out["q_id"]):
             yield pd.DataFrame(out)
 
-    cands = enc.select("vec_id", "emb", "codes").mapInPandas(
-        adc_scan, schema="q_id long, vec_id long, emb array<double>"
-    )
+    return adc_scan
+
+
+def _adc_refine_topk(spark: SparkSession, cands: DataFrame, queries: "list") -> DataFrame:
+    """Exact refine + top-k over an ADC candidate frame: nrm and cosine
+    recomputed JVM-side with the shared left-to-right _dot fold, so
+    every emitted pair carries the bitwise-exact cosine the verify twins
+    hold it to; the window sees only the tiny candidate set."""
     q_df = spark.createDataFrame(
-        q_data, "q_id long, q_emb array<double>, q_nrm double"
+        [(q, x.tolist(), n) for q, x, n in queries],
+        "q_id long, q_emb array<double>, q_nrm double",
     )
-    # exact refine: nrm + cosine recomputed JVM-side with the shared fold,
-    # so every emitted pair carries the bitwise-exact cosine
     sims = (
         cands.join(broadcast(q_df), "q_id")
         .withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb"))))
@@ -2054,6 +2045,67 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_pair_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_topk's brute-force lineage WITHOUT the top-k cut — the
+    independently-derived exact cosine pair set every refine-exactness
+    verify twin compares its ANN output against."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
+        col("nrm") > 0
+    )
+    q = n.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("q_id"),
+        col("emb").alias("q_emb"),
+        col("nrm").alias("q_nrm"),
+    )
+    return n.join(broadcast(q), col("vec_id") != col("q_id")).select(
+        "q_id",
+        col("vec_id").alias("n_id"),
+        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+
+
+@register("embedding_pq_topk")  # rows-only: PQ recall < 1 by design
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: the retrieval path that makes embedding_pq's codes
+    useful. Shares the trained codebooks and encoded corpus with
+    embedding_pq via _pq_fit, so it queries exactly the artifact that
+    operator stores.
+
+    Scale shape (the reason PQ exists at billion scale): query LUTs are
+    Q × M × K doubles of driver state (8×8×16 here — kmeans-class);
+    scoring is ONE Arrow-batched map over the codes with a per-partition
+    top-{cand} cut per query, so the corpus is scanned once and NEVER
+    shuffled — only partitions × Q × {cand} candidate rows leave the
+    map. Refine joins the tiny candidate set against the broadcast query
+    frame and computes the exact cosine JVM-side with the shared
+    left-to-right _dot fold (bitwise equal to similarity_topk's), so
+    embedding_pq_search_verify can hold every emitted pair to exactness.
+    The final window sees ≤ partitions × Q × {cand} rows, not Q × N."""
+    books, enc = _pq_fit(spark, sf_dir)
+
+    # Queries are tiny by contract (_N_QUERIES): collect raw vectors and
+    # build the per-query subspace LUTs driver-side (ann_ivf's probe-list
+    # pattern — at large Q this becomes a broadcast join against a
+    # codebook table instead).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    queries = _collect_queries(e)
+    bc = spark.sparkContext.broadcast(
+        ([q for q, _, _ in queries], _query_luts(books, queries), None, None)
+    )
+
+    cands = enc.select("vec_id", "emb", "codes").mapInPandas(
+        _adc_scan_kernel(bc), schema="q_id long, vec_id long, emb array<double>"
+    )
+    return _adc_refine_topk(spark, cands, queries)
+
+
 @register("embedding_pq_search_verify", oracle=_ANN_VERIFY_ORACLE)
 def embedding_pq_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable refine-exactness proof for embedding_pq_topk —
@@ -2071,24 +2123,129 @@ def embedding_pq_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the ADC output is ≤ Q × k rows, so every violation join is
     broadcast-trivial — cost is the verification corpus scan, run at
     bench SF, not production."""
+    return _ann_violations(
+        embedding_pq_topk(spark, sf_dir), _exact_pair_set(spark, sf_dir), "pq_adc"
+    ).orderBy("algo", "q_id", "n_id", "kind")
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivfpq — composed IVF + residual-PQ ANN (the FAISS IVFADC shape)
+# ---------------------------------------------------------------------------
+
+# The production composition of this module's two halves (Jégou et al.
+# 2011 §V, "IVFADC" — public method): a coarse k-means quantizer routes
+# every vector to a cell; PQ encodes the RESIDUAL x − c(cell) with
+# codebooks shared across cells; a query probes its nprobe nearest
+# cells and scores only their members from codes — approximate
+# <q, x> ≈ <q, c(cell)> (one constant per probed cell) + Σ_m
+# LUT_q[m][code_m] over the residual codebooks. At billion scale this
+# is why both halves exist: IVF bounds the scan to nprobe/cells of the
+# corpus, PQ bounds the bytes touched per scanned row.
+
+
+def _ivfpq_fit(spark: SparkSession, sf_dir: str):
+    """(coarse_centroids, residual_books, encoded frame). The encoded
+    frame carries (vec_id, emb, cell, codes). Training reuses the two
+    halves' recipes on ONE capped, vec_id-sorted driver sample (layout-
+    independent like _pq_fit); the corpus encode is one Arrow map:
+    assign cell (BLAS matmul argmin), PQ-encode the residual with the
+    shared _pq_encode_batch kernel (fuzzed in tests/test_pq_fuzz.py)."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n = e.withColumn("nrm", F.sqrt(_dot(col("emb"), col("emb")))).filter(
-        col("nrm") > 0
+    n_corpus = e.count()
+    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
+    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    sample.sort(key=lambda r: r["vec_id"])
+    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
+    coarse = _train_centroids(sample, _IVF_CELLS)
+    a = (
+        (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (X @ coarse.T)
+    ).argmin(axis=1)
+    books = _pq_train(X - coarse[a])
+    bc = spark.sparkContext.broadcast((coarse, books))
+
+    def encode(batches):
+        C, B = bc.value
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            cell = (cc[None, :] - 2.0 * (Xb @ C.T)).argmin(axis=1)
+            codes, _ = _pq_encode_batch(B, Xb - C[cell])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "codes": ["-".join(str(c) for c in row) for row in codes],
+                }
+            )
+
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
+    enc = e.repartition(par).mapInPandas(
+        encode,
+        schema="vec_id long, emb array<double>, cell int, codes string",
     )
-    q = n.filter(col("vec_id") < _N_QUERIES).select(
-        col("vec_id").alias("q_id"),
-        col("emb").alias("q_emb"),
-        col("nrm").alias("q_nrm"),
+    return coarse, books, enc
+
+
+@register("similarity_ivfpq")  # rows-only: IVF+PQ recall < 1 by design
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k: probe {nprobe} coarse cells per query, ADC-score
+    their members from residual codes alone, exact-cosine refine.
+
+    Scale shape — the strongest in the ANN family: per query the scan
+    touches ~nprobe/cells of the corpus (cell mask applied INSIDE the
+    one Arrow map — the corpus never shuffles, never joins before the
+    cut), and each scanned row costs M int lookups + adds instead of a
+    dim-length float fold. Driver state is (cells×dim) + (M×K×SUB)
+    doubles of codebooks plus Q×M×K LUT entries and Q×nprobe cell
+    constants — all independent of N. Only partitions × Q × CAND
+    candidate rows reach the broadcast-query refine join and final
+    window (embedding_pq_topk's contract; the shared _ann_violations
+    claims are driver-checked by similarity_ivfpq_verify)."""
+    import numpy as np
+
+    coarse, books, enc = _ivfpq_fit(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
     )
-    exact = n.join(broadcast(q), col("vec_id") != col("q_id")).select(
-        "q_id",
-        col("vec_id").alias("n_id"),
-        (_dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm"))).alias(
-            "cosine"
-        ),
+    queries = _collect_queries(e)
+    probes, consts = [], []
+    for _, x, _ in queries:
+        d2 = ((coarse - x) ** 2).sum(axis=1)
+        probes.append({int(c) for c in np.argsort(d2)[:_IVF_NPROBE]})
+        consts.append(coarse @ x)  # <q, c(cell)> for every cell
+    const_all = np.stack(consts) if consts else np.zeros((0, _IVF_CELLS))
+    bc = spark.sparkContext.broadcast(
+        (
+            [q for q, _, _ in queries],
+            _query_luts(books, queries),
+            const_all,
+            probes,
+        )
     )
+
+    cands = enc.select("vec_id", "emb", "cell", "codes").mapInPandas(
+        _adc_scan_kernel(bc), schema="q_id long, vec_id long, emb array<double>"
+    )
+    return _adc_refine_topk(spark, cands, queries)
+
+
+@register("similarity_ivfpq_verify", oracle=_ANN_VERIFY_ORACLE)
+def similarity_ivfpq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refine-exactness proof for similarity_ivfpq — the same
+    empty-relation contract as similarity_ann_verify /
+    embedding_pq_search_verify, applied to the composed index: every
+    emitted pair must carry the bitwise-exact cosine (and reference no
+    self/zero-norm pair), ranks must be the (cosine DESC, n_id) row
+    numbers, no query may exceed top-k. Recall (<1 by design: nprobe
+    misses AND code distortion) is pinned in tests/test_ivfpq.py."""
     return _ann_violations(
-        embedding_pq_topk(spark, sf_dir), exact, "pq_adc"
+        similarity_ivfpq(spark, sf_dir), _exact_pair_set(spark, sf_dir), "ivfpq"
     ).orderBy("algo", "q_id", "n_id", "kind")

@@ -63,6 +63,9 @@ HEAVY_OPS = [
     # r12: three-gate union — two broadcast bench indexes + the
     # persisted minhash band probe in one plan
     "decontamination_report",
+    # r12: composed IVF+PQ — coarse train + residual encode + masked ADC
+    # lineage, then the brute-force exact recompute in the verify twin
+    "similarity_ivfpq_verify",
 ]
 
 _SCRIPT = r"""

@@ -673,11 +673,20 @@ def test_contamination_bench_side_is_bounded():
     # the cap lives in the ONE shared helper…
     assert "_BENCH_MAX_ID" in inspect.getsource(text._bench_split)
     assert f"doc_id < {text._BENCH_MAX_ID}" in text._sql_is_bench()
-    # …and both operators consume it through that helper, not a re-inline
-    for fn in (text.contamination_overlap, text.contamination_substring):
-        src = inspect.getsource(fn)
-        assert "_bench_split(" in src, f"{fn.__name__} bypasses _bench_split"
-        assert "F.broadcast(bench)" in src  # the hint the cap justifies
+    # …and both operators consume it through the shared PAIR helpers
+    # (r12: the pair derivation was factored out for decontamination_report
+    # — the guard follows the call chain one level down), which are the
+    # single place _bench_split is applied and the broadcast hint lives
+    for op, helper in (
+        (text.contamination_overlap, text._overlap_pairs),
+        (text.contamination_substring, text._substring_pairs),
+    ):
+        assert f"_{helper.__name__.strip('_')}(" in inspect.getsource(op), (
+            f"{op.__name__} bypasses {helper.__name__}"
+        )
+        hsrc = inspect.getsource(helper)
+        assert "_bench_split(" in hsrc, f"{helper.__name__} bypasses _bench_split"
+        assert "F.broadcast(bench)" in hsrc  # the hint the cap justifies
     # the registered oracles must cap identically (driver compares them)
     from cqlcopy_spark.plans.registry import all_oracles
 
@@ -1389,3 +1398,18 @@ def test_decon_report_all_joins_broadcast_no_cartesian(spark):
         assert node not in p, p
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3, p
     assert len(re.findall(r"\(\d+\) Union", p)) == 1, p
+
+
+def test_ivfpq_one_scan_no_corpus_shuffle(spark):
+    """similarity_ivfpq: the composed index keeps embedding_pq_topk's
+    contract — ONE parquet scan through two Arrow stages (residual
+    encode, then ADC with the cell mask and top-CAND cut inside the
+    map); the only shuffle carries candidate rows, queries broadcast."""
+    p = plan_of(QUERIES["similarity_ivfpq"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1, p
+    assert shuffle_exchanges(p) == 1, p
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BatchEvalPython"):
+        assert node not in p, p
