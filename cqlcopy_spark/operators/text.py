@@ -109,20 +109,27 @@ def _sql_score(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> list_contains([{words}], t)))"
 
 
-_LANGID_ORACLE = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         {', '.join(f'{_sql_score(lg)} AS s_{lg}' for lg in _PRIORITY)}
-  FROM documents
+# scored-CTE body + argmax CASE chain, shared by _LANGID_ORACLE and the
+# langid_confusion oracle (one definition or their hash parity drifts)
+_SQL_LANG_SCORED = (
+    "SELECT doc_id, lang, "
+    + ", ".join(f"{_sql_score(lg)} AS s_{lg}" for lg in _PRIORITY)
+    + " FROM documents"
 )
-SELECT doc_id, lang,
-  CASE
+_SQL_PRED_LANG_CASE = """CASE
     WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
     WHEN s_fr >= s_zh THEN 'fr'
     ELSE 'zh'
-  END AS pred_lang
+  END"""
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  {_SQL_LANG_SCORED}
+)
+SELECT doc_id, lang,
+  {_SQL_PRED_LANG_CASE} AS pred_lang
 FROM scored
 """
 
@@ -166,6 +173,66 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "lang", _pred_lang_expr(col("toks")).alias("pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion — language-ID confusion matrix vs labels
+# ---------------------------------------------------------------------------
+
+_LANGID_CM_ORACLE = f"""
+WITH scored AS (
+  {_SQL_LANG_SCORED}
+),
+pairs AS (
+  SELECT lang, {_SQL_PRED_LANG_CASE} AS pred_lang FROM scored
+),
+cm AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY lang, pred_lang
+),
+tot AS (
+  SELECT lang, pred_lang, n,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+  FROM cm
+)
+SELECT lang, pred_lang, n, lang_total,
+       CAST(n AS DOUBLE) / lang_total AS row_share,
+       lang = pred_lang AS correct
+FROM tot
+ORDER BY lang, pred_lang
+"""
+
+
+@register("langid_confusion", oracle=_LANGID_CM_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-argmax language identifier against
+    the labeled lang column — the evaluation a curation stack runs
+    before trusting lang-ID to route documents (the langid/quality-gate
+    sibling of classifier_eval_auc). One row per observed (label,
+    prediction) pair with the label row total and row share; correct
+    flags the diagonal.
+
+    Scale shape: map-only predictor fold → ONE partial-combining
+    groupBy((lang, pred) — ≤ |langs|² rows at any corpus size) → a
+    window over that micro-relation that REUSES the lang hash
+    partitioning (grouping-key prefix). Counts int64; row_share is one
+    IEEE division of exact ints."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("lang", _tokens().alias("toks"))
+    pairs = staged.select("lang", _pred_lang_expr(col("toks")).alias("pred_lang"))
+    cm = pairs.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    tot = cm.select(
+        "lang", "pred_lang", "n", F.sum("n").over(w).alias("lang_total")
+    )
+    return tot.select(
+        "lang",
+        "pred_lang",
+        "n",
+        "lang_total",
+        (col("n").cast("double") / col("lang_total")).alias("row_share"),
+        (col("lang") == col("pred_lang")).alias("correct"),
+    ).orderBy("lang", "pred_lang")
 
 
 # ---------------------------------------------------------------------------
@@ -769,25 +836,63 @@ def sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule actually fire on the synthetic corpus.
 _GOPHER_STOPS = ("the", "data", "value", "table")
 
+# SQL fragments shared between quality_gopher_rules' oracle and the
+# classifier-evaluation oracles below (classifier_eval_auc uses the gate
+# as its weak LABEL — a drift between the two copies would silently
+# corrupt the measured AUC, so there is exactly one definition).
+_SQL_GOPHER_FEATS = f"""len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         n_chars,
+         {" + ".join(f"CASE WHEN list_contains(string_split(text,' '), '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)} AS n_stops"""
+
+# boolean pass gate over a feats CTE exposing (n_words, n_types, n_chars,
+# n_stops)
+_SQL_GOPHER_PASS = (
+    "(n_words BETWEEN 10 AND 1000)"
+    " AND ((CAST(n_chars AS DOUBLE) - n_words + 1) / n_words BETWEEN 2.0 AND 12.0)"
+    " AND (CAST(n_types AS DOUBLE) / n_words >= 0.2)"
+    " AND (n_stops >= 2)"
+)
+
 _GOPHER_ORACLE = f"""
 WITH feats AS (
   SELECT doc_id, source,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_distinct(string_split(text, ' '))) AS n_types,
-         n_chars,
-         {" + ".join(f"CASE WHEN list_contains(string_split(text,' '), '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)} AS n_stops
+         {_SQL_GOPHER_FEATS}
   FROM documents
 )
 SELECT doc_id, source, n_words,
        (CAST(n_chars AS DOUBLE) - n_words + 1) / n_words AS mean_word_len,
        CAST(n_types AS DOUBLE) / n_words AS ttr,
        n_stops >= 2 AS has_stops,
-       (n_words BETWEEN 10 AND 1000)
-         AND ((CAST(n_chars AS DOUBLE) - n_words + 1) / n_words BETWEEN 2.0 AND 12.0)
-         AND (CAST(n_types AS DOUBLE) / n_words >= 0.2)
-         AND (n_stops >= 2) AS pass
+       {_SQL_GOPHER_PASS} AS pass
 FROM feats
 """
+
+
+def _gopher_feat_cols(t) -> "tuple[F.Column, F.Column, F.Column, F.Column]":
+    """(n_words, mean_word_len, ttr, n_stops) over a token-array column
+    (requires n_chars in scope) — the single Spark-side definition of
+    the gopher features, shared by quality_gopher_rules and the
+    classifier-evaluation ops that use its gate as their weak label."""
+    n_words = F.size(t)
+    n_types = F.size(F.array_distinct(t))
+    n_stops = sum(
+        F.when(F.array_contains(t, s), 1).otherwise(0) for s in _GOPHER_STOPS
+    )
+    mwl = (col("n_chars").cast("double") - n_words + 1) / n_words
+    ttr = n_types.cast("double") / n_words
+    return n_words, mwl, ttr, n_stops
+
+
+def _gopher_pass_col(t) -> "F.Column":
+    """The document-level gopher keep gate as one boolean Column."""
+    n_words, mwl, ttr, n_stops = _gopher_feat_cols(t)
+    return (
+        n_words.between(10, 1000)
+        & mwl.between(2.0, 12.0)
+        & (ttr >= 0.2)
+        & (n_stops >= 2)
+    )
 
 
 @register("quality_gopher_rules", oracle=_GOPHER_ORACLE)
@@ -805,13 +910,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen CSE to avoid re-splitting text up to 6x per row
     staged = d.select("doc_id", "source", "n_chars", _tokens().alias("toks"))
     t = col("toks")
-    n_words = F.size(t)
-    n_types = F.size(F.array_distinct(t))
-    n_stops = sum(
-        F.when(F.array_contains(t, s), 1).otherwise(0) for s in _GOPHER_STOPS
-    )
-    mwl = (col("n_chars").cast("double") - n_words + 1) / n_words
-    ttr = n_types.cast("double") / n_words
+    n_words, mwl, ttr, n_stops = _gopher_feat_cols(t)
     return staged.select(
         "doc_id",
         "source",
@@ -819,12 +918,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         mwl.alias("mean_word_len"),
         ttr.alias("ttr"),
         (n_stops >= 2).alias("has_stops"),
-        (
-            n_words.between(10, 1000)
-            & mwl.between(2.0, 12.0)
-            & (ttr >= 0.2)
-            & (n_stops >= 2)
-        ).alias("pass"),
+        _gopher_pass_col(t).alias("pass"),
     )
 
 
@@ -2006,6 +2100,225 @@ def source_quality_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval_auc / classifier_calibration — scorer evaluation metrics
+# ---------------------------------------------------------------------------
+
+# The evaluation half of the classifier story: curation stacks don't just
+# SCORE documents, they measure how well the cheap linear scorer agrees
+# with an expensive gate before rolling it out corpus-wide. Weak label =
+# the gopher rule gate (quality_gopher_rules' pass flag, the shared
+# _gopher_pass_col definition), prediction = the linear classifier's
+# per-token score (_qc_cols) — both computed off the SAME scan.
+#
+# AUC is exact-with-ties via the histogram rank-sum identity:
+#   AUC = Σ_s pos_s · (neg_<s + neg_s/2) / (P·N)
+# over DISTINCT scores s, kept integral by doubling:
+#   num2 = Σ_s pos_s · (2·cum_neg_strict + neg_s);  AUC = num2 / (2·P·N).
+# Every term is int64 (num2 ≤ 2·P·N ≤ n²/2 — exact below ~3e9 docs per
+# lang; beyond that the sum moves to DECIMAL, the dsum lever). The only
+# float op is ONE division of exact integers, IEEE-identical across
+# engines; the score key itself is one double division of exact ints, so
+# the histogram groups identically in both engines.
+#
+# Scale shape: map-only feature fold → partial-combining groupBy
+# (lang, score) histogram (distinct (score_raw, n_tokens) pairs, not
+# corpus rows) → per-lang ROWS-frame cumsum over the DISTINCT-score
+# histogram (tie-free ordering: rows are unique on score within lang) →
+# partial-combining per-lang rollup that reuses the window's hash
+# partitioning. If one lang's distinct-score histogram ever outgrew a
+# task, the token_budget_select bucket-prefix decomposition applies — at
+# any plausible scale it is ≤ |distinct n_tokens| × |weight span| rows.
+
+
+def _auc_oracle() -> str:
+    n_tokens, score_raw = _sql_qc_cols()
+    return f"""
+WITH feats AS (
+  SELECT lang,
+         {n_tokens} AS n_tokens,
+         {score_raw} AS score_raw,
+         {_SQL_GOPHER_FEATS}
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(score_raw AS DOUBLE) / n_tokens AS score,
+         CASE WHEN {_SQL_GOPHER_PASS} THEN 1 ELSE 0 END AS label
+  FROM feats
+),
+h AS (
+  SELECT lang, score,
+         SUM(label) AS pos,
+         SUM(1 - label) AS neg
+  FROM s GROUP BY lang, score
+),
+c AS (
+  SELECT lang, pos, neg,
+         COALESCE(SUM(neg) OVER (PARTITION BY lang ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_neg
+  FROM h
+),
+g AS (
+  SELECT lang,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cum_neg + neg)) AS BIGINT) AS num2
+  FROM c GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+            ELSE NULL END AS auc
+FROM g
+ORDER BY lang
+"""
+
+
+@register("classifier_eval_auc", oracle=_auc_oracle())
+def classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC AUC of the linear quality classifier against the
+    gopher rule gate as weak label — the offline evaluation a curation
+    stack runs before trusting a cheap scorer to stand in for an
+    expensive one. Exact with ties (average-rank / Mann-Whitney
+    identity over the distinct-score histogram; section comment has the
+    scale analysis and the integer-exactness argument). A language with
+    no positives or no negatives has undefined AUC → NULL on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, score_raw = _qc_cols()
+    staged = d.select(
+        "lang",
+        "n_chars",
+        _tokens().alias("toks"),
+        n_tokens.alias("n_tokens"),
+        score_raw.alias("score_raw"),
+    )
+    s = staged.select(
+        "lang",
+        (col("score_raw").cast("double") / col("n_tokens")).alias("score"),
+        F.when(_gopher_pass_col(col("toks")), 1).otherwise(0).alias("label"),
+    )
+    return _auc_kernel(s)
+
+
+def _auc_kernel(s: DataFrame) -> DataFrame:
+    """Grouped exact-with-ties AUC over a (lang, score double, label 0/1)
+    frame — factored so the rank-sum identity is property-fuzzable
+    against a pure-Python pairwise reference on arbitrary synthetic
+    frames (tests/test_eval_metrics.py), independent of the classifier
+    and gopher feature plumbing above."""
+    h = s.groupBy("lang", "score").agg(
+        F.sum("label").alias("pos"),
+        F.sum(F.lit(1) - col("label")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.select(
+        "lang",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    g = c.groupBy("lang").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(col("pos") * (F.lit(2) * col("cum_neg") + col("neg"))).alias("num2"),
+    )
+    return g.select(
+        "lang",
+        col("n_pos").cast("long").alias("n_pos"),
+        col("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            (col("n_pos") > 0) & (col("n_neg") > 0),
+            col("num2").cast("double")
+            / (F.lit(2) * col("n_pos") * col("n_neg")).cast("double"),
+        ).alias("auc"),
+    ).orderBy("lang")
+
+
+# Calibration bins: fixed-width bins of the per-token score (width 1/10).
+# The bin key is floor((10·score_raw)/n_tokens) computed as ONE double
+# division of exact int64s + floor — bit-identical across engines (the
+# 10·score_raw product stays int64: |score_raw| ≤ 8·n_tokens).
+_CAL_BINS_PER_UNIT = 10
+
+
+def _calibration_oracle() -> str:
+    n_tokens, score_raw = _sql_qc_cols()
+    return f"""
+WITH feats AS (
+  SELECT {n_tokens} AS n_tokens,
+         {score_raw} AS score_raw,
+         {_SQL_GOPHER_FEATS}
+  FROM documents
+),
+s AS (
+  SELECT CAST(floor(CAST({_CAL_BINS_PER_UNIT} * score_raw AS DOUBLE) / n_tokens)
+              AS BIGINT) AS bin,
+         CASE WHEN {_SQL_GOPHER_PASS} THEN 1 ELSE 0 END AS label
+  FROM feats
+)
+SELECT bin,
+       CAST(bin AS DOUBLE) / {_CAL_BINS_PER_UNIT} AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(label) AS BIGINT) AS n_pass,
+       CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pass_rate
+FROM s
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("classifier_calibration", oracle=_calibration_oracle())
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the linear classifier: fixed-width bins of
+    the per-token score vs the observed gopher-gate pass rate in each
+    bin — the reliability-diagram input that tells a curation stack
+    where to place the keep threshold. Companion to classifier_eval_auc
+    (AUC says the scorer RANKS well; calibration says what a score
+    VALUE means).
+
+    Scale shape: the whole op is one map-only feature fold plus ONE
+    partial-combining groupBy whose key is a small-integer bin — at
+    100 TB the shuffle carries #bins × #tasks rows. All counts int64;
+    pass_rate is a single division of exact ints."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, score_raw = _qc_cols()
+    staged = d.select(
+        "n_chars",
+        _tokens().alias("toks"),
+        n_tokens.alias("n_tokens"),
+        score_raw.alias("score_raw"),
+    )
+    s = staged.select(
+        F.floor(
+            (F.lit(_CAL_BINS_PER_UNIT) * col("score_raw")).cast("double")
+            / col("n_tokens")
+        ).alias("bin"),
+        F.when(_gopher_pass_col(col("toks")), 1).otherwise(0).alias("label"),
+    )
+    return (
+        s.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pass"),
+        )
+        .select(
+            "bin",
+            (col("bin").cast("double") / F.lit(_CAL_BINS_PER_UNIT)).alias("bin_lo"),
+            col("n_docs").cast("long").alias("n_docs"),
+            col("n_pass").cast("long").alias("n_pass"),
+            (col("n_pass").cast("double") / col("n_docs")).alias("pass_rate"),
+        )
+        .orderBy("bin")
     )
 
 

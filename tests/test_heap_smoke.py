@@ -66,6 +66,11 @@ HEAVY_OPS = [
     # r12: composed IVF+PQ — coarse train + residual encode + masked ADC
     # lineage, then the brute-force exact recompute in the verify twin
     "similarity_ivfpq_verify",
+    # r12 eval metrics (classifier_eval_auc / classifier_calibration)
+    # are map + two-level aggregate lineages with no persist/collect —
+    # below the heavy bar; AUC included as the round's representative
+    # (its window + rollup is the largest new intermediate)
+    "classifier_eval_auc",
 ]
 
 _SCRIPT = r"""
