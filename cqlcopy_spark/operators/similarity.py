@@ -83,6 +83,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: broadcast-nested-loop of Q (tiny) × corpus scan —
     the corpus is read once and never shuffled; the window sees ≤ Q × N
     rows but AQE keeps partitions balanced and only Q × k rows survive."""
+    return _dense_topk(spark, sf_dir)
+
+
+def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_topk's exact relation, factored so the dense half of
+    rag_hybrid_retrieval is the standalone op's expression verbatim (the
+    same no-drift treatment as text._bm25_corpus on the lexical half)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
@@ -2249,3 +2256,93 @@ def similarity_ivfpq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_violations(
         similarity_ivfpq(spark, sf_dir), _exact_pair_set(spark, sf_dir), "ivfpq"
     ).orderBy("algo", "q_id", "n_id", "kind")
+
+
+# ---------------------------------------------------------------------------
+# rag_hybrid_retrieval — lexical ∪ dense top-k fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+# The retrieval move RAG data pipelines actually ship: BM25 and embedding
+# cosine each produce a top-k list per query, and reciprocal-rank fusion
+# (Cormack et al. 2009) merges them with score = Σ 1/(K + rank) over the
+# lists a document appears in. Rank-based fusion needs no score
+# normalization across the two incomparable scales — and because ranks
+# are small exact integers, the fused score is a sum of at most two
+# IEEE divisions of exact ints, bit-identical across engines (the BM25
+# and cosine DOUBLES never cross the fusion boundary, only their ranks).
+_RRF_K = 60  # the standard damping constant
+
+
+def _hybrid_oracle() -> str:
+    from cqlcopy_spark.operators.text import _BM25_ORACLE
+
+    return f"""
+WITH bm AS (
+{_BM25_ORACLE}
+),
+dn AS (
+{_TOPK_ORACLE}
+),
+fused AS (
+  SELECT COALESCE(bm.q_id, dn.q_id) AS q_id,
+         COALESCE(bm.doc_id, dn.n_id) AS doc_id,
+         bm.rank AS lex_rank,
+         dn.rank AS sem_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + bm.rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + dn.rank), CAST(0 AS DOUBLE))
+           AS rrf
+  FROM bm FULL OUTER JOIN dn
+    ON bm.q_id = dn.q_id AND bm.doc_id = dn.n_id
+),
+rr AS (
+  SELECT q_id, doc_id, lex_rank, sem_rank, rrf,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT q_id, doc_id, lex_rank, sem_rank, rrf, rank
+FROM rr WHERE rank <= {_TOP_K}
+"""
+
+
+@register("rag_hybrid_retrieval", oracle=_hybrid_oracle())
+def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-k (text._bm25_rank, the standalone
+    op's exact relation) and exact-cosine top-k (_dense_topk, ditto)
+    fused per query by reciprocal-rank fusion, re-ranked, top-k kept.
+    Documents and embeddings share the id space (FIXTURES.md), so the
+    two lists key naturally.
+
+    Scale shape: each half keeps its own 100 TB story (posting-list
+    probe / broadcast-NLJ scan); the fusion itself only ever sees
+    ≤ 2·Q·k candidate rows — a workload constant — so the full-outer
+    join and the re-rank window are free at any corpus size. NULL rank
+    = "absent from that list" (kept, not coalesced: the column is the
+    fusion diagnostic a retrieval engineer reads first)."""
+    from cqlcopy_spark.operators.text import _bm25_corpus, _bm25_rank
+
+    lex = _bm25_rank(_bm25_corpus(spark, sf_dir)).select(
+        "q_id", "doc_id", col("rank").alias("lex_rank")
+    )
+    den = _dense_topk(spark, sf_dir).select(
+        "q_id", col("n_id").alias("doc_id"), col("rank").alias("sem_rank")
+    )
+    return _rrf_fuse(lex, den)
+
+
+def _rrf_fuse(lex: DataFrame, den: DataFrame) -> DataFrame:
+    """RRF fusion kernel over (q_id, doc_id, lex_rank) / (q_id, doc_id,
+    sem_rank) ranked lists — factored so the fusion arithmetic and
+    re-rank are property-fuzzable against a pure-Python reference on
+    arbitrary synthetic lists (tests/test_hybrid_retrieval.py)."""
+    fused = lex.join(den, ["q_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + col("sem_rank")), F.lit(0.0))
+    w = Window.partitionBy("q_id").orderBy(col("rrf").desc(), col("doc_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("q_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+    )

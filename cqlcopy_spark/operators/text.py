@@ -2870,10 +2870,16 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-length-bounded matched-term list in term order; top-k is one
     window over the scored relation with a doc_id tiebreak. The scalar
     (N, avgdl) stats ride a 1-row broadcast cross join."""
-    d = (
+    return _bm25_rank(_bm25_corpus(spark, sf_dir))
+
+
+def _bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenized corpus frame the BM25 kernel ranks over — shared
+    with rag_hybrid_retrieval (similarity.py) so the lexical half of the
+    fused list is the standalone op's exact relation."""
+    return (
         table(spark, sf_dir, "documents")
         .filter(col("text").isNotNull() & (col("text") != ""))
         .select("doc_id", _tokens().alias("ws"))
         .persist()  # tf, dl, stats, and the query set all scan it
     )
-    return _bm25_rank(d)
