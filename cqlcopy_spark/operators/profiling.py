@@ -468,3 +468,132 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_datasheet — per-source "datasheet for datasets" report
+# ---------------------------------------------------------------------------
+
+# The one-page per-source summary a dataset release ships (Gebru et al.
+# 2021's datasheet, reduced to the corpus-statistics section): volume,
+# token mass, length envelope, language mix, exact-duplicate rate, and
+# the share passing the gopher rule gate. Every signal reuses the exact
+# expression of its standalone op (gopher gate via text._gopher_pass_col
+# / _SQL_GOPHER_PASS; ws tokenization = the gopher n_words) so the
+# datasheet can never disagree with the gates it summarizes.
+
+def _datasheet_oracle() -> str:
+    from cqlcopy_spark.operators.text import _SQL_GOPHER_FEATS, _SQL_GOPHER_PASS
+
+    return f"""
+WITH feats AS (
+  SELECT source, lang, text,
+         {_SQL_GOPHER_FEATS}
+  FROM documents
+),
+base AS (
+  SELECT source, lang, n_chars,
+         CAST(n_words AS BIGINT) AS n_toks,
+         md5(text) AS th,
+         CASE WHEN {_SQL_GOPHER_PASS} THEN 1 ELSE 0 END AS gpass
+  FROM feats
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(MIN(n_chars) AS BIGINT) AS n_chars_min,
+         CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT th) AS BIGINT) AS n_uniq,
+         CAST(SUM(gpass) AS BIGINT) AS n_gpass
+  FROM base GROUP BY source
+),
+lc AS (SELECT source, lang, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+top AS (
+  SELECT source, lang AS top_lang, CAST(cnt AS BIGINT) AS top_cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, lang DESC) AS rn
+  FROM lc
+)
+SELECT agg.source, n_docs, n_tokens, n_chars_min, n_chars_max, n_langs,
+       top.top_lang,
+       CAST(top.top_cnt AS DOUBLE) / n_docs AS top_lang_share,
+       CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_text_rate,
+       CAST(n_gpass AS DOUBLE) / n_docs AS gopher_pass_rate
+FROM agg JOIN top ON agg.source = top.source AND top.rn = 1
+ORDER BY agg.source
+"""
+
+
+@register("dataset_datasheet", oracle=_datasheet_oracle())
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet: volume, token mass, char-length envelope,
+    language count + dominant language share, exact-duplicate-text rate
+    (md5 identity), and gopher-gate pass rate — the corpus-statistics
+    page of a dataset release, derived in two aggregates over one scan.
+
+    Scale shape: the doc-level stage is the map-only gopher/token fold;
+    then ONE partial-combining groupBy(source) (a single DISTINCT column
+    — Spark's two-phase distinct, no Expand) plus a (source, lang)
+    micro-aggregate for the argmax language, joined back on the already-
+    aggregated source key. Duplicate detection shuffles a 16-byte md5,
+    never text. All ratios are single IEEE divisions of exact int64s.
+    The dominant-language tiebreak (max count, then max lang string) is
+    the deterministic max(struct) — binary collation in both engines."""
+    return _datasheet_kernel(table(spark, sf_dir, "documents"))
+
+
+def _datasheet_kernel(d: DataFrame) -> DataFrame:
+    """Datasheet over any (source, lang, n_chars, text) frame — factored
+    so the duplicate-rate and top-language tiebreak paths are testable
+    on planted synthetic corpora (the fixture has no duplicate texts at
+    driver SF, so the md5 path would otherwise never fire in a test)."""
+    from cqlcopy_spark.operators.text import _gopher_pass_col, _tokens
+
+    staged = d.select("source", "lang", "n_chars", "text", _tokens().alias("toks"))
+    base = staged.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.md5("text").alias("th"),
+        F.when(_gopher_pass_col(col("toks")), 1).otherwise(0).alias("gpass"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.size(F.collect_set("lang")).cast("long").alias("n_langs"),
+        F.countDistinct("th").alias("n_uniq"),
+        F.sum("gpass").alias("n_gpass"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    top = lc.groupBy("source").agg(
+        F.max(F.struct(col("cnt"), col("lang"))).alias("m")
+    ).select(
+        "source",
+        col("m.lang").alias("top_lang"),
+        col("m.cnt").alias("top_cnt"),
+    )
+    return (
+        agg.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars_min",
+            "n_chars_max",
+            "n_langs",
+            "top_lang",
+            (col("top_cnt").cast("double") / col("n_docs")).alias("top_lang_share"),
+            ((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs")).alias(
+                "dup_text_rate"
+            ),
+            (col("n_gpass").cast("double") / col("n_docs")).alias(
+                "gopher_pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
