@@ -339,3 +339,143 @@ def event_transitions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_cdc_apply — streaming last-write-wins changelog materialization
+# ---------------------------------------------------------------------------
+
+# The streaming twin of relational.cdc_apply_changelog's LWW semantics:
+# the events fixture plays a per-user changelog (every event upserts the
+# user's state; a deterministic slice are tombstones), and the operator
+# maintains the CURRENT row per key — the materialized-view move a
+# streaming ingest runs in front of serving storage.
+_CDC_DEL_MOD = 17  # event_id % 17 == 0 → tombstone
+
+_CDC_APPLY_ORACLE = f"""
+WITH log AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+         CASE WHEN event_id % {_CDC_DEL_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY us DESC, event_id DESC) AS rn
+  FROM log
+),
+cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops FROM log GROUP BY user_id)
+SELECT r.user_id, cnt.n_ops, r.us AS last_us,
+       r.event_id AS last_event_id, r.value AS last_value
+FROM ranked r JOIN cnt ON r.user_id = cnt.user_id
+WHERE r.rn = 1 AND r.op <> 'D'
+ORDER BY r.user_id
+"""
+
+
+@register("stream_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract for the streaming LWW materializer below: latest
+    op per user wins ((us, event_id) total order — event_id unique, so
+    no tie ambiguity), tombstoned keys drop out of the view.
+
+    Scale shape: ONE partial-combining groupBy(user_id) — LWW folds as
+    max(struct(us, event_id, value, op)), so partials combine map-side
+    and a hot user never funnels raw rows into a single window task
+    (CLAUDE.md argmin-per-key rule); n_ops rides the same aggregate.
+    The oracle's row_number formulation is the spec, not the plan."""
+    e = table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+        F.when(col("event_id") % _CDC_DEL_MOD == 0, "D").otherwise("U").alias("op"),
+    )
+    g = log.groupBy("user_id").agg(
+        F.max(F.struct("us", "event_id", "value", "op")).alias("m"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    return (
+        g.filter(col("m.op") != "D")
+        .select(
+            "user_id",
+            "n_ops",
+            col("m.us").alias("last_us"),
+            col("m.event_id").alias("last_event_id"),
+            col("m.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_cdc_apply_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming form: per-user GroupState holds the current row
+    (frontier (us, event_id), value, tombstone flag, op count). LWW
+    across micro-batches and within a batch reduces to "keep the max
+    (us, event_id) op seen so far" — out-of-order arrivals BEHIND the
+    frontier bump n_ops but never regress the materialized row, which
+    is exactly how a serving-store upsert consumer must behave under
+    at-least-once redelivery of old changes. Emits the user's current
+    view row each touched batch (update mode); tombstoned keys emit
+    with deleted=true so downstream can propagate the delete.
+
+    State is one fixed-width row per user, shuffled on user_id only."""
+    from cqlcopy_spark.streaming.windows import _events_stream
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(col("ts")).alias("us"),
+        "event_id",
+        "value",
+    )
+    return cdc_apply_stateful(src)
+
+
+def cdc_apply_stateful(src: DataFrame) -> DataFrame:
+    """The stateful LWW kernel over any (user_id, us, event_id, value)
+    stream — factored so the out-of-order-redelivery contract test
+    drives the op's OWN update function through explicit micro-batches
+    (tests/test_streaming.py) instead of a copy that could drift. The
+    update fn is NESTED for cloudpickle by-value shipping."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    del_mod = _CDC_DEL_MOD
+
+    def update(key, pdfs, state: GroupState):
+        n_ops, us, eid, val, deleted = (
+            state.get if state.exists else (0, -1, -1, 0.0, False)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_ops += len(pdf)
+            mx = pdf.sort_values(["us", "event_id"]).iloc[-1]
+            bus, beid = int(mx["us"]), int(mx["event_id"])
+            if (bus, beid) > (us, eid):
+                us, eid, val = bus, beid, float(mx["value"])
+                deleted = beid % del_mod == 0
+        state.update((n_ops, us, eid, val, deleted))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_ops": [n_ops],
+                "last_us": [us],
+                "last_event_id": [eid],
+                "last_value": [val],
+                "deleted": [deleted],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_ops long, last_us long, last_event_id long, "
+            "last_value double, deleted boolean"
+        ),
+        stateStructType=(
+            "n_ops long, us long, event_id long, value double, deleted boolean"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

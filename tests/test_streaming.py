@@ -898,3 +898,88 @@ def test_continuous_quantile_sink_empty_first_batch(spark, tmp_path):
     r = read_quantile_state(spark, state).collect()[0]
     assert r["n"] == 50
     assert r["rank_err_bound"] == 50 // 8
+
+
+def test_cdc_apply_replay_matches_batch(spark):
+    """Streaming LWW materializer replay: latest emission per user,
+    tombstones dropped, must equal the batch contract exactly (all
+    fields are ints or a single untouched double — no tolerance)."""
+    from cqlcopy_spark.streaming.stateful import (
+        stream_cdc_apply,
+        stream_cdc_apply_streaming,
+    )
+
+    batch = _canon(stream_cdc_apply(spark, SF_SMALL).toPandas())
+    q = (
+        stream_cdc_apply_streaming(spark, SF_SMALL)
+        .writeStream.format("memory")
+        .queryName("cdc_apply_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cdc_apply_t").toPandas()
+    q.stop()
+    final = out.sort_values("n_ops").groupby("user_id", as_index=False).last()
+    final = final[~final["deleted"]].drop(columns=["deleted"])
+    pd.testing.assert_frame_equal(batch, _canon(final))
+
+
+def test_cdc_apply_out_of_order_redelivery(spark, tmp_path):
+    """At-least-once redelivery contract: a later micro-batch carrying
+    an op BEHIND a user's frontier must bump n_ops but never regress
+    the materialized row; a tombstone arriving as the genuinely newest
+    op must flip the key to deleted."""
+    from cqlcopy_spark.streaming.stateful import _CDC_DEL_MOD, cdc_apply_stateful
+
+    us0 = 1_700_000_000_000_000
+    b1 = [(1, us0 + 3_000_000, 101, 1.5), (2, us0 + 1_000_000, 102, 2.0)]
+    # user 1: OLD op redelivered (us behind frontier); user 2: tombstone
+    # (event_id divisible by the del mod) strictly newer than frontier
+    b2 = [
+        (1, us0 + 2_000_000, 100, 9.9),
+        (2, us0 + 5_000_000, 6 * _CDC_DEL_MOD, 3.0),
+    ]
+    for i, rows in enumerate((b1, b2)):
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "event_id", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{tmp_path}/in/b{i}", mode="overwrite"
+        )
+
+    # drive the op's OWN stateful kernel through two explicit
+    # micro-batches (one file per trigger)
+    src_schema = "user_id long, us long, event_id long, value double"
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/in/*")
+    )
+    q = (
+        cdc_apply_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_ooo_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cdc_ooo_t").toPandas()
+    q.stop()
+
+    final = {
+        int(r["user_id"]): r
+        for _, r in out.sort_values("n_ops")
+        .groupby("user_id", as_index=False)
+        .last()
+        .iterrows()
+    }
+    # user 1: redelivered old op counted, row NOT regressed
+    assert final[1]["n_ops"] == 2
+    assert final[1]["last_event_id"] == 101
+    assert final[1]["last_value"] == 1.5
+    assert not final[1]["deleted"]
+    # user 2: newest op is the tombstone
+    assert final[2]["n_ops"] == 2
+    assert final[2]["last_event_id"] == 6 * _CDC_DEL_MOD
+    assert final[2]["deleted"]
