@@ -962,3 +962,93 @@ def multimodal_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.unionByName(aud).unionByName(vid).orderBy("algo", "kind", "anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_pack — interleaved image+text context-window packing plan
+# ---------------------------------------------------------------------------
+
+# The multimodal twin of text.pack_sequences: a vision-language trainer
+# packs INTERLEAVED sequences where an attached image costs a fixed
+# number of vision tokens (the projector's patch count) adjacent to its
+# document's text. An item is therefore the doc WITH its attachment —
+# cost = text tokens + image tokens — and placement is the same greedy
+# contiguous fill (shared _placed_from_toks kernel, so the two packers
+# cannot drift on the placement rule).
+_MM_IMG_TOKENS = 256  # vision tokens per attached image (fixed projector)
+_MM_IMG_MOD = 3  # doc_id % 3 == 0 carries an image attachment
+
+
+def _mm_pack_oracle() -> str:
+    from cqlcopy_spark.operators.text import _PACK_BUDGET, _PACK_SHARDS
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens,
+         CAST(CASE WHEN doc_id % {_MM_IMG_MOD} = 0
+              THEN {_MM_IMG_TOKENS} ELSE 0 END AS BIGINT) AS image_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, text_tokens, image_tokens,
+         CAST(SUM(text_tokens + image_tokens)
+                OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+              - (text_tokens + image_tokens) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT shard,
+       start_offset // {_PACK_BUDGET} AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN image_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+       CAST(SUM(image_tokens) AS BIGINT) AS image_tokens,
+       CAST(SUM(text_tokens + image_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY shard, start_offset // {_PACK_BUDGET}
+"""
+
+
+@register("multimodal_pack", oracle=_mm_pack_oracle())
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal packing plan: docs (with their fixed-cost
+    image attachments) fill {budget}-token training sequences greedily
+    per shard, reporting the text/vision token split and image count
+    per pack — the layout a VLM data loader consumes.
+
+    Scale shape: identical to pack_sequences (the shared placement
+    kernel): ONE shuffle to (shard) for the running-offset window, pack
+    rollup reuses the partitioning (shard is a grouping-key prefix).
+    All integer arithmetic — exact in both engines. In production the
+    attachment flag/cost columns come from the media table's metadata
+    (multimodal_meta) instead of the deterministic id rule."""
+    from cqlcopy_spark.operators.text import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        _placed_from_toks,
+        _tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(_tokens()).cast("long").alias("text_tokens"),
+        F.when(col("doc_id") % _MM_IMG_MOD == 0, _MM_IMG_TOKENS)
+        .otherwise(0)
+        .cast("long")
+        .alias("image_tokens"),
+    ).withColumn("n_tokens", col("text_tokens") + col("image_tokens"))
+    placed = _placed_from_toks(toks, _PACK_BUDGET)
+    return placed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((col("image_tokens") > 0).cast("int")).cast("long").alias("n_images"),
+        F.sum("text_tokens").cast("long").alias("text_tokens"),
+        F.sum("image_tokens").cast("long").alias("image_tokens"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1297,12 +1297,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_from_toks(toks, _PACK_BUDGET)
 
 
-def _pack_from_toks(toks: DataFrame, budget: int) -> DataFrame:
-    """Greedy-contiguous placement kernel over a (doc_id, shard,
-    n_tokens) frame — factored so the property fuzz
-    (tests/test_pack_property.py) replays the rule in pure Python over
-    adversarial inputs (zero-token docs, docs straddling several packs,
-    single-doc shards)."""
+def _placed_from_toks(toks: DataFrame, budget: int) -> DataFrame:
+    """Greedy-contiguous placement stage over a (doc_id, shard,
+    n_tokens, ...) frame: per-shard running-offset window + pack_id.
+    Shared by _pack_from_toks and multimodal.multimodal_pack (whose
+    items carry extra per-modality columns through the window)."""
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1314,9 +1313,18 @@ def _pack_from_toks(toks: DataFrame, budget: int) -> DataFrame:
     # integer floor division on BOTH sides: DuckDB's `/` on ints is float
     # division and its CAST rounds-to-nearest, Spark's cast truncates —
     # `//` and `div` agree exactly (offsets are non-negative)
-    pack = F.expr(f"start_offset div {budget}")
+    return placed.withColumn("pack_id", F.expr(f"start_offset div {budget}"))
+
+
+def _pack_from_toks(toks: DataFrame, budget: int) -> DataFrame:
+    """Greedy-contiguous placement kernel over a (doc_id, shard,
+    n_tokens) frame — factored so the property fuzz
+    (tests/test_pack_property.py) replays the rule in pure Python over
+    adversarial inputs (zero-token docs, docs straddling several packs,
+    single-doc shards)."""
     return (
-        placed.groupBy("shard", pack.alias("pack_id"))
+        _placed_from_toks(toks, budget)
+        .groupBy("shard", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("pack_tokens"),

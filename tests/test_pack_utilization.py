@@ -37,3 +37,26 @@ def test_utilization_replays_from_packs(spark):
         # bound to pin, only the contiguity lower bound. Every shard in
         # the packs output has >= 1 doc by construction: no empty guard.)
         assert tokens > (n_packs - 1) * _PACK_BUDGET
+
+
+def test_multimodal_pack_accounting(spark):
+    """Interleaved packing: per-pack token split must reconcile, and the
+    image count must equal the attachment rule's corpus total."""
+    from cqlcopy_spark.catalog import table
+    from cqlcopy_spark.operators.multimodal import _MM_IMG_MOD, _MM_IMG_TOKENS
+    from cqlcopy_spark.plans.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    out = all_queries()["multimodal_pack"](spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r["pack_tokens"] == r["text_tokens"] + r["image_tokens"]
+        assert r["image_tokens"] == r["n_images"] * _MM_IMG_TOKENS
+        assert 0 <= r["n_images"] <= r["n_docs"]
+        assert r["first_doc"] <= r["last_doc"]
+
+    docs = table(spark, SF_SMALL, "documents")
+    n_attached = docs.filter(f"doc_id % {_MM_IMG_MOD} = 0").count()
+    assert sum(r["n_images"] for r in out) == n_attached
+    assert sum(r["n_docs"] for r in out) == docs.count()
