@@ -90,6 +90,17 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity_topk's exact relation, factored so the dense half of
     rag_hybrid_retrieval is the standalone op's expression verbatim (the
     same no-drift treatment as text._bm25_corpus on the lexical half)."""
+    return (
+        _ranked_sims(spark, sf_dir)
+        .filter(col("rank") <= _TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _ranked_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-query exact-cosine ranking (every non-self, non-zero-norm
+    corpus vector), shared by _dense_topk (rank ≤ k) and triplet_mining
+    (positives at rank 1, negatives beyond rank k)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
@@ -116,11 +127,7 @@ def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(col("cosine").desc(), col("n_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= _TOP_K)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return sims.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -2346,3 +2353,103 @@ def _rrf_fuse(lex: DataFrame, den: DataFrame) -> DataFrame:
         .filter(col("rank") <= _TOP_K)
         .select("q_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# triplet_mining — deterministic (anchor, positive, negatives) for
+# contrastive training
+# ---------------------------------------------------------------------------
+
+# The training-pair construction step of a contrastive embedding run:
+# per anchor query, the positive is its nearest neighbor and the
+# negatives are a deterministic pseudo-random draw from OUTSIDE the
+# top-k (so they are true negatives under the current metric, not
+# hard-positive leakage). The draw orders candidates by the portable
+# composite ring hash of (q_id, n_id) — reproducible across runs,
+# engines, and partition layouts, unlike rand()-seeded sampling.
+_N_NEG = 3
+
+
+def _triplet_oracle() -> str:
+    from cqlcopy_spark.functions.portable import sql_portable_token_composite
+
+    h = sql_portable_token_composite(["q_id", "n_id"])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
+n AS (SELECT * FROM n0 WHERE nrm > 0),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
+      WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q.q_id, n.vec_id AS n_id,
+         {_sql_dot('q.q_emb', 'n.emb')} / (q.q_nrm * n.nrm) AS cosine
+  FROM q CROSS JOIN n
+  WHERE n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM sims
+),
+pos AS (
+  SELECT q_id, 'pos' AS role, 1 AS pick, n_id, cosine
+  FROM ranked WHERE rank = 1
+),
+negpool AS (
+  SELECT q_id, n_id, cosine, {h} AS h
+  FROM ranked WHERE rank > {_TOP_K}
+),
+negs AS (
+  SELECT q_id, 'neg' AS role,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY h, n_id) AS pick,
+         n_id, cosine
+  FROM negpool
+)
+SELECT q_id, role, CAST(pick AS BIGINT) AS pick, n_id, cosine
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM negs WHERE pick <= {_N_NEG})
+ORDER BY q_id, role, pick
+"""
+
+
+@register("triplet_mining", oracle=_triplet_oracle())
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets per anchor: positive = exact-cosine
+    rank-1 neighbor (the _ranked_sims relation similarity_topk reads),
+    negatives = {n} hash-ordered draws from beyond the top-{k} (portable
+    composite token of (q_id, n_id) — deterministic across engines and
+    layouts, never rand()). Emits long-form rows (q_id, role, pick,
+    n_id, cosine) so both roles carry their true similarity for loss
+    weighting.
+
+    Scale shape: the fixture path reuses the brute-force ranking
+    (broadcast-NLJ, corpus scanned once); at production scale the
+    positive comes from the ANN path (similarity_ann_ivf /
+    embedding_pq_topk) and negatives are hash-sampled FIRST and then
+    checked against the ANN top-k — sampling needs no ranking, so the
+    brute-force window is strictly a small-SF oracle convenience."""
+    from cqlcopy_spark.functions.portable import portable_token_composite
+
+    ranked = _ranked_sims(spark, sf_dir).persist()  # pos + negpool both read it
+    pos = ranked.filter(col("rank") == 1).select(
+        "q_id",
+        F.lit("pos").alias("role"),
+        F.lit(1).cast("long").alias("pick"),
+        "n_id",
+        "cosine",
+    )
+    negpool = ranked.filter(col("rank") > _TOP_K).withColumn(
+        "h", portable_token_composite([col("q_id"), col("n_id")])
+    )
+    w = Window.partitionBy("q_id").orderBy("h", "n_id")
+    negs = (
+        negpool.withColumn("pick", F.row_number().over(w))
+        .filter(col("pick") <= _N_NEG)
+        .select(
+            "q_id",
+            F.lit("neg").alias("role"),
+            col("pick").cast("long").alias("pick"),
+            "n_id",
+            "cosine",
+        )
+    )
+    return pos.unionByName(negs).orderBy("q_id", "role", "pick")
