@@ -267,3 +267,55 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(f_us.isNotNull(), F.lit("f"))
         .alias("direction"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — as-of match voided beyond a staleness bound
+# ---------------------------------------------------------------------------
+
+# The production as-of variant (pandas merge_asof's `tolerance`, kdb wj
+# with a window): a prior view older than the bound is STALE — the
+# purchase keeps its row (left semantics) but the match columns go NULL,
+# and matched rows carry the gap for staleness analytics. Composes on
+# join_asof's registered relation so the base as-of semantics (>= ties,
+# deterministic build-side dedup) cannot drift.
+_ASOF_TOL_US = 24 * 3600 * 1_000_000  # 24 hours (fixture median gap ~34 h)
+
+_ASOF_TOL_ORACLE = f"""
+WITH base AS (
+{_ASOF_ORACLE}
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(view_ts) <= {_ASOF_TOL_US}
+            THEN view_ts END AS view_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(view_ts) <= {_ASOF_TOL_US}
+            THEN view_value END AS view_value,
+       CASE WHEN epoch_us(ts) - epoch_us(view_ts) <= {_ASOF_TOL_US}
+            THEN CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) END AS gap_us
+FROM base
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest prior view
+    matches only if it is at most {tol} old; staler matches are NULLed
+    (the probe row survives — left semantics), and live matches carry
+    gap_us. An unmatched base row has NULL view_ts, so the gap
+    comparison is NULL and the CASE keeps it NULL — no separate branch.
+
+    Scale shape: join_asof's single union-window pass plus one map-only
+    projection — the tolerance adds no shuffle, no join, at any SF."""
+    base = join_asof(spark, sf_dir)
+    gap = F.unix_micros(col("ts").cast("timestamp")) - F.unix_micros(
+        col("view_ts").cast("timestamp")
+    )
+    live = gap <= _ASOF_TOL_US
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(live, col("view_ts")).alias("view_ts"),
+        F.when(live, col("view_value")).alias("view_value"),
+        F.when(live, gap).alias("gap_us"),
+    )

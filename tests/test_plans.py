@@ -712,9 +712,22 @@ def test_register_views_memo_follows_sf_switch(spark):
 def test_pack_sequences_single_shuffle(spark):
     """The pack aggregation groups on (shard, pack_id) with shard a
     prefix, so it must reuse the window's hash(shard) partitioning —
-    exactly one shuffle for window + agg combined."""
+    exactly one shuffle for window + agg combined. The multimodal packer
+    shares the placement kernel and must keep the identical shape."""
     p = plan_of(QUERIES["pack_sequences"](spark, SF_SMALL))
     assert shuffle_exchanges(p) == 1, p
+    p = plan_of(QUERIES["multimodal_pack"](spark, SF_SMALL))
+    assert shuffle_exchanges(p) == 1, p
+    assert "Join" not in p, p
+
+
+def test_triplet_mining_stays_broadcast_nlj(spark):
+    """The pos/neg branches reuse ONE persisted brute-force ranking: the
+    Q×corpus pairing stays a broadcast nested loop (corpus never
+    shuffled for the pairing), and nothing degrades to a cartesian."""
+    p = plan_of(QUERIES["triplet_mining"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
 
 
 def test_pack_utilization_single_shuffle(spark):
