@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from conftest import SF_MEDIUM
+from tests.conftest import SF_MEDIUM
 
 
 @contextmanager

@@ -8,7 +8,7 @@ the factored kernel.
 
 from __future__ import annotations
 
-from conftest import SF_SMALL
+from tests.conftest import SF_SMALL
 
 
 def _mkdoc(source, lang, text):

@@ -14,7 +14,7 @@ import random
 
 import pytest
 
-from conftest import SF_SMALL
+from tests.conftest import SF_SMALL
 
 
 def _pairwise_auc(rows):

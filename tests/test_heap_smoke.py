@@ -71,6 +71,11 @@ HEAVY_OPS = [
     # below the heavy bar; AUC included as the round's representative
     # (its window + rollup is the largest new intermediate)
     "classifier_eval_auc",
+    # r12 persist-bearing lineages (review finding): the persisted
+    # Q×N ranked-sims relation feeding two branches, and the persisted
+    # BM25 corpus + dense NLJ half composed in one plan
+    "triplet_mining",
+    "rag_hybrid_retrieval",
 ]
 
 _SCRIPT = r"""

@@ -13,7 +13,7 @@ import random
 
 import pytest
 
-from conftest import SF_SMALL
+from tests.conftest import SF_SMALL
 
 _K = 60  # mirrors similarity._RRF_K
 _TOP = 5  # mirrors similarity._TOP_K

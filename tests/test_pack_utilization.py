@@ -46,8 +46,6 @@ def test_multimodal_pack_accounting(spark):
     from cqlcopy_spark.operators.multimodal import _MM_IMG_MOD, _MM_IMG_TOKENS
     from cqlcopy_spark.plans.registry import all_queries
 
-    from tests.conftest import SF_SMALL
-
     out = all_queries()["multimodal_pack"](spark, SF_SMALL).collect()
     assert out
     for r in out:

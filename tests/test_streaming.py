@@ -934,7 +934,7 @@ def test_cdc_apply_out_of_order_redelivery(spark, tmp_path):
     from cqlcopy_spark.streaming.stateful import _CDC_DEL_MOD, cdc_apply_stateful
 
     us0 = 1_700_000_000_000_000
-    b1 = [(1, us0 + 3_000_000, 101, 1.5), (2, us0 + 1_000_000, 102, 2.0)]
+    b1 = [(1, us0 + 3_000_000, 101, 1.5), (2, us0 + 1_000_000, 103, 2.0)]
     # user 1: OLD op redelivered (us behind frontier); user 2: tombstone
     # (event_id divisible by the del mod) strictly newer than frontier
     b2 = [

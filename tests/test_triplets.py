@@ -4,7 +4,7 @@ guarantees a consumer relies on)."""
 
 from __future__ import annotations
 
-from conftest import SF_SMALL
+from tests.conftest import SF_SMALL
 
 
 def test_triplet_contracts(spark):
@@ -40,7 +40,8 @@ def test_triplet_contracts(spark):
             assert r["n_id"] not in top_by_q[q]
             assert r["n_id"] != q
             # a negative can never beat the positive under the metric
-            assert r["cosine"] < roles["pos"][0]["cosine"]
+            # (equality is legal when a cosine tie spans rank 1 and >k)
+            assert r["cosine"] <= roles["pos"][0]["cosine"]
 
     # deterministic replay: a second build yields the identical relation
     again = qs["triplet_mining"](spark, SF_SMALL).collect()
