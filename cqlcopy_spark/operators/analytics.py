@@ -1910,3 +1910,149 @@ def sketch_distinct_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra events scan for the exact references — verification price,
     same class as approx_bounds_verify."""
     return _sketch_distinct_violations(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# order_statistic_select — exact k-th order statistic WITHOUT a global sort
+# ---------------------------------------------------------------------------
+
+# Exact global median/percentile at 100 TB: a global orderBy is one
+# range-partitioned sort of the whole column, but a SELECTION only needs
+# the k-th value — iterative histogram narrowing (the classic external
+# quickselect) finds it in a few counting passes whose shuffle is
+# #buckets integers, with a final tiny collect inside the winning
+# bucket. The answer is a VALUE PICKED FROM THE DATA (never computed),
+# so no float-arithmetic parity question can arise — the only cross-
+# engine surface is the k definition, exact integer arithmetic.
+_OSEL_BUCKETS = 4096
+# Final in-bucket collect bound. 10k keeps the driver collect trivial
+# AND forces the sf0.01 driver check (60k rows) through a real
+# histogram-narrowing pass instead of degenerating to collect-all.
+_OSEL_COLLECT_CAP = 10_000
+
+_OSEL_ORACLE = """
+WITH v AS (
+  SELECT l_extendedprice AS val FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT COUNT(*) AS c FROM v)
+SELECT 'p50' AS stat,
+       CAST((c + 1) // 2 AS BIGINT) AS k,
+       CAST(c AS BIGINT) AS n,
+       (SELECT val FROM v ORDER BY val
+        LIMIT 1 OFFSET ((SELECT (c + 1) // 2 FROM n) - 1)) AS value
+FROM n
+UNION ALL
+SELECT 'p90',
+       CAST((9 * c + 9) // 10 AS BIGINT),
+       CAST(c AS BIGINT),
+       (SELECT val FROM v ORDER BY val
+        LIMIT 1 OFFSET ((SELECT (9 * c + 9) // 10 FROM n) - 1))
+FROM n
+ORDER BY stat
+"""
+
+
+@register("order_statistic_select", oracle=_OSEL_ORACLE)
+def order_statistic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of l_extendedprice by iterative histogram
+    narrowing: count into {B} equal-width buckets over the live [lo, hi]
+    range, walk the prefix to the bucket containing the k-th value,
+    recurse into it until its population fits the collect cap, then pick
+    the exact order statistic from the sorted in-bucket values.
+    k = ceil(q·n) in exact integer arithmetic ((n+1)//2, (9n+9)//10).
+
+    Scale shape: each pass is ONE partial-combining groupBy over a
+    codegen'd bucket expression — the shuffle carries ≤{B} longs per
+    task — and the recursion depth is log_B(n/cap) (two passes cover
+    10^12 rows at B=4096, cap=200k). Driver state: one histogram + the
+    final bucket's values. The float bucket boundaries only ROUTE rows
+    (both bounds come from the data, the answer is selected, not
+    computed), so engine float parity is a non-issue by construction.
+    The oracle's ORDER BY ... OFFSET formulation is the spec; this plan
+    never sorts more than one bucket."""
+    vals = (
+        table(spark, sf_dir, "lineitem")
+        .select(col("l_extendedprice").alias("val"))
+        .filter(col("val").isNotNull())
+        .persist()  # histogram passes + final collect all scan it
+    )
+    n = vals.count()
+    row = vals.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
+    targets = {"p50": (n + 1) // 2, "p90": (9 * n + 9) // 10}
+    lo, hi = float(row["lo"]), float(row["hi"])
+    out = [
+        (stat, k, n, _select_kth(vals, k, lo, hi))
+        for stat, k in sorted(targets.items())
+    ]
+    vals.unpersist()
+    return spark.createDataFrame(
+        out, "stat string, k long, n long, value double"
+    ).orderBy("stat")
+
+
+def _select_kth(
+    vals: DataFrame,
+    k: int,
+    lo: float,
+    hi: float,
+    buckets: int = _OSEL_BUCKETS,
+    cap: int = _OSEL_COLLECT_CAP,
+) -> float:
+    """External-quickselect kernel over a (val double) frame: the k-th
+    smallest value overall (1-based; [lo, hi] are the data's min/max).
+    Factored with (buckets, cap) knobs so the property fuzz can force
+    multi-level recursion on small synthetic frames
+    (tests/test_order_statistic.py).
+
+    Membership/count consistency: each narrowing level filters by the
+    EXACT bucket expression the histogram counted (the predicate chain
+    accumulates `floor-expr == i` terms), never by a reconstructed
+    [lo2, hi2] range — float roundoff at a bucket boundary could put a
+    value on different sides of `floor((v-lo)/width) == i` and
+    `v >= lo + i*width`, silently shifting the selected position by
+    one. (lo, hi) after the first level are only SEEDS for the next
+    width; the clamped floor keeps any boundary stragglers countable.
+    A massive tie eventually collapses width below float resolution —
+    the degenerate branch resolves it from the (val, count) histogram,
+    which is at most a couple of rows no matter how many duplicates."""
+    pred = F.lit(True)
+    skipped = 0  # values in already-passed buckets
+    while True:
+        cur = vals.filter(pred)
+        cnt = cur.count()
+        if cnt <= cap:
+            in_bucket = sorted(r["val"] for r in cur.collect())
+            return in_bucket[k - skipped - 1]
+        width = (hi - lo) / buckets
+        if not width > 0.0:  # interval below float resolution: resolve
+            dv = sorted(  # from the tiny distinct-value histogram
+                (r["val"], r["count"])
+                for r in cur.groupBy("val").count().collect()
+            )
+            acc = skipped
+            for v, c in dv:
+                if acc + c >= k:
+                    return v
+                acc += c
+            return dv[-1][0]  # unreachable when k ≤ skipped + cnt
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((col("val") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(buckets - 1),
+            ),
+        )
+        hist = dict(cur.groupBy(b.alias("b")).count().collect())  # ≤ B rows
+        acc = skipped
+        for i in range(buckets):
+            c = hist.get(i, 0)
+            if acc + c >= k:
+                pred = pred & (b == i)  # the SAME expr the count used
+                lo, hi = (
+                    lo + i * width,
+                    hi if i == buckets - 1 else lo + (i + 1) * width,
+                )
+                skipped = acc
+                break
+            acc += c

@@ -76,6 +76,9 @@ HEAVY_OPS = [
     # BM25 corpus + dense NLJ half composed in one plan
     "triplet_mining",
     "rag_hybrid_retrieval",
+    # r12: iterative driver-collect lineage (histogram narrowing with a
+    # persisted value column) — the kmeans-class pattern
+    "order_statistic_select",
 ]
 
 _SCRIPT = r"""
