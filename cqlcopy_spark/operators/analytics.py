@@ -1966,25 +1966,62 @@ def order_statistic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd bucket expression — the shuffle carries ≤{B} longs per
     task — and the recursion depth is log_B(n/cap) (two passes cover
     10^12 rows at B=4096, cap=200k). Driver state: one histogram + the
-    final bucket's values. The float bucket boundaries only ROUTE rows
-    (both bounds come from the data, the answer is selected, not
-    computed), so engine float parity is a non-issue by construction.
-    The oracle's ORDER BY ... OFFSET formulation is the spec; this plan
-    never sorts more than one bucket."""
+    final bucket's values. (n, lo, hi) come from ONE aggregate pass,
+    and the level-0 histogram is computed ONCE and prefix-walked for
+    every percentile target — only the narrowing below level 0 branches
+    per target (r12 review finding: the naive form re-ran the identical
+    full-corpus counting pass per percentile). The float bucket
+    boundaries only ROUTE rows (both bounds come from the data, the
+    answer is selected, not computed), so engine float parity is a
+    non-issue by construction. The oracle's ORDER BY ... OFFSET
+    formulation is the spec; this plan never sorts more than one
+    bucket."""
     vals = (
         table(spark, sf_dir, "lineitem")
         .select(col("l_extendedprice").alias("val"))
         .filter(col("val").isNotNull())
         .persist()  # histogram passes + final collect all scan it
     )
-    n = vals.count()
-    row = vals.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
+    row = vals.agg(
+        F.count("val").alias("n"), F.min("val").alias("lo"), F.max("val").alias("hi")
+    ).first()
+    n = row["n"]
     targets = {"p50": (n + 1) // 2, "p90": (9 * n + 9) // 10}
     lo, hi = float(row["lo"]), float(row["hi"])
-    out = [
-        (stat, k, n, _select_kth(vals, k, lo, hi))
-        for stat, k in sorted(targets.items())
-    ]
+
+    if n <= _OSEL_COLLECT_CAP or not (hi - lo) / _OSEL_BUCKETS > 0.0:
+        # tiny or degenerate input: one shared exact resolution
+        answers = {
+            stat: _select_kth(vals, k, lo, hi) for stat, k in targets.items()
+        }
+    else:
+        # shared level-0 histogram: one counting pass serves every target
+        width = (hi - lo) / _OSEL_BUCKETS
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((col("val") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(_OSEL_BUCKETS - 1),
+            ),
+        )
+        hist = dict(vals.groupBy(b.alias("b")).count().collect())
+        answers = {}
+        for stat, k in targets.items():
+            acc = 0
+            for i in range(_OSEL_BUCKETS):
+                c = hist.get(i, 0)
+                if acc + c >= k:
+                    answers[stat] = _select_kth(
+                        vals,
+                        k,
+                        lo + i * width,
+                        hi if i == _OSEL_BUCKETS - 1 else lo + (i + 1) * width,
+                        pred=(b == i),
+                        skipped=acc,
+                    )
+                    break
+                acc += c
+    out = [(stat, k, n, answers[stat]) for stat, k in sorted(targets.items())]
     vals.unpersist()
     return spark.createDataFrame(
         out, "stat string, k long, n long, value double"
@@ -1998,6 +2035,8 @@ def _select_kth(
     hi: float,
     buckets: int = _OSEL_BUCKETS,
     cap: int = _OSEL_COLLECT_CAP,
+    pred: "F.Column | None" = None,
+    skipped: int = 0,
 ) -> float:
     """External-quickselect kernel over a (val double) frame: the k-th
     smallest value overall (1-based; [lo, hi] are the data's min/max).
@@ -2015,9 +2054,14 @@ def _select_kth(
     width; the clamped floor keeps any boundary stragglers countable.
     A massive tie eventually collapses width below float resolution —
     the degenerate branch resolves it from the (val, count) histogram,
-    which is at most a couple of rows no matter how many duplicates."""
-    pred = F.lit(True)
-    skipped = 0  # values in already-passed buckets
+    which is at most a couple of rows no matter how many duplicates.
+
+    (pred, skipped) seed a narrowing already in progress — the op's
+    shared level-0 histogram hands each percentile its own starting
+    bucket so the first full-corpus counting pass runs once, not once
+    per target."""
+    if pred is None:
+        pred = F.lit(True)
     while True:
         cur = vals.filter(pred)
         cnt = cur.count()

@@ -57,8 +57,11 @@ def _sql_dot(x: str, y: str) -> str:
     return _DOT_SQL.format(x=x, y=y)
 
 
-_TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# The e→n0→n→q→sims→ranked CTE chain is the ORACLE twin of _ranked_sims
+# — ONE definition shared by _TOPK_ORACLE and _triplet_oracle, mirroring
+# the Spark-side factoring (a drift in any copy silently breaks the
+# dependent op's driver hash while similarity_topk still passes).
+_SQL_RANKED_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
 n AS (SELECT * FROM n0 WHERE nrm > 0),
 q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < {_N_QUERIES}),
@@ -72,7 +75,10 @@ ranked AS (
   SELECT q_id, n_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
   FROM sims
-)
+)"""
+
+_TOPK_ORACLE = f"""
+WITH {_SQL_RANKED_CTES}
 SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
 """
 
@@ -2375,22 +2381,7 @@ def _triplet_oracle() -> str:
 
     h = sql_portable_token_composite(["q_id", "n_id"])
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-n0 AS (SELECT vec_id, emb, sqrt({_sql_dot('emb', 'emb')}) AS nrm FROM e),
-n AS (SELECT * FROM n0 WHERE nrm > 0),
-q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n
-      WHERE vec_id < {_N_QUERIES}),
-sims AS (
-  SELECT q.q_id, n.vec_id AS n_id,
-         {_sql_dot('q.q_emb', 'n.emb')} / (q.q_nrm * n.nrm) AS cosine
-  FROM q CROSS JOIN n
-  WHERE n.vec_id != q.q_id
-),
-ranked AS (
-  SELECT q_id, n_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
-  FROM sims
-),
+WITH {_SQL_RANKED_CTES},
 pos AS (
   SELECT q_id, 'pos' AS role, 1 AS pick, n_id, cosine
   FROM ranked WHERE rank = 1

@@ -213,10 +213,12 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags the diagonal.
 
     Scale shape: map-only predictor fold → ONE partial-combining
-    groupBy((lang, pred) — ≤ |langs|² rows at any corpus size) → a
-    window over that micro-relation that REUSES the lang hash
-    partitioning (grouping-key prefix). Counts int64; row_share is one
-    IEEE division of exact ints."""
+    groupBy((lang, pred) — ≤ |langs|² rows at any corpus size); the
+    row-total window then re-shuffles on lang, but its input is the
+    already-reduced matrix, so that exchange moves ≤ |langs|² rows at
+    any corpus size (prefix REUSE only works window-first —
+    HashPartitioning(lang, pred) does not satisfy partitionBy(lang)).
+    Counts int64; row_share is one IEEE division of exact ints."""
     d = table(spark, sf_dir, "documents")
     staged = d.select("lang", _tokens().alias("toks"))
     pairs = staged.select("lang", _pred_lang_expr(col("toks")).alias("pred_lang"))

@@ -33,12 +33,7 @@ def _conf(spark, **kv):
                 spark.conf.set(k, v)
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from test_plans import plan_of as _plan  # one plan-rendering helper
 
 
 def _selective_join(spark):
