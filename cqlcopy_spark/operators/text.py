@@ -2893,3 +2893,102 @@ def _bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _tokens().alias("ws"))
         .persist()  # tf, dl, stats, and the query set all scan it
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_pretrain_pack — gates → dedup keeper → packing, end to end
+# ---------------------------------------------------------------------------
+
+# The round-12 capstone composition (the curation_funnel /
+# decontamination_report pattern): ONE driver entry that exercises the
+# interplay of the quality gates, exact dedup survivorship, and the
+# sequence packer — each stage the standalone op's exact factored
+# expression (_gopher_pass_col, _qc_cols' rational keep gate, md5
+# identity, _placed_from_toks), so a drift in any stage breaks this
+# hash too. Output is the packed-corpus layout a trainer would consume
+# after curation: per (shard, pack) doc/token counts over the SURVIVOR
+# set only.
+
+
+def _pretrain_pack_oracle() -> str:
+    n_tokens, score_raw = _sql_qc_cols()
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         {n_tokens} AS n_toks,
+         {score_raw} AS score_raw,
+         {_SQL_GOPHER_FEATS}
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, n_toks
+  FROM feats
+  WHERE ({_SQL_GOPHER_PASS})
+    AND {_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks
+),
+keeper AS (
+  SELECT doc_id, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+),
+survivors AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_toks
+  FROM keeper WHERE rn = 1
+),
+placed AS (
+  SELECT shard, doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+           AS start_offset
+  FROM survivors
+)
+SELECT shard,
+       start_offset // {_PACK_BUDGET} AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY shard, start_offset // {_PACK_BUDGET}
+"""
+
+
+@register("pipeline_pretrain_pack", oracle=_pretrain_pack_oracle())
+def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus layout: documents pass the gopher
+    rule gate AND the linear classifier's rational keep gate, exact
+    duplicates collapse to their lowest-doc_id keeper (md5 identity),
+    and the survivors pack greedily into {budget}-token sequences per
+    shard — the frame a trainer's data loader reads after curation.
+
+    Scale shape: one scan computes both gates (map-only codegen folds);
+    the dedup keeper is the partial-combining groupBy(md5) argmin + a
+    16-byte-key join back (NEVER a window over the md5 key — CLAUDE.md's
+    hot-key argmin rule; the oracle's ROW_NUMBER form is the spec); the
+    packer is the shared placement kernel (one (shard) exchange, rollup
+    reuses it). Token counts are the classifier's n_tokens (= gopher
+    n_words — one definition), all integer arithmetic through the
+    pack."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens, score_raw = _qc_cols()
+    feats = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        _tokens().alias("toks"),
+        n_tokens.alias("n_toks"),
+        score_raw.alias("score_raw"),
+    )
+    gated = feats.filter(
+        _gopher_pass_col(col("toks"))
+        & (
+            F.lit(_QC_THR_DEN) * col("score_raw")
+            >= F.lit(_QC_THR_NUM) * col("n_toks")
+        )
+    ).select("doc_id", F.md5("text").alias("th"), "n_toks")
+    keepers = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keepers, ["th", "doc_id"], "left_semi").select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        col("n_toks").alias("n_tokens"),
+    )
+    return _pack_from_toks(survivors, _PACK_BUDGET)
