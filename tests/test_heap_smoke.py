@@ -79,6 +79,9 @@ HEAVY_OPS = [
     # r12: iterative driver-collect lineage (histogram narrowing with a
     # persisted value column) — the kmeans-class pattern
     "order_statistic_select",
+    # r12 capstone: two token folds + md5 dedup join + pack window in
+    # one plan — the round's heaviest composition
+    "pipeline_pretrain_pack",
 ]
 
 _SCRIPT = r"""
