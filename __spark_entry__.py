@@ -89,20 +89,20 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 12 (r11 VERDICT item 3 — drain the r7 freshness tail): the four
-# r7-stale entries on UNCHANGED modules (temporal_joins.py, cassandra.py,
-# paged_source.py) never surface naturally — the changed-module pool
-# (50 rank-4 entries: 11 chg-r7 + 36 chg-r8 + 3 chg-r9) fills the window
-# ahead of the rank-5 freshness sweep; forcing these four completes the
-# verdict's "CORRECTNESS_r12 contains the full r7 list" demand. (The six
-# r11 forces all re-greened in r11 and are pruned — with the round bumped
-# they would otherwise reactivate.)
-_FORCE_FRONT_ROUND = 12
+# Round 13 (r12 VERDICT item 1 — drain the r8 freshness tail): the four
+# formats.py entries rank at positions ~151-154 behind the ~150-entry
+# changed-module pool and would not surface naturally for 2-3 rounds;
+# forcing them completes the verdict's "all 29 r8-stale entries green in
+# CORRECTNESS_r13" demand (the other 25 front naturally at window
+# positions 1-25, per the verdict's simulation). (The four r12 forces
+# all re-greened in r12 and are pruned — with the round bumped they
+# would otherwise reactivate.)
+_FORCE_FRONT_ROUND = 13
 _FORCE_FRONT = (
-    "join_asof",
-    "join_range",
-    "scan_token_range",
-    "source_paged_scan",
+    "layout_compact_plan",
+    "layout_zorder",
+    "layout_zorder_stats",
+    "xml_roundtrip",
 )
 
 

@@ -1986,6 +1986,14 @@ def order_statistic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("val").alias("n"), F.min("val").alias("lo"), F.max("val").alias("hi")
     ).first()
     n = row["n"]
+    if n == 0:
+        # degenerate empty input: lo/hi are NULL and float(None) would
+        # TypeError before the n <= cap guard could help (r12 ADVICE) —
+        # an order statistic of nothing is an empty relation, same schema
+        vals.unpersist()
+        return spark.createDataFrame(
+            [], "stat string, k long, n long, value double"
+        )
     targets = {"p50": (n + 1) // 2, "p90": (9 * n + 9) // 10}
     lo, hi = float(row["lo"]), float(row["hi"])
 

@@ -2417,30 +2417,34 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive comes from the ANN path (similarity_ann_ivf /
     embedding_pq_topk) and negatives are hash-sampled FIRST and then
     checked against the ANN top-k — sampling needs no ranking, so the
-    brute-force window is strictly a small-SF oracle convenience."""
+    brute-force window is strictly a small-SF oracle convenience.
+
+    One-pass shape (r12 ADVICE: the previous pos ∪ negs self-union
+    persisted the Q×N ranking for the session — curation.py:570's
+    lifetime problem): both roles are a single filter + window over ONE
+    read of the ranking, so nothing needs a persist at all. The pick
+    window partitions by (q_id, role); the pos partition holds exactly
+    one row (rank == 1), so its row_number is 1 under any order, and the
+    neg partition orders by (h, n_id) exactly as the two-branch form
+    did. HashPartitioning(q_id) from the rank window satisfies the
+    (q_id, role) clustering, so the second window adds a sort, not a
+    shuffle."""
     from cqlcopy_spark.functions.portable import portable_token_composite
 
-    ranked = _ranked_sims(spark, sf_dir).persist()  # pos + negpool both read it
-    pos = ranked.filter(col("rank") == 1).select(
-        "q_id",
-        F.lit("pos").alias("role"),
-        F.lit(1).cast("long").alias("pick"),
-        "n_id",
-        "cosine",
-    )
-    negpool = ranked.filter(col("rank") > _TOP_K).withColumn(
-        "h", portable_token_composite([col("q_id"), col("n_id")])
-    )
-    w = Window.partitionBy("q_id").orderBy("h", "n_id")
-    negs = (
-        negpool.withColumn("pick", F.row_number().over(w))
-        .filter(col("pick") <= _N_NEG)
-        .select(
-            "q_id",
-            F.lit("neg").alias("role"),
-            col("pick").cast("long").alias("pick"),
-            "n_id",
-            "cosine",
+    ranked = _ranked_sims(spark, sf_dir)
+    cand = (
+        ranked.filter((col("rank") == 1) | (col("rank") > _TOP_K))
+        .withColumn(
+            "role", F.when(col("rank") == 1, F.lit("pos")).otherwise(F.lit("neg"))
         )
+        .withColumn("h", portable_token_composite([col("q_id"), col("n_id")]))
     )
-    return pos.unionByName(negs).orderBy("q_id", "role", "pick")
+    w = Window.partitionBy("q_id", "role").orderBy("h", "n_id")
+    return (
+        cand.withColumn("pick", F.row_number().over(w))
+        .filter((col("role") == "pos") | (col("pick") <= _N_NEG))
+        .select(
+            "q_id", "role", col("pick").cast("long").alias("pick"), "n_id", "cosine"
+        )
+        .orderBy("q_id", "role", "pick")
+    )

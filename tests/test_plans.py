@@ -722,9 +722,11 @@ def test_pack_sequences_single_shuffle(spark):
 
 
 def test_triplet_mining_stays_broadcast_nlj(spark):
-    """The pos/neg branches reuse ONE persisted brute-force ranking: the
-    Q×corpus pairing stays a broadcast nested loop (corpus never
-    shuffled for the pairing), and nothing degrades to a cartesian."""
+    """Both roles come from ONE un-persisted read of the brute-force
+    ranking (single filter + pick window — r12 ADVICE removed the
+    session-lifetime persist): the Q×corpus pairing stays a broadcast
+    nested loop (corpus never shuffled for the pairing), and nothing
+    degrades to a cartesian."""
     p = plan_of(QUERIES["triplet_mining"](spark, SF_SMALL))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
