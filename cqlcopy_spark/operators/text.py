@@ -2969,6 +2969,25 @@ def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words — one definition), all integer arithmetic through the
     pack."""
     d = table(spark, sf_dir, "documents")
+    gated = _curation_gated(d)
+    keepers = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keepers, ["th", "doc_id"], "left_semi").select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        col("n_toks").alias("n_tokens"),
+    )
+    return _pack_from_toks(survivors, _PACK_BUDGET)
+
+
+def _curation_gated(d: DataFrame) -> DataFrame:
+    """(doc_id, th, n_toks) for the documents passing BOTH curation
+    gates (gopher rules AND the classifier's rational keep gate) — ONE
+    scan computing both, md5 text identity attached for the dedup
+    keeper. Factored from pipeline_pretrain_pack so the streaming
+    kernel (streaming/sinks.py curation_apply_batch) applies the
+    LITERAL same gate expression per micro-batch — a drift in either
+    consumer breaks both driver hashes. Input needs (doc_id, text,
+    n_chars)."""
     n_tokens, score_raw = _qc_cols()
     feats = d.select(
         "doc_id",
@@ -2978,17 +2997,58 @@ def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_toks"),
         score_raw.alias("score_raw"),
     )
-    gated = feats.filter(
+    return feats.filter(
         _gopher_pass_col(col("toks"))
         & (
             F.lit(_QC_THR_DEN) * col("score_raw")
             >= F.lit(_QC_THR_NUM) * col("n_toks")
         )
     ).select("doc_id", F.md5("text").alias("th"), "n_toks")
-    keepers = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
-    survivors = gated.join(keepers, ["th", "doc_id"], "left_semi").select(
-        "doc_id",
-        (col("doc_id") % _PACK_SHARDS).alias("shard"),
-        col("n_toks").alias("n_tokens"),
+
+
+# ---------------------------------------------------------------------------
+# stream_curation_apply — the capstone's gates + keeper as live ingest
+# ---------------------------------------------------------------------------
+
+
+@register("stream_curation_apply", oracle=_pretrain_pack_oracle())
+def stream_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable batch contract of continuous_curation_sink
+    (streaming/sinks.py): the corpus arrives as three doc_id-sliced
+    micro-batches, each gate-filtered and deduped against the PERSISTED
+    text-hash index of everything admitted before it
+    (curation_apply_batch), then the cumulative survivor set packs with
+    the shared placement kernel — and the result must HASH-equal
+    pipeline_pretrain_pack's one-shot relation (same oracle SQL).
+
+    Why slicing is invisible: the gates are per-document pure functions,
+    and with doc_id-ascending arrival the streaming keeper
+    (first-delivery-wins on md5(text): in-batch min doc_id, cross-batch
+    earliest batch) selects exactly the one-shot keeper (global min
+    doc_id per hash). Out-of-order arrival keeps first-delivery-wins
+    semantics instead — pinned, with replay idempotence, in
+    tests/test_stream_curation.py. The one driver-side scalar is the
+    max-doc_id slice bound (stream_minhash_incremental's convention,
+    same state lifecycle)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        read_curation_survivors,
     )
-    return _pack_from_toks(survivors, _PACK_BUDGET)
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    state = tempfile.mkdtemp(prefix="curation_stream_state_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
+    cuts = (mx // 3, 2 * (mx // 3))
+    slices = (
+        d.filter(col("doc_id") <= cuts[0]),
+        d.filter((col("doc_id") > cuts[0]) & (col("doc_id") <= cuts[1])),
+        d.filter(col("doc_id") > cuts[1]),
+    )
+    for batch_id, batch in enumerate(slices):
+        curation_apply_batch(batch, batch_id, state)
+    return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)

@@ -66,6 +66,7 @@ def _load_all() -> None:
     import cqlcopy_spark.operators.formats  # noqa: F401
     import cqlcopy_spark.operators.dedup  # noqa: F401
     import cqlcopy_spark.operators.similarity  # noqa: F401
+    import cqlcopy_spark.operators.vector_index  # noqa: F401
     import cqlcopy_spark.operators.text  # noqa: F401
     import cqlcopy_spark.operators.timeseries  # noqa: F401
     import cqlcopy_spark.operators.behavior  # noqa: F401

@@ -981,3 +981,127 @@ def read_minhash_pairs(spark, state_dir: str) -> DataFrame:
         2**62,
         "new_doc long, dup_of long, jaccard double",
     )
+
+
+def curation_apply_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """One micro-batch of the streaming curation pipeline: the kernel of
+    continuous_curation_sink, exposed for direct replay tests — the
+    round-12 capstone's gates + dedup keeper as live ingest.
+
+    Per batch (all sizes ∝ batch, never ∝ corpus):
+
+    1. BOTH quality gates in one scan (operators.text._curation_gated —
+       the capstone's literal gate expression, so the streamed corpus
+       can never drift from the batch relation);
+    2. in-batch keeper: lowest doc_id per md5(text) among the gated
+       rows (a partial-combining groupBy + semi join, NEVER a window
+       over the hash key — the hot-key argmin rule);
+    3. FIRST-DELIVERY-WINS across batches: a keys-only anti-join of the
+       batch keepers against the compacted prior text-hash index — a
+       later re-delivery of an admitted text (CDC re-emit, upstream
+       reprocessing outside checkpoint replay) never lands twice;
+       revising a document is DELETE+INSERT under a fresh id;
+    4. overwrite-keyed delta writes (at-least-once replay REWRITES):
+       ths/delta=<b> (the admitted-hash index, compacted every
+       _COMPACT_EVERY deltas so the probe's file count stays O(1) per
+       batch) and survivors/delta=<b> (this batch's admitted
+       (doc_id, shard, n_tokens) rows — disjoint across deltas by
+       construction of the anti-join, so the cumulative read is a
+       plain union).
+
+    In-batch doc_id re-deliveries collapse first (dropDuplicates on the
+    key); the gates are deterministic per document, so a re-delivered
+    REJECTED doc re-rejects identically and needs no doc_id index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.text import _PACK_SHARDS, _curation_gated
+
+    spark = batch_df.sparkSession
+    ths_root = os.path.join(state_dir, "ths")
+    _maybe_compact_index(spark, ths_root, batch_id, "th string", ["th"])
+    prior_ths = _read_index_deltas(spark, ths_root, batch_id, "th string")
+
+    gated = _curation_gated(
+        batch_df.select("doc_id", "text", "n_chars").dropDuplicates(["doc_id"])
+    )
+    keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    admitted = (
+        gated.join(keeper, ["th", "doc_id"], "left_semi")
+        .join(prior_ths, "th", "left_anti")
+        .persist()  # th delta + survivor delta both materialize it
+    )
+    admitted.select("th").write.mode("overwrite").parquet(
+        os.path.join(ths_root, f"delta={batch_id}")
+    )
+    admitted.select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        col("n_toks").alias("n_tokens"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "survivors", f"delta={batch_id}")
+    )
+    admitted.unpersist()
+
+
+def read_curation_survivors(spark, state_dir: str) -> DataFrame:
+    """Cumulative admitted set of a continuous_curation_sink state dir:
+    the union of every batch's survivor delta — disjoint across deltas
+    by construction (the anti-join admits each text hash exactly once),
+    so this is a plain union. Feed it to text._pack_from_toks for the
+    trainer-facing packed layout."""
+    return _read_index_deltas(
+        spark,
+        os.path.join(state_dir, "survivors"),
+        2**62,
+        "doc_id long, shard long, n_tokens long",
+    )
+
+
+def continuous_curation_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Streaming curation — the foreachBatch twin of
+    pipeline_pretrain_pack's gates + keeper (operators/text.py) on the
+    continuous_minhash_dedup_sink state discipline: each arriving
+    micro-batch of (doc_id, text, n_chars) is gate-filtered, deduped
+    first-delivery-wins against the persisted admitted-hash index, and
+    appended to the survivor log.
+
+    State layout under state_dir (append-only, batch_id-keyed,
+    overwrite-on-replay → exactly-once scoped to same-checkpoint
+    recovery):
+
+      ths/delta=<b>        (th)                       — admitted md5 index
+      survivors/delta=<b>  (doc_id, shard, n_tokens)  — admitted rows
+
+    The cross-run guard (_run_guard) refuses a foreign checkpoint
+    ('error') or wipes the state subdirs and recomputes ('restart') —
+    batch ids restart across checkpoint lineages, so merging deltas
+    across runs would re-admit every text hash. Read the cumulative
+    survivor set with read_curation_survivors()."""
+    import shutil
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(
+            f"on_new_run must be 'error' or 'restart', got {on_new_run!r}"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(state_dir, qid, on_new_run, "continuous_curation_sink")
+        if not same_run:
+            for sub in ("ths", "survivors"):
+                shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+        os.makedirs(state_dir, exist_ok=True)
+        curation_apply_batch(batch_df, batch_id, state_dir)
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )

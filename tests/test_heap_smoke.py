@@ -82,6 +82,13 @@ HEAVY_OPS = [
     # r12 capstone: two token folds + md5 dedup join + pack window in
     # one plan — the round's heaviest composition
     "pipeline_pretrain_pack",
+    # r13: persisted-index build (train + 3 Arrow encodes + parquet
+    # state) PLUS the one-shot full-corpus re-encode and full-outer
+    # parity joins in one driver session — the round's heaviest lineage
+    "similarity_index_verify",
+    # r13: three serial gate+keeper micro-batches over persisted state
+    # feeding the shared pack kernel (the streamed capstone)
+    "stream_curation_apply",
 ]
 
 _SCRIPT = r"""

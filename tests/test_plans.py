@@ -1428,3 +1428,46 @@ def test_ivfpq_one_scan_no_corpus_shuffle(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "SortMergeJoin", "BatchEvalPython"):
         assert node not in p, p
+
+
+def test_persisted_index_search_one_scan_one_arrow_stage(spark):
+    """similarity_index_incremental: the persisted-index payoff — at
+    QUERY time there is no encode stage at all (codes come off parquet),
+    so the plan is ONE codes scan through ONE Arrow stage (ADC with the
+    cell mask and top-CAND cut inside the map), candidates into the
+    final window, queries broadcast. Stronger than the same-session
+    ivfpq pin (2 Arrow stages) by construction."""
+    p = plan_of(QUERIES["similarity_index_incremental"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1, p
+    assert shuffle_exchanges(p) == 1, p
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BatchEvalPython"):
+        assert node not in p, p
+
+
+def test_stream_curation_batch_kernel_shapes(spark, tmp_path):
+    """curation_apply_batch survivor lineage: the gates are ONE map-only
+    scan (no join before the keeper), the keeper is a partial-combining
+    groupBy + semi join (never a window over the md5 key), and the
+    prior-hash drop is an anti join — no cartesian anywhere. Pinned on
+    the admitted frame the kernel writes."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.operators.text import _curation_gated
+    from cqlcopy_spark.streaming.sinks import _read_index_deltas
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    gated = _curation_gated(d.dropDuplicates(["doc_id"]))
+    keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    prior = _read_index_deltas(spark, str(tmp_path / "none"), 1, "th string")
+    admitted = gated.join(keeper, ["th", "doc_id"], "left_semi").join(
+        prior, "th", "left_anti"
+    )
+    p = plan_of(admitted)
+    assert "Window" not in p, p  # hot-key argmin rule
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2, p  # partial+final

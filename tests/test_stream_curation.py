@@ -1,0 +1,156 @@
+"""continuous_curation_sink contracts: batch equivalence with
+pipeline_pretrain_pack over doc_id-sliced arrival, exactly-once under
+batch replay, first-delivery-wins on re-delivered/duplicate texts, and
+the real writeStream path end to end.
+
+The gates are per-document pure functions and the keeper is
+deterministic, so strict equality against the batch capstone is
+well-defined whenever arrival order is doc_id-ascending (the registered
+op's slicing); out-of-order arrival pins the DOCUMENTED divergence —
+first delivery wins, not lowest doc_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _doc(i: int) -> str:
+    """A text that passes both gates: ~20 words, ≥2 gopher stopwords,
+    healthy type/token ratio and word lengths."""
+    uniq = " ".join(f"word{i}x{j}" for j in range(14))
+    return f"the data value table holds {uniq} rows"
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long"))
+
+
+def _survivor_ids(spark, state):
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+
+    return {r["doc_id"] for r in read_curation_survivors(spark, state).collect()}
+
+
+def test_registered_op_hash_equals_oneshot_capstone(spark):
+    """The driver contract itself: three sliced batches == the one-shot
+    capstone relation, row for row."""
+    from cqlcopy_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    a = sorted(map(tuple, qs["stream_curation_apply"](spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, qs["pipeline_pretrain_pack"](spark, SF_SMALL).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_cross_batch_duplicate_text_dropped(spark, tmp_path):
+    """A later batch re-delivering an ADMITTED text under a fresh doc_id
+    is dropped by the persisted-hash anti-join; in-batch duplicates
+    collapse to the lowest doc_id."""
+    from cqlcopy_spark.streaming.sinks import curation_apply_batch
+
+    state = str(tmp_path / "state")
+    curation_apply_batch(
+        _df(spark, [(1, _doc(1)), (2, _doc(1)), (3, _doc(3))]), 0, state
+    )
+    curation_apply_batch(
+        _df(spark, [(4, _doc(1)), (5, _doc(5))]), 1, state
+    )
+    assert _survivor_ids(spark, state) == {1, 3, 5}
+
+
+def test_gate_failures_never_admitted(spark, tmp_path):
+    """Documents failing either gate don't reach the survivor log or
+    the hash index (a later identical passing text is unaffected)."""
+    from cqlcopy_spark.streaming.sinks import curation_apply_batch
+
+    state = str(tmp_path / "state")
+    # "a b" fails the ≥10-words gopher floor
+    curation_apply_batch(_df(spark, [(1, "a b"), (2, _doc(2))]), 0, state)
+    assert _survivor_ids(spark, state) == {2}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay of a middle batch (after later batches
+    landed) rewrites identical state: reads stop strictly below the
+    replaying batch id."""
+    from cqlcopy_spark.streaming.sinks import curation_apply_batch
+
+    state = str(tmp_path / "state")
+    batches = [
+        _df(spark, [(1, _doc(1)), (2, _doc(2))]),
+        _df(spark, [(3, _doc(3)), (4, _doc(1))]),  # 4 is a dup of 1
+        _df(spark, [(5, _doc(5))]),
+    ]
+    for b, df in enumerate(batches):
+        curation_apply_batch(df, b, state)
+    first = _survivor_ids(spark, state)
+    assert first == {1, 2, 3, 5}
+    n_th = spark.read.parquet(os.path.join(state, "ths")).count()
+
+    curation_apply_batch(batches[1], 1, state)  # replay
+    assert _survivor_ids(spark, state) == first
+    assert spark.read.parquet(os.path.join(state, "ths")).count() == n_th
+
+
+def test_out_of_order_arrival_is_first_delivery_wins(spark, tmp_path):
+    """A SMALLER doc_id arriving after its duplicate was admitted stays
+    dropped — the documented divergence from the one-shot keeper, which
+    would have picked the smaller id."""
+    from cqlcopy_spark.streaming.sinks import curation_apply_batch
+
+    state = str(tmp_path / "state")
+    curation_apply_batch(_df(spark, [(7, _doc(7))]), 0, state)
+    curation_apply_batch(_df(spark, [(2, _doc(7))]), 1, state)
+    assert _survivor_ids(spark, state) == {7}
+
+
+def test_sink_end_to_end_matches_batch_apply(spark, tmp_path):
+    """The real writeStream path (file source → foreachBatch) admits
+    the same survivor set as driving the kernel directly."""
+    import time
+
+    import pandas as pd
+
+    from cqlcopy_spark.streaming.sinks import continuous_curation_sink
+
+    batches = [
+        [(1, _doc(1)), (2, _doc(1)), (3, _doc(3))],
+        [(4, _doc(1)), (5, _doc(5))],
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = os.path.join(stage, f"b{i}.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(f)
+        os.utime(f, (now - 60 * (len(batches) - i),) * 2)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    state = str(tmp_path / "state")
+    q = (
+        continuous_curation_sink(src, state, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert _survivor_ids(spark, state) == {1, 3, 5}
