@@ -2448,3 +2448,112 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "role", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_metrics — recall@k / precision@k / MRR of the ANN list
+# ---------------------------------------------------------------------------
+
+# The evaluation half of the retrieval stack (classifier_eval_auc's role
+# for classifiers, applied to ANN indexes): score the fully-oracled grid
+# ANN list against the exact top-k as ground truth. Metric choice is
+# dictated by the cross-engine bitwise rule: recall@k, precision@k and MRR are RATIONAL (one IEEE division of exact ints each), while NDCG
+# needs log2 — a transcendental the portability contract forbids
+# (CLAUDE.md; same reason the BM25 idf is rational) — so NDCG is out by
+# design, not omission. Ground truth = similarity_topk's exact relation;
+# candidate list = similarity_ann_grid's (both already factored, both
+# SQL-expressible, so THIS op keeps a full value-hash oracle — the
+# rows-only ANN variants get their recall floors in tests instead).
+
+
+def _retrieval_eval_oracle() -> str:
+    return f"""
+WITH ann AS (
+{_GRID_ORACLE}
+),
+ex AS (
+{_TOPK_ORACLE}
+),
+hits AS (
+  SELECT ann.q_id, COUNT(*) AS n_hits, MIN(ann.rank) AS first_hit
+  FROM ann JOIN ex ON ann.q_id = ex.q_id AND ann.n_id = ex.n_id
+  GROUP BY ann.q_id
+),
+ann_n AS (SELECT q_id, COUNT(*) AS n_ann FROM ann GROUP BY q_id),
+ex_n AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id)
+SELECT ex_n.q_id,
+       CAST(COALESCE(ann_n.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(ex_n.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / ex_n.n_exact AS recall_at_k,
+       CASE WHEN COALESCE(ann_n.n_ann, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / ann_n.n_ann
+       END AS precision_at_k,
+       CASE WHEN hits.first_hit IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / hits.first_hit
+       END AS mrr
+FROM ex_n
+LEFT JOIN ann_n ON ann_n.q_id = ex_n.q_id
+LEFT JOIN hits ON hits.q_id = ex_n.q_id
+"""
+
+
+@register("retrieval_eval_metrics", oracle=_retrieval_eval_oracle())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval quality of the grid-LSH ANN list against the
+    exact top-k ground truth: recall@k, precision@k, MRR (rank of the
+    first true neighbor in the candidate list). The production loop this
+    represents: every index build (similarity_ann_*, embedding_pq_topk,
+    similarity_ivfpq, similarity_index_incremental) is scored on a held
+    query set before it replaces the serving index — here both lists are
+    deterministic and SQL-expressible, so the whole evaluation is
+    driver-hash-checked end to end.
+
+    Scale shape: both inputs are the standalone ops' exact factored
+    relations (≤ Q×k rows each at any corpus size — the expensive part
+    is INSIDE those ops and already has its own 100 TB story); the
+    metrics are three Q-sized aggregates and two Q-key joins. All
+    ratios are single IEEE divisions of exact ints (NDCG's log2 is
+    excluded by the transcendental portability rule, not forgotten —
+    see the section comment)."""
+    ann = similarity_ann_grid(spark, sf_dir).alias("ann")
+    ex = _dense_topk(spark, sf_dir).alias("ex")
+    hits = (
+        ann.join(
+            ex.select(col("q_id").alias("hq"), col("n_id").alias("hn")),
+            (col("ann.q_id") == col("hq")) & (col("ann.n_id") == col("hn")),
+        )
+        .groupBy(col("ann.q_id").alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("ann.rank").alias("first_hit"),
+        )
+    )
+    ann_n = ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ex_n = ex.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = (
+        ex_n.join(ann_n, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+            col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(col("n_hits"), F.lit(0)).cast("double")
+                / col("n_exact")
+            ).alias("recall_at_k"),
+            F.when(
+                F.coalesce(col("n_ann"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.coalesce(col("n_hits"), F.lit(0)).cast("double")
+                / col("n_ann")
+            )
+            .alias("precision_at_k"),
+            F.when(col("first_hit").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0).cast("double") / col("first_hit"))
+            .alias("mrr"),
+        )
+    )
+    return out

@@ -185,13 +185,17 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
     - checkpoint replay of the SAME batch_id overwrites its own delta
       dir byte-for-byte (overwrite-keyed write);
     - FIRST-DELIVERY-WINS on vec_id: in-batch dedup, then a keys-only
-      anti-join against the compacted prior index — a re-emitted vector
-      (CDC update, upstream reprocessing outside checkpoint replay)
-      never lands twice; revising a vector is DELETE+INSERT under a
+      anti-join against the compacted prior index ∪ the prior
+      TOMBSTONES — a re-emitted vector (CDC update, upstream
+      reprocessing outside checkpoint replay) never lands twice, and a
+      retired id never comes back (tombstones win forever — see
+      vector_index_delete); revising a vector is DELETE+INSERT under a
       fresh id in this model.
     The probe is asymmetric (batch × keys-only index scan) and the
     compaction cadence keeps the index file count O(1) per batch, not
-    ∝ batches (see _maybe_compact_index)."""
+    ∝ batches (see _maybe_compact_index). Both guard reads stop
+    strictly below batch_id, so an out-of-order replay re-derives from
+    exactly the state it saw the first time."""
     from cqlcopy_spark.streaming.sinks import (
         _maybe_compact_index,
         _read_index_deltas,
@@ -203,6 +207,10 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
     prior_ids = _read_index_deltas(
         spark, codes_root, batch_id, _CODES_SCHEMA
     ).select("vec_id")
+    if os.path.isdir(os.path.join(state_dir, "tombstones")):
+        prior_ids = prior_ids.unionByName(
+            _read_tombstones(spark, state_dir, batch_id)
+        )
     fresh = (
         new_df.select("vec_id", "emb")
         .dropDuplicates(["vec_id"])
@@ -216,11 +224,20 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
 
 def read_index_codes(spark: SparkSession, state_dir: str) -> DataFrame:
     """The cumulative encoded corpus (every delta + compactions resolved
-    exactly once) — what a search scans and what the verify twin holds
-    to one-shot parity."""
+    exactly once, tombstoned ids masked) — what a search scans and what
+    the verify twins hold to one-shot parity. The tombstone anti-join is
+    added ONLY when deletes exist, so a delete-free index keeps the
+    one-scan/one-Arrow-stage query plan byte for byte (plan pin)."""
     from cqlcopy_spark.streaming.sinks import _read_index_deltas
 
-    return _read_index_deltas(spark, os.path.join(state_dir, "codes"), 1 << 62, _CODES_SCHEMA)
+    codes = _read_index_deltas(
+        spark, os.path.join(state_dir, "codes"), 1 << 62, _CODES_SCHEMA
+    )
+    if not os.path.isdir(os.path.join(state_dir, "tombstones")):
+        return codes
+    # tombstones are tiny relative to codes: stats pick a broadcast
+    # anti-join unhinted (the no-SF-scaling-broadcast-hint rule)
+    return codes.join(_read_tombstones(spark, state_dir), "vec_id", "left_anti")
 
 
 def vector_index_search(
@@ -391,3 +408,174 @@ def similarity_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codes_bad)
         .orderBy("kind", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletes: tombstone deltas — the index lifecycle's retire half
+# ---------------------------------------------------------------------------
+
+
+def vector_index_delete(
+    vec_ids: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Retire vectors from the index: append a TOMBSTONE delta
+    (vec_id-keyed, overwrite-on-replay like every other delta) instead
+    of rewriting any code file — the versioned-state discipline
+    compact_cdc_tombstones (streaming/sinks.py) already proves for CDC
+    rows, applied to the vector index.
+
+    Semantics: a tombstone wins FOREVER. Readers resolve
+    codes ANTI-JOIN tombstones; appends consult codes ∪ tombstones in
+    their first-delivery guard, so a re-add of a retired id is dropped —
+    re-introducing a vector is INSERT under a fresh id, the same
+    revise-model as the doc/minhash sinks. Permanence (not last-writer
+    timestamps) is what keeps every reader one keys-only anti-join, and
+    it is what makes the offline compaction lever safe: a compaction
+    that physically prunes tombstoned code rows AND their tombstones
+    can only be correct if no later delta ever re-admits the id — the
+    exact invariant similarity_index_delete_verify's 'resurrected'
+    check enforces at the raw-delta level.
+
+    Scale shape: a delete costs one batch-sized delta write; reads add
+    ONE anti-join against the compacted tombstone set (tiny relative to
+    codes, broadcast by stats); physical pruning is an offline
+    index-version swap, never a read-path concern."""
+    from cqlcopy_spark.streaming.sinks import _maybe_compact_index
+
+    spark = vec_ids.sparkSession
+    tomb_root = os.path.join(state_dir, "tombstones")
+    _maybe_compact_index(spark, tomb_root, batch_id, "vec_id long", ["vec_id"])
+    vec_ids.select("vec_id").dropDuplicates(["vec_id"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tomb_root, f"delta={batch_id}"))
+
+
+def _read_tombstones(
+    spark: SparkSession, state_dir: str, below_batch: int = 1 << 62
+) -> DataFrame:
+    from cqlcopy_spark.streaming.sinks import _read_index_deltas
+
+    return _read_index_deltas(
+        spark, os.path.join(state_dir, "tombstones"), below_batch, "vec_id long"
+    )
+
+
+def _rows_with_batch(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    """(vec_id, b) provenance over the RAW deltas of an index root —
+    compactions are skipped on purpose: deltas stay on disk as replay
+    truth, and provenance is exactly what compaction erases. Driver
+    state is one os.listdir (bounded by the delta count, which the
+    compaction cadence keeps O(batches) on disk but the LOOP here only
+    builds a union plan — rows never collect)."""
+    from cqlcopy_spark.streaming.sinks import _delta_ids
+
+    frames = [
+        spark.read.schema(schema)
+        .parquet(os.path.join(root, f"delta={b}"))
+        .select("vec_id", F.lit(b).alias("b"))
+        for b in _delta_ids(root, 1 << 62)
+    ]
+    if not frames:
+        return spark.createDataFrame([], "vec_id long, b int")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _lifecycle_state(spark: SparkSession, sf_dir: str) -> str:
+    """build -> append -> delete(pmod 3 == 1) -> poisoned re-adds +
+    final append, in a fresh temp state dir — factored so the liveness
+    test can corrupt the same lifecycle the twin checks."""
+    e, (base, b1, b2) = _sliced_corpus(spark, sf_dir)
+    state = _state_tempdir()
+    vector_index_build(base, state)
+    vector_index_append(b1, 1, state)
+    doomed = (
+        base.unionByName(b1)
+        .select("vec_id")
+        .filter(F.pmod(col("vec_id"), F.lit(3)) == 1)
+    )
+    vector_index_delete(doomed, 2, state)
+    # poisoned re-adds: every deleted id returns with a shifted
+    # embedding inside the next batch — the tombstone must win
+    poisoned = (
+        base.unionByName(b1)
+        .join(doomed, "vec_id", "left_semi")
+        .selectExpr("vec_id", "transform(emb, x -> x + 1.0) AS emb")
+    )
+    vector_index_append(poisoned.unionByName(b2), 3, state)
+    return state
+
+
+def _delete_violations(
+    spark: SparkSession, corpus: DataFrame, state: str
+) -> DataFrame:
+    """The four lifecycle violation families over an existing state dir
+    (see similarity_index_delete_verify for the kind semantics) —
+    factored so tests/test_vector_index_delete.py can corrupt a delta
+    and assert the exact planted rows come back."""
+    coarse, books = _load_artifacts(spark, state)
+    tombs = _read_tombstones(spark, state)
+    survivors = corpus.join(tombs, "vec_id", "left_anti")
+    oneshot = _encode_with(
+        survivors.dropDuplicates(["vec_id"]), coarse, books
+    ).select("vec_id", col("cell").alias("o_cell"), col("codes").alias("o_codes"))
+    stored = read_index_codes(spark, state).select("vec_id", "cell", "codes")
+
+    codes_prov = _rows_with_batch(
+        spark, os.path.join(state, "codes"), _CODES_SCHEMA
+    )
+    tomb_prov = _rows_with_batch(
+        spark, os.path.join(state, "tombstones"), "vec_id long"
+    ).select("vec_id", col("b").alias("tb"))
+    resurrected = (
+        codes_prov.join(tomb_prov, "vec_id")
+        .filter(col("b") > col("tb"))
+        .select("vec_id", F.lit("resurrected").alias("kind"))
+    )
+    dup = (
+        stored.groupBy("vec_id")
+        .count()
+        .filter(col("count") > 1)
+        .select("vec_id", F.lit("dup").alias("kind"))
+    )
+    joined = oneshot.join(stored, "vec_id", "full_outer")
+    lost = joined.filter(col("cell").isNull()).select(
+        "vec_id", F.lit("lost").alias("kind")
+    )
+    mutated = joined.filter(
+        col("cell").isNotNull()
+        & col("o_cell").isNotNull()
+        & ((col("cell") != col("o_cell")) | (col("codes") != col("o_codes")))
+    ).select("vec_id", F.lit("mutated").alias("kind"))
+    return (
+        resurrected.unionByName(dup)
+        .unionByName(lost)
+        .unionByName(mutated)
+        .orderBy("kind", "vec_id")
+    )
+
+
+@register("similarity_index_delete_verify", oracle=_INDEX_VERIFY_ORACLE)
+def similarity_index_delete_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract of the index's FULL lifecycle —
+    build → append → DELETE → poisoned re-adds → append — one row per
+    violation against the empty relation:
+
+    - 'resurrected': a RAW codes delta written AFTER an id's tombstone
+      batch contains that id (the first-delivery guard failed; the
+      lifecycle re-delivers every deleted id with a shifted embedding
+      to force the attempt). Reader-level exclusion is vacuous to test —
+      the anti-join hides tombstoned ids BY CONSTRUCTION — but this raw
+      invariant is what makes tombstone-pruning compaction safe;
+    - 'lost':     a surviving corpus id missing from the reader view;
+    - 'dup':      a surviving id visible more than once;
+    - 'mutated':  a surviving row whose (cell, codes) differ from the
+      one-shot encode of the SURVIVOR set with the same base-trained
+      artifacts (deletes must not perturb anything they didn't target).
+
+    Expected output: EMPTY. Replay idempotence and planted-corruption
+    liveness pin in tests/test_vector_index_delete.py."""
+    e, _ = _sliced_corpus(spark, sf_dir)
+    return _delete_violations(spark, e, _lifecycle_state(spark, sf_dir))

@@ -89,6 +89,10 @@ HEAVY_OPS = [
     # r13: three serial gate+keeper micro-batches over persisted state
     # feeding the shared pack kernel (the streamed capstone)
     "stream_curation_apply",
+    # r13: the full index lifecycle — build + 3 Arrow encodes + delete +
+    # poisoned re-adds + one-shot survivor re-encode + raw-delta
+    # provenance joins in one session
+    "similarity_index_delete_verify",
 ]
 
 _SCRIPT = r"""
