@@ -122,25 +122,40 @@ def vector_index_build(base: DataFrame, state_dir: str) -> None:
     - ``codes/delta=0``      ({codes schema}) — the base encode
 
     The training artifacts are cells×dim + M×K×sub doubles — driver-
-    resident state persisted once, read back whole by every append and
-    search (the FAISS index-header analogue)."""
-    spark = base.sparkSession
+    resident state written and read back DRIVER-SIDE via pyarrow (the
+    FAISS index-header analogue: it is not a dataset, so routing ~150
+    tiny rows through spark.createDataFrame+write cost two full Spark
+    jobs ≈ 11s of the first bench measurement — profiled r13)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     coarse, books = _fit_from_base(base)
-    spark.createDataFrame(
-        [(i, list(map(float, c))) for i, c in enumerate(coarse)],
-        "cell int, c array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "centroids.parquet")
+    os.makedirs(state_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(coarse)), type=pa.int32()),
+                "c": pa.array([list(map(float, c)) for c in coarse],
+                              type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(state_dir, "centroids.parquet"),
     )
-    spark.createDataFrame(
-        [
-            (m, k, list(map(float, books[m][k])))
-            for m in range(len(books))
-            for k in range(books[m].shape[0])
-        ],
-        "m int, k int, c array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "codebooks.parquet")
+    rows = [
+        (m, k, list(map(float, books[m][k])))
+        for m in range(len(books))
+        for k in range(books[m].shape[0])
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "m": pa.array([r[0] for r in rows], type=pa.int32()),
+                "k": pa.array([r[1] for r in rows], type=pa.int32()),
+                "c": pa.array([r[2] for r in rows],
+                              type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(state_dir, "codebooks.parquet"),
     )
     _encode_with(base.dropDuplicates(["vec_id"]), coarse, books).write.mode(
         "overwrite"
@@ -148,27 +163,26 @@ def vector_index_build(base: DataFrame, state_dir: str) -> None:
 
 
 def _load_artifacts(spark: SparkSession, state_dir: str):
-    """(coarse, books) back from parquet — tiny by construction, so the
-    driver-side collect is the bounded index-header read, not a data
-    path."""
+    """(coarse, books) back from parquet — the bounded index-header
+    read, done DRIVER-SIDE with pyarrow (no Spark job: ≤ cells + M·K
+    tiny rows, and every append/search/verify re-reads them)."""
     import numpy as np
+    import pyarrow.parquet as pq
 
-    crows = spark.read.parquet(
-        os.path.join(state_dir, "centroids.parquet")
-    ).collect()  # ≤ _IVF_CELLS rows
-    crows.sort(key=lambda r: r["cell"])
-    coarse = np.stack([np.asarray(r["c"], dtype=np.float64) for r in crows])
-    brows = spark.read.parquet(
-        os.path.join(state_dir, "codebooks.parquet")
-    ).collect()  # ≤ M·K rows
-    brows.sort(key=lambda r: (r["m"], r["k"]))
-    n_m = 1 + max(r["m"] for r in brows)
+    ct = pq.read_table(os.path.join(state_dir, "centroids.parquet")).to_pydict()
+    order = sorted(range(len(ct["cell"])), key=lambda i: ct["cell"][i])
+    coarse = np.stack(
+        [np.asarray(ct["c"][i], dtype=np.float64) for i in order]
+    )
+    bt = pq.read_table(os.path.join(state_dir, "codebooks.parquet")).to_pydict()
+    idx = sorted(range(len(bt["m"])), key=lambda i: (bt["m"][i], bt["k"][i]))
+    n_m = 1 + max(bt["m"])
     books = [
         np.stack(
             [
-                np.asarray(r["c"], dtype=np.float64)
-                for r in brows
-                if r["m"] == m
+                np.asarray(bt["c"][i], dtype=np.float64)
+                for i in idx
+                if bt["m"][i] == m
             ]
         )
         for m in range(n_m)
