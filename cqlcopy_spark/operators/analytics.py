@@ -1988,12 +1988,16 @@ def order_statistic_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = row["n"]
     if n == 0:
         # degenerate empty input: lo/hi are NULL and float(None) would
-        # TypeError before the n <= cap guard could help (r12 ADVICE) —
-        # an order statistic of nothing is an empty relation, same schema
+        # TypeError before the n <= cap guard could help (r12 ADVICE).
+        # Mirror the ORACLE's exact degenerate relation — its scalar
+        # subqueries still emit one row per stat with a NULL value
+        # (k = 0, n = 0), so an empty frame here would rows-mismatch
+        # on any empty slice (r13 review finding).
         vals.unpersist()
         return spark.createDataFrame(
-            [], "stat string, k long, n long, value double"
-        )
+            [("p50", 0, 0, None), ("p90", 0, 0, None)],
+            "stat string, k long, n long, value double",
+        ).orderBy("stat")
     targets = {"p50": (n + 1) // 2, "p90": (9 * n + 9) // 10}
     lo, hi = float(row["lo"]), float(row["hi"])
 

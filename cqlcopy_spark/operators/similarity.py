@@ -2163,39 +2163,66 @@ def embedding_pq_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus, PQ bounds the bytes touched per scanned row.
 
 
-def _ivfpq_fit(spark: SparkSession, sf_dir: str):
-    """(coarse_centroids, residual_books, encoded frame). The encoded
-    frame carries (vec_id, emb, cell, codes). Training reuses the two
-    halves' recipes on ONE capped, vec_id-sorted driver sample (layout-
-    independent like _pq_fit); the corpus encode is one Arrow map:
-    assign cell (BLAS matmul argmin), PQ-encode the residual with the
-    shared _pq_encode_batch kernel (fuzzed in tests/test_pq_fuzz.py)."""
+def _coarse_assign(Xb: "object", C: "object") -> "object":
+    """Coarse-cell argmin with a fully-defined IEEE op sequence:
+    (x_j − c_j)² accumulated PER-DIMENSION IN ASCENDING ORDER, first
+    minimum — _pq_encode_batch's exact discipline applied to the cell
+    assignment. The |c|² − 2·x·c gemm form it replaces was 1-ulp
+    batch-SHAPE-dependent (BLAS dispatches different dgemm kernels by
+    matrix size, changing accumulation order), which is harmless inside
+    ONE encode pass but turns the incremental-vs-one-shot parity the
+    persisted-index verify twins enforce (vector_index.py — per-slice
+    encodes compared against a full-corpus encode, different Arrow
+    batch shapes) into a latent near-tie coin flip. Per-dimension
+    elementwise ops have no cross-row reduction, so row i's distances
+    are a pure function of row i — batch-shape-independent by
+    construction (r13 review finding)."""
+    import numpy as np
+
+    n, cells = Xb.shape[0], C.shape[0]
+    D = np.zeros((n, cells))
+    for j in range(Xb.shape[1]):  # dim-ascending fold, like the encoder
+        diff = Xb[:, j][:, None] - C[None, :, j]
+        D += diff * diff
+    return D.argmin(axis=1)
+
+
+def _ivfpq_train_from_sample(sample: "list"):
+    """(coarse_centroids, residual_books) from a collected sample —
+    the IVFADC training half factored out of _ivfpq_fit so the
+    persisted-index build (vector_index._fit_from_base) trains with the
+    LITERAL same recipe: vec_id sort is the caller's job, strided
+    seedless coarse init, residual PQ books via the deterministic
+    per-dimension assignment."""
+    import numpy as np
+
+    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
+    coarse = _train_centroids(sample, _IVF_CELLS)
+    books = _pq_train(X - coarse[_coarse_assign(X, coarse)])
+    return coarse, books
+
+
+def _ivfpq_encode_frame(frame: DataFrame, coarse, books) -> DataFrame:
+    """One Arrow-batched map over (vec_id, emb): deterministic coarse
+    assignment (_coarse_assign) + residual PQ codes via the shared,
+    fuzzed _pq_encode_batch kernel — the single encode definition
+    consumed by _ivfpq_fit AND the persisted index's build/append/
+    one-shot-parity paths (vector_index.py), so the two families cannot
+    drift (r13 review finding; the _curation_gated pattern). Emits
+    (vec_id, emb, cell, codes); callers pick the partitioning."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _emb_double("embedding").alias("emb")
-    )
-    n_corpus = e.count()
-    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
-    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
-    sample.sort(key=lambda r: r["vec_id"])
-    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
-    coarse = _train_centroids(sample, _IVF_CELLS)
-    a = (
-        (coarse * coarse).sum(axis=1)[None, :] - 2.0 * (X @ coarse.T)
-    ).argmin(axis=1)
-    books = _pq_train(X - coarse[a])
+    spark = frame.sparkSession
     bc = spark.sparkContext.broadcast((coarse, books))
 
     def encode(batches):
         C, B = bc.value
-        cc = (C * C).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 continue
             Xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            cell = (cc[None, :] - 2.0 * (Xb @ C.T)).argmin(axis=1)
+            cell = _coarse_assign(Xb, C)
             codes, _ = _pq_encode_batch(B, Xb - C[cell])
             yield pd.DataFrame(
                 {
@@ -2206,11 +2233,29 @@ def _ivfpq_fit(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
-    enc = e.repartition(par).mapInPandas(
+    return frame.select("vec_id", "emb").mapInPandas(
         encode,
         schema="vec_id long, emb array<double>, cell int, codes string",
     )
+
+
+def _ivfpq_fit(spark: SparkSession, sf_dir: str):
+    """(coarse_centroids, residual_books, encoded frame). The encoded
+    frame carries (vec_id, emb, cell, codes). Training reuses the two
+    halves' recipes on ONE capped, vec_id-sorted driver sample (layout-
+    independent like _pq_fit); the corpus encode is the shared
+    _ivfpq_encode_frame Arrow map (deterministic per-dimension cell
+    assignment + the fuzzed _pq_encode_batch residual kernel)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    n_corpus = e.count()
+    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
+    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    sample.sort(key=lambda r: r["vec_id"])
+    coarse, books = _ivfpq_train_from_sample(sample)
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
+    enc = _ivfpq_encode_frame(e.repartition(par), coarse, books)
     return coarse, books, enc
 
 
@@ -2440,13 +2485,15 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", portable_token_composite([col("q_id"), col("n_id")]))
     )
     w = Window.partitionBy("q_id", "role").orderBy("h", "n_id")
+    # no trailing orderBy: the driver hash is order-insensitive and the
+    # sort would add a range exchange (CLAUDE.md) — the oracle's ORDER
+    # BY is cosmetic there too
     return (
         cand.withColumn("pick", F.row_number().over(w))
         .filter((col("role") == "pos") | (col("pick") <= _N_NEG))
         .select(
             "q_id", "role", col("pick").cast("long").alias("pick"), "n_id", "cosine"
         )
-        .orderBy("q_id", "role", "pick")
     )
 
 
@@ -2515,9 +2562,17 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are three Q-sized aggregates and two Q-key joins. All
     ratios are single IEEE divisions of exact ints (NDCG's log2 is
     excluded by the transcendental portability rule, not forgotten —
-    see the section comment)."""
-    ann = similarity_ann_grid(spark, sf_dir).alias("ann")
-    ex = _dense_topk(spark, sf_dir).alias("ex")
+    see the section comment).
+
+    Both inputs persist: each feeds a Q-key aggregate AND the hits
+    join, and unpersisted the Q×N brute-force ranking and the grid
+    pipeline each ran TWICE per action (r13 review: 8 scans, 12
+    windows, 0 reused exchanges). The persisted frames are the ≤ Q×k
+    OUTPUTS — tiny — while the lineage behind them is the expensive
+    part; session lifetime per the curation.py:570 convention
+    (bench/driver clearCache between queries)."""
+    ann = similarity_ann_grid(spark, sf_dir).persist().alias("ann")
+    ex = _dense_topk(spark, sf_dir).persist().alias("ex")
     hits = (
         ann.join(
             ex.select(col("q_id").alias("hq"), col("n_id").alias("hn")),

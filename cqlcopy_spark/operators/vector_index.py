@@ -51,67 +51,36 @@ _CODES_SCHEMA = "vec_id long, emb array<double>, cell int, codes string"
 
 def _fit_from_base(base: DataFrame):
     """(coarse_centroids, residual_codebooks) trained on a capped,
-    vec_id-sorted driver sample of the BASE frame only — `_ivfpq_fit`'s
-    exact recipe (similarity.py) minus the corpus encode, so the
+    vec_id-sorted driver sample of the BASE frame only — the SHARED
+    `_ivfpq_train_from_sample` recipe (similarity.py), so the
     determinism contract (layout-independent sample, seedless strided
-    init, first-minimum assignment) carries over verbatim. Appended
-    batches never influence training: that is the incremental-index
-    contract the verify twin checks."""
-    import numpy as np
-
+    init, deterministic per-dimension assignment) cannot drift from the
+    same-session IVFADC family (r13 review factoring). Appended batches
+    never influence training: that is the incremental-index contract
+    the verify twin checks."""
     from cqlcopy_spark.operators.similarity import (
-        _IVF_CELLS,
         _PQ_TRAIN_CAP,
-        _pq_train,
-        _train_centroids,
+        _ivfpq_train_from_sample,
     )
 
     n_base = base.count()
     stride = max(1, n_base // _PQ_TRAIN_CAP)
     sample = base.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
     sample.sort(key=lambda r: r["vec_id"])  # layout-independent (r11 ADVICE)
-    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
-    coarse = _train_centroids(sample, _IVF_CELLS)
-    a = ((coarse * coarse).sum(axis=1)[None, :] - 2.0 * (X @ coarse.T)).argmin(
-        axis=1
-    )
-    books = _pq_train(X - coarse[a])
-    return coarse, books
+    return _ivfpq_train_from_sample(sample)
 
 
 def _encode_with(frame: DataFrame, coarse, books) -> DataFrame:
-    """One Arrow-batched map: coarse-assign each vector (BLAS matmul
-    argmin) and PQ-encode its residual with the FIXED codebooks — the
-    shared `_pq_encode_batch` kernel (property-fuzzed in
-    tests/test_pq_fuzz.py), so one-shot and incremental encodes of the
-    same row are bitwise identical by construction. No shuffle."""
-    import numpy as np
-    import pandas as pd
+    """The SHARED `_ivfpq_encode_frame` Arrow map (similarity.py):
+    deterministic per-dimension coarse assignment + the fuzzed
+    `_pq_encode_batch` residual kernel — one definition for the
+    same-session IVFADC encode, the index build, the appends, and the
+    verify twins' one-shot parity encode, so incremental and one-shot
+    codes are batch-shape-independently identical (r13 review: the
+    previous gemm-form argmin was 1-ulp shape-dependent). No shuffle."""
+    from cqlcopy_spark.operators.similarity import _ivfpq_encode_frame
 
-    from cqlcopy_spark.operators.similarity import _pq_encode_batch
-
-    spark = frame.sparkSession
-    bc = spark.sparkContext.broadcast((coarse, books))
-
-    def encode(batches):
-        C, B = bc.value
-        cc = (C * C).sum(axis=1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            cell = (cc[None, :] - 2.0 * (Xb @ C.T)).argmin(axis=1)
-            codes, _ = _pq_encode_batch(B, Xb - C[cell])
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "emb": pdf["emb"].to_numpy(),
-                    "cell": cell.astype(np.int32),
-                    "codes": ["-".join(str(c) for c in row) for row in codes],
-                }
-            )
-
-    return frame.select("vec_id", "emb").mapInPandas(encode, schema=_CODES_SCHEMA)
+    return _ivfpq_encode_frame(frame, coarse, books)
 
 
 def vector_index_build(base: DataFrame, state_dir: str) -> None:
@@ -322,16 +291,18 @@ def _sliced_corpus(spark: SparkSession, sf_dir: str):
     )
 
 
-def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build + two appends over the sliced corpus; returns the state
-    dir. Factored so the registered op and its verify twin drive the
-    IDENTICAL persisted index."""
+def _incremental_index(spark: SparkSession, sf_dir: str):
+    """(corpus frame, state dir) after build + two appends over the
+    sliced corpus. Factored so the registered op and its verify twin
+    drive the IDENTICAL persisted index — and so each registered entry
+    runs the eager max(vec_id) slicing job ONCE (r13 review: calling
+    _sliced_corpus again in the op re-scanned the corpus for nothing)."""
     e, (base, b1, b2) = _sliced_corpus(spark, sf_dir)
     state = _state_tempdir()
     vector_index_build(base, state)
     vector_index_append(b1, 1, state)
     vector_index_append(b2, 2, state)
-    return state
+    return e, state
 
 
 @register("similarity_index_incremental")  # rows-only: IVF+PQ recall < 1
@@ -351,8 +322,7 @@ def similarity_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_vector_index.py."""
     from cqlcopy_spark.operators.similarity import _collect_queries
 
-    e, _ = _sliced_corpus(spark, sf_dir)
-    state = _incremental_index(spark, sf_dir)
+    e, state = _incremental_index(spark, sf_dir)
     # no trailing orderBy: the driver hash is order-insensitive and the
     # sort would add a second (range) exchange to a one-exchange plan
     return vector_index_search(spark, state, _collect_queries(e))
@@ -387,8 +357,7 @@ def similarity_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     liveness (a corrupted delta row IS flagged) pins in
     tests/test_vector_index.py, as does search exactness via
     `_ann_violations` over the served top-k."""
-    e, _ = _sliced_corpus(spark, sf_dir)
-    state = _incremental_index(spark, sf_dir)
+    e, state = _incremental_index(spark, sf_dir)
     coarse, books = _load_artifacts(spark, state)
     oneshot = _encode_with(e.dropDuplicates(["vec_id"]), coarse, books).select(
         "vec_id", col("cell").alias("o_cell"), col("codes").alias("o_codes")
@@ -415,12 +384,12 @@ def similarity_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_bad = both.filter(col("codes") != col("o_codes")).select(
         "vec_id", F.lit("codes").alias("kind")
     )
+    # no trailing orderBy (CLAUDE.md): an empty relation needs no sort
     return (
         dup.unionByName(missing)
         .unionByName(extra)
         .unionByName(cell_bad)
         .unionByName(codes_bad)
-        .orderBy("kind", "vec_id")
     )
 
 
@@ -497,10 +466,12 @@ def _rows_with_batch(spark: SparkSession, root: str, schema: str) -> DataFrame:
     return out
 
 
-def _lifecycle_state(spark: SparkSession, sf_dir: str) -> str:
-    """build -> append -> delete(pmod 3 == 1) -> poisoned re-adds +
-    final append, in a fresh temp state dir — factored so the liveness
-    test can corrupt the same lifecycle the twin checks."""
+def _lifecycle_state(spark: SparkSession, sf_dir: str):
+    """(corpus frame, state dir) after build -> append ->
+    delete(pmod 3 == 1) -> poisoned re-adds + final append, in a fresh
+    temp state dir — factored so the liveness test can corrupt the same
+    lifecycle the twin checks (and so the twin runs the eager slicing
+    job once, r13 review)."""
     e, (base, b1, b2) = _sliced_corpus(spark, sf_dir)
     state = _state_tempdir()
     vector_index_build(base, state)
@@ -519,13 +490,13 @@ def _lifecycle_state(spark: SparkSession, sf_dir: str) -> str:
         .selectExpr("vec_id", "transform(emb, x -> x + 1.0) AS emb")
     )
     vector_index_append(poisoned.unionByName(b2), 3, state)
-    return state
+    return e, state
 
 
 def _delete_violations(
     spark: SparkSession, corpus: DataFrame, state: str
 ) -> DataFrame:
-    """The four lifecycle violation families over an existing state dir
+    """The five lifecycle violation families over an existing state dir
     (see similarity_index_delete_verify for the kind semantics) —
     factored so tests/test_vector_index_delete.py can corrupt a delta
     and assert the exact planted rows come back."""
@@ -558,16 +529,27 @@ def _delete_violations(
     lost = joined.filter(col("cell").isNull()).select(
         "vec_id", F.lit("lost").alias("kind")
     )
+    # 'extra': a stored id with NO survivor-corpus counterpart — a
+    # phantom vector that exists in no corpus row and no tombstone
+    # (tombstoned ids are already masked out of `stored`), e.g. a
+    # corrupted delta injecting a fabricated vec_id. Without this
+    # family such a row matched neither 'lost' (stored side non-NULL)
+    # nor 'mutated' (one-shot side NULL) and the twin stayed silent
+    # while searches served it (r13 review finding).
+    extra = joined.filter(col("o_cell").isNull()).select(
+        "vec_id", F.lit("extra").alias("kind")
+    )
     mutated = joined.filter(
         col("cell").isNotNull()
         & col("o_cell").isNotNull()
         & ((col("cell") != col("o_cell")) | (col("codes") != col("o_codes")))
     ).select("vec_id", F.lit("mutated").alias("kind"))
+    # no trailing orderBy (CLAUDE.md): an empty relation needs no sort
     return (
         resurrected.unionByName(dup)
         .unionByName(lost)
+        .unionByName(extra)
         .unionByName(mutated)
-        .orderBy("kind", "vec_id")
     )
 
 
@@ -584,6 +566,8 @@ def similarity_index_delete_verify(spark: SparkSession, sf_dir: str) -> DataFram
       the anti-join hides tombstoned ids BY CONSTRUCTION — but this raw
       invariant is what makes tombstone-pruning compaction safe;
     - 'lost':     a surviving corpus id missing from the reader view;
+    - 'extra':    a stored id with no corpus counterpart and no
+      tombstone — a phantom the searches would serve (r13 review);
     - 'dup':      a surviving id visible more than once;
     - 'mutated':  a surviving row whose (cell, codes) differ from the
       one-shot encode of the SURVIVOR set with the same base-trained
@@ -591,5 +575,5 @@ def similarity_index_delete_verify(spark: SparkSession, sf_dir: str) -> DataFram
 
     Expected output: EMPTY. Replay idempotence and planted-corruption
     liveness pin in tests/test_vector_index_delete.py."""
-    e, _ = _sliced_corpus(spark, sf_dir)
-    return _delete_violations(spark, e, _lifecycle_state(spark, sf_dir))
+    e, state = _lifecycle_state(spark, sf_dir)
+    return _delete_violations(spark, e, state)

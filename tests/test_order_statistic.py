@@ -68,18 +68,22 @@ def test_order_statistic_op_matches_sorted_fixture(spark):
     assert out["p90"]["value"] == vals[(9 * n + 9) // 10 - 1]
 
 
-def test_empty_input_returns_empty_frame(spark, tmp_path):
+def test_empty_input_matches_oracle_degenerate_rows(spark, tmp_path):
     """r12 ADVICE: an all-NULL / empty value column made n == 0 and
-    float(None) TypeError'd before the collect-cap guard — the guard
-    must return an EMPTY frame with the op's exact schema instead."""
+    float(None) TypeError'd before the collect-cap guard. The guard
+    must mirror the ORACLE's degenerate relation — DuckDB's scalar
+    subqueries still emit one row per stat with k = 0, n = 0 and a
+    NULL value on empty input (r13 review: an empty frame here would
+    rows-mismatch the oracle)."""
     from cqlcopy_spark.operators.analytics import order_statistic_select
 
     sf = str(tmp_path / "sf_empty")
     src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-    # keep the schema, drop every row (and make the value column NULL
-    # so the isNotNull filter has something to reject too)
     src.limit(0).write.parquet(f"{sf}/lineitem.parquet")
 
     out = order_statistic_select(spark, sf)
     assert out.columns == ["stat", "k", "n", "value"]
-    assert out.count() == 0
+    assert [tuple(r) for r in out.collect()] == [
+        ("p50", 0, 0, None),
+        ("p90", 0, 0, None),
+    ]

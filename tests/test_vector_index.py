@@ -105,26 +105,30 @@ def test_first_delivery_wins_on_vec_id(spark, tmp_path):
     assert set(after) == set(before) | {r["vec_id"] for r in b1.collect()}
 
 
-def test_verify_twin_empty_then_planted_corruption_flagged(spark, built_state):
+def test_verify_twin_empty_then_planted_corruption_flagged(
+    spark, built_state, tmp_path
+):
     """Liveness: the registered twin is empty on the honest index; a
-    corrupted persisted code row IS flagged with the exact kind."""
+    corrupted persisted code row IS flagged. The corruption happens on
+    a COPY of the module-scoped state (r13 review: corrupting the
+    shared fixture in place silently changed what the later
+    served-top-k test was testing)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
     from cqlcopy_spark.operators.vector_index import (
+        _encode_with,
         _load_artifacts,
+        read_index_codes,
         similarity_index_verify,
     )
 
     assert similarity_index_verify(spark, SF_SMALL).count() == 0
 
-    # corrupt one row of delta=2 in the SHARED state? no — the twin
-    # rebuilds its own state; corrupt via the factored violation path
-    # instead: rewrite one delta of built_state and diff directly
-    from cqlcopy_spark.operators.vector_index import (
-        _encode_with,
-        read_index_codes,
-    )
-    from pyspark.sql import functions as F
-
-    delta2 = os.path.join(built_state, "codes", "delta=2")
+    state = str(tmp_path / "vidx_corrupt")
+    shutil.copytree(built_state, state)
+    delta2 = os.path.join(state, "codes", "delta=2")
     rows = spark.read.parquet(delta2).collect()
     assert rows, "slice 2 must be non-empty for the liveness check"
     victim = rows[0]["vec_id"]
@@ -139,17 +143,20 @@ def test_verify_twin_empty_then_planted_corruption_flagged(spark, built_state):
     spark.read.parquet(tmp_out).write.mode("overwrite").parquet(delta2)
 
     e, _ = _slices(spark)
-    coarse, books = _load_artifacts(spark, built_state)
+    coarse, books = _load_artifacts(spark, state)
     oneshot = {
         r["vec_id"]: (r["cell"], r["codes"])
         for r in _encode_with(e, coarse, books).collect()
     }
-    stored = _codes_map(spark, built_state)
+    stored = _codes_map(spark, state)
     diff = {v for v in stored if stored[v] != oneshot[v]}
     # the corruption either IS the honest code (hash-collision odds ~0)
     # or shows up as exactly the planted vec_id
     assert diff == {victim} or stored[victim] == oneshot[victim]
     assert stored[victim][1] == "0-0-0-0-0-0-0-0"
+    # and the shared fixture is untouched
+    honest = _codes_map(spark, built_state)
+    assert honest[victim] == oneshot[victim]
 
 
 def test_served_topk_is_refine_exact(spark, built_state):

@@ -102,11 +102,14 @@ def test_lifecycle_verify_twin_is_empty(spark):
     assert similarity_index_delete_verify(spark, SF_SMALL).count() == 0
 
 
-def test_planted_resurrection_is_flagged(spark):
-    """Corrupt the lifecycle state the twin checks: write a tombstoned
-    id's row into a LATER codes delta, bypassing the append guard — the
-    'resurrected' family must flag exactly that id (and the reader view
-    stays clean, so only the raw provenance check can catch it)."""
+def test_planted_resurrection_and_phantom_are_flagged(spark):
+    """Corrupt the lifecycle state the twin checks two ways: (a) write
+    a tombstoned id's row into a LATER codes delta, bypassing the
+    append guard — the 'resurrected' family must flag exactly that id
+    (the reader view stays clean, so only the raw provenance check can
+    catch it); (b) inject a phantom vec_id that exists in no corpus row
+    and no tombstone — the 'extra' family must flag it (r13 review: it
+    previously matched no family while searches served it)."""
     from pyspark.sql import functions as F
 
     from cqlcopy_spark.operators.vector_index import (
@@ -116,8 +119,7 @@ def test_planted_resurrection_is_flagged(spark):
         read_index_codes,
     )
 
-    e, _ = _slices(spark)
-    state = _lifecycle_state(spark, SF_SMALL)
+    e, state = _lifecycle_state(spark, SF_SMALL)
     assert _delete_violations(spark, e, state).count() == 0
 
     victim = min(_ids(_read_tombstones(spark, state)))
@@ -125,10 +127,14 @@ def test_planted_resurrection_is_flagged(spark):
         F.col("vec_id") == victim
     )
     assert row.count() == 1
-    row.write.mode("overwrite").parquet(
-        os.path.join(state, "codes", "delta=4")
-    )
+    phantom = 10_000_000_019  # far outside any fixture id space
+    row.unionByName(row.withColumn("vec_id", F.lit(phantom))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state, "codes", "delta=4"))
     viol = _delete_violations(spark, e, state).collect()
-    assert {(r["vec_id"], r["kind"]) for r in viol} == {(victim, "resurrected")}
-    # the reader never served it even while corrupted
+    assert {(r["vec_id"], r["kind"]) for r in viol} == {
+        (victim, "resurrected"),
+        (phantom, "extra"),
+    }
+    # the reader never served the tombstoned id even while corrupted
     assert victim not in _ids(read_index_codes(spark, state))
