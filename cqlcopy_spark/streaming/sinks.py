@@ -1105,3 +1105,74 @@ def continuous_curation_sink(
     return stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def continuous_vector_index_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    on_new_run: str = "error",
+) -> DataStreamWriter:
+    """Streaming ingest for the persisted vector index — the
+    foreachBatch twin of `similarity_index_incremental`'s batch
+    contract (operators/vector_index.py) on the
+    continuous_minhash_dedup_sink state discipline: the FIRST non-empty
+    micro-batch of (vec_id, emb) trains the coarse centroids + residual
+    codebooks and seeds the index (the base-slice-trains contract);
+    every later batch encodes with the PERSISTED codebooks and appends
+    — no retrain, no historical re-encode, first-delivery-wins on
+    vec_id, tombstones honored (vector_index_delete composes with this
+    sink: deletes are just another delta family in the same state dir).
+
+    Replay semantics: a replayed batch re-derives from the state
+    strictly below its own id (vector_index_append) and overwrites its
+    own delta. A replayed FIRST batch takes the append path once the
+    codebooks exist — it reads no prior deltas and the codebooks were
+    trained on exactly this batch, so it rewrites delta=0 byte-equal
+    (idempotent by construction). An EMPTY batch before any training
+    is skipped entirely: there is nothing to train on, and training on
+    the first NON-empty batch keeps the trained artifacts a pure
+    function of the stream prefix.
+
+    The cross-run guard (_run_guard) refuses a foreign checkpoint
+    ('error') or wipes the index state and recomputes ('restart') —
+    batch ids restart across checkpoint lineages. Query the index with
+    vector_index_search / read_index_codes."""
+    import shutil
+
+    if on_new_run not in ("error", "restart"):
+        raise ValueError(
+            f"on_new_run must be 'error' or 'restart', got {on_new_run!r}"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from cqlcopy_spark.operators.vector_index import (
+            vector_index_append,
+            vector_index_build,
+        )
+
+        qid = _checkpoint_query_id(checkpoint_dir)
+        same_run = _run_guard(
+            state_dir, qid, on_new_run, "continuous_vector_index_sink"
+        )
+        if not same_run:
+            for sub in ("codes", "tombstones"):
+                shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+            for f in ("centroids.parquet", "codebooks.parquet"):
+                p = os.path.join(state_dir, f)
+                shutil.rmtree(p, ignore_errors=True)
+                if os.path.isfile(p):
+                    os.remove(p)
+        os.makedirs(state_dir, exist_ok=True)
+        trained = os.path.exists(os.path.join(state_dir, "codebooks.parquet"))
+        if not trained:
+            if batch_df.isEmpty():
+                return  # nothing to train on yet — wait for data
+            vector_index_build(batch_df, state_dir)
+        else:
+            vector_index_append(batch_df, batch_id, state_dir)
+        _write_run_marker(state_dir, qid)
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
