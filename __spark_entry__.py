@@ -89,20 +89,56 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 13 (r12 VERDICT item 1 — drain the r8 freshness tail): the four
-# formats.py entries rank at positions ~151-154 behind the ~150-entry
-# changed-module pool and would not surface naturally for 2-3 rounds;
-# forcing them completes the verdict's "all 29 r8-stale entries green in
-# CORRECTNESS_r13" demand (the other 25 front naturally at window
-# positions 1-25, per the verdict's simulation). (The four r12 forces
-# all re-greened in r12 and are pruned — with the round bumped they
-# would otherwise reactivate.)
-_FORCE_FRONT_ROUND = 13
+# Round 14 (r13 VERDICT item 1 — drain the r9 freshness tail): ALL 34
+# r9-stale entries are forced, not just the 19 the verdict listed. The
+# verdict's simulation ("the other 15 front naturally at positions
+# 1-15") held against the round-START tree; this round's planned edits
+# (similarity.py 24 entries, dedup.py 12, vector_index.py 3+) create a
+# ~40-entry rank-4 changed-module pool that would displace every rank-5
+# natural r9 entry past position 50 at the round-END window the driver
+# actually computes. 34 forced + 16 changed-module slots = the full
+# window; the remaining changed entries keep rank-4 fronting into r15.
+# (The four r13 formats.py forces all re-greened in r13 and are pruned —
+# with the round bumped they would otherwise reactivate.)
+_FORCE_FRONT_ROUND = 14
 _FORCE_FRONT = (
-    "layout_compact_plan",
-    "layout_zorder",
-    "layout_zorder_stats",
-    "xml_roundtrip",
+    # the 19 the verdict names (simulated positions 146-164)
+    "copy_reconcile",
+    "graph_link_predict_pages",
+    "graph_pagerank",
+    "graph_triangles_pages",
+    "join_cross",
+    "join_lateral",
+    "join_null_safe",
+    "join_outer",
+    "join_q5_local",
+    "join_semi_anti",
+    "join_skew_salted",
+    "join_star",
+    "merge_upsert",
+    "null_handling",
+    "recursive_price_buckets",
+    "set_ops",
+    "sql_shipping_priority",
+    "timeseries_interpolate",
+    "window_topk",
+    # the other 15 r9-stale — natural fronting breaks once this round's
+    # module edits land, so they are pinned too
+    "join_asof_nearest",
+    "multimodal_dedup",
+    "profile_columns",
+    "sample_per_group",
+    "similarity_ann_grid",
+    "skew_diagnose",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_ohlc",
+    "stream_sessionize",
+    "stream_sliding_agg",
+    "stream_static_join",
+    "stream_tumbling_agg",
+    "tfidf_top_terms",
+    "url_canonical",
 )
 
 

@@ -80,6 +80,29 @@ def salted_join(
     return p.join(b, on=on + ["_salt"], how=how).drop("_salt")
 
 
+def keep_min_by(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic one-row-per-key keeper: per key, keep the row whose
+    remaining-column struct is the MINIMUM (field comparison in the
+    frame's column order). Replaces bare dropDuplicates([key]) wherever
+    the kept PAYLOAD matters: dropDuplicates picks an ARBITRARY row, so
+    a checkpoint replay of a micro-batch carrying the same key with
+    conflicting payloads could keep the other row and break the
+    'replay rewrites its own delta byte-for-byte' idempotence contract
+    (r13 ADVICE). Shape: a partial-combining groupBy + struct unpack —
+    never a window over a possibly-hot key (the argmin-per-key rule);
+    column order is preserved. A keys-only frame degrades to
+    dropDuplicates (nothing to pick between identical rows)."""
+    others = [c for c in df.columns if c != key]
+    if not others:
+        return df.dropDuplicates([key])
+    packed = df.groupBy(key).agg(
+        F.min(F.struct(*[col(c) for c in others])).alias("_row")
+    )
+    return packed.select(
+        key, *[col(f"_row.{c}").alias(c) for c in others]
+    ).select(*df.columns)
+
+
 def salted_sum(
     df: DataFrame,
     key: str,

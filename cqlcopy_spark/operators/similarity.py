@@ -393,6 +393,34 @@ _IVF_TRAIN_CAP = 20_000  # max sample rows for driver-side centroid training
 _IVF_ITERS = 8
 
 
+def _train_sample(e: DataFrame, cap: int) -> list:
+    """Capped driver-side training sample: the `cap` smallest
+    portable_token multiplicative-hash rows of (vec_id, emb) —
+    seedless, reproducible, spread across the id space — returned
+    vec_id-SORTED so every row-order accumulation downstream (strided
+    init, np.mean) is independent of the scan layout (r11 ADVICE).
+
+    This replaces the pmod-stride filter all five training sites used
+    through r13 (`filter(pmod(vec_id, stride) == 0).collect()`): on a
+    fixed-residue id space — an all-odd sharded/snowflake id sequence
+    with an even stride, a perfectly realistic production id scheme —
+    residue class 0 is EMPTY (or garbage-small) and training died at
+    np.stack([]). The hash-TakeOrdered form can never come back empty:
+    any n >= 1 yields min(n, cap) rows (the r11 k-means recipe,
+    similarity.py _kmeans_fit; r13 VERDICT item 2). Physical plan is
+    TakeOrderedAndProject(cap), never a global sort; the hash is
+    overflow-free via portable_token's 16-bit decomposition
+    (CLAUDE.md int64 rule). Pinned on an all-odd snowflake-scale id
+    fixture in tests/test_train_sample.py."""
+    from cqlcopy_spark.functions.portable import portable_token
+
+    sample = (
+        e.orderBy(portable_token(col("vec_id")), "vec_id").limit(cap).collect()
+    )
+    sample.sort(key=lambda r: r["vec_id"])
+    return sample
+
+
 def _train_centroids(sample: "list", cells: int) -> "object":
     """Deterministic Lloyd's k-means on a driver-side sample — the
     standard IVF training recipe (FAISS trains coarse quantizers on an
@@ -441,8 +469,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _emb_double("embedding").alias("emb")
     )
     n_corpus = e.count()
-    stride = max(1, n_corpus // _IVF_TRAIN_CAP)
-    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    sample = _train_sample(e, _IVF_TRAIN_CAP)
     centroids = _train_centroids(sample, _IVF_CELLS)
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -1071,8 +1098,7 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _emb_double("embedding").alias("emb")
     )
     n_corpus = e.count()
-    stride = max(1, n_corpus // _IVF_TRAIN_CAP)
-    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
+    sample = _train_sample(e, _IVF_TRAIN_CAP)
     centroids = _train_centroids(sample, _IVF_CELLS)
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -1758,14 +1784,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
         "vec_id", _emb_double("embedding").alias("emb")
     )
     n_corpus = e.count()
-    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
-    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
-    # sort by vec_id: collect() row order is parquet-split dependent, and
-    # both the strided init and np.mean accumulate in row order — sorting
-    # makes the trained codebooks independent of the scan layout, so the
-    # determinism contract holds across environments, not just within a
-    # session (r11 ADVICE)
-    sample.sort(key=lambda r: r["vec_id"])
+    sample = _train_sample(e, _PQ_TRAIN_CAP)
     X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
     books = _pq_train(X)
     bc = spark.sparkContext.broadcast(books)
@@ -2250,9 +2269,7 @@ def _ivfpq_fit(spark: SparkSession, sf_dir: str):
         "vec_id", _emb_double("embedding").alias("emb")
     )
     n_corpus = e.count()
-    stride = max(1, n_corpus // _PQ_TRAIN_CAP)
-    sample = e.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
-    sample.sort(key=lambda r: r["vec_id"])
+    sample = _train_sample(e, _PQ_TRAIN_CAP)
     coarse, books = _ivfpq_train_from_sample(sample)
     par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
     enc = _ivfpq_encode_frame(e.repartition(par), coarse, books)
@@ -2571,8 +2588,22 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTPUTS — tiny — while the lineage behind them is the expensive
     part; session lifetime per the curation.py:570 convention
     (bench/driver clearCache between queries)."""
-    ann = similarity_ann_grid(spark, sf_dir).persist().alias("ann")
-    ex = _dense_topk(spark, sf_dir).persist().alias("ex")
+    return _retrieval_metrics(
+        similarity_ann_grid(spark, sf_dir), _dense_topk(spark, sf_dir)
+    )
+
+
+def _retrieval_metrics(ann_list: DataFrame, exact_list: DataFrame) -> DataFrame:
+    """The metric kernel of retrieval_eval_metrics factored over ANY
+    (q_id, n_id, rank) candidate list vs exact ground-truth list — so the
+    persisted-index promotion gate (vector_index.similarity_index_eval)
+    scores with the LITERAL same arithmetic the oracled grid evaluation
+    is driver-hash-checked on, and the two can't drift (r13 VERDICT
+    item 6). Inputs are ≤ Q×k-row relations; both persist here because
+    each feeds a Q-key aggregate AND the hits join (see caller
+    docstring)."""
+    ann = ann_list.persist().alias("ann")
+    ex = exact_list.persist().alias("ex")
     hits = (
         ann.join(
             ex.select(col("q_id").alias("hq"), col("n_id").alias("hn")),

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from cqlcopy_spark.catalog import table
+from cqlcopy_spark.functions.skew import keep_min_by
 from cqlcopy_spark.plans.registry import register
 
 _CODES_SCHEMA = "vec_id long, emb array<double>, cell int, codes string"
@@ -52,22 +53,20 @@ _CODES_SCHEMA = "vec_id long, emb array<double>, cell int, codes string"
 def _fit_from_base(base: DataFrame):
     """(coarse_centroids, residual_codebooks) trained on a capped,
     vec_id-sorted driver sample of the BASE frame only — the SHARED
-    `_ivfpq_train_from_sample` recipe (similarity.py), so the
-    determinism contract (layout-independent sample, seedless strided
-    init, deterministic per-dimension assignment) cannot drift from the
-    same-session IVFADC family (r13 review factoring). Appended batches
-    never influence training: that is the incremental-index contract
-    the verify twin checks."""
+    `_train_sample` + `_ivfpq_train_from_sample` recipe (similarity.py),
+    so the determinism contract (layout-independent hash-TakeOrdered
+    sample — never empty on a fixed-residue production id space, r13
+    VERDICT item 2 — seedless strided init, deterministic per-dimension
+    assignment) cannot drift from the same-session IVFADC family (r13
+    review factoring). Appended batches never influence training: that
+    is the incremental-index contract the verify twin checks."""
     from cqlcopy_spark.operators.similarity import (
         _PQ_TRAIN_CAP,
         _ivfpq_train_from_sample,
+        _train_sample,
     )
 
-    n_base = base.count()
-    stride = max(1, n_base // _PQ_TRAIN_CAP)
-    sample = base.filter(F.pmod(col("vec_id"), F.lit(stride)) == 0).collect()
-    sample.sort(key=lambda r: r["vec_id"])  # layout-independent (r11 ADVICE)
-    return _ivfpq_train_from_sample(sample)
+    return _ivfpq_train_from_sample(_train_sample(base, _PQ_TRAIN_CAP))
 
 
 def _encode_with(frame: DataFrame, coarse, books) -> DataFrame:
@@ -83,24 +82,53 @@ def _encode_with(frame: DataFrame, coarse, books) -> DataFrame:
     return _ivfpq_encode_frame(frame, coarse, books)
 
 
-def vector_index_build(base: DataFrame, state_dir: str) -> None:
+def vector_index_build(base: DataFrame, state_dir: str, batch_id: int = 0) -> None:
     """Train on the base slice, encode it, persist the index artifacts:
 
-    - ``centroids.parquet``  (cell int, c array<double>)
-    - ``codebooks.parquet``  (m int, k int, c array<double>)
-    - ``codes/delta=0``      ({codes schema}) — the base encode
+    - ``centroids.parquet``      (cell int, c array<double>)
+    - ``codebooks.parquet``      (m int, k int, c array<double>)
+    - ``codes/delta=<batch_id>`` ({codes schema}) — the base encode
 
     The training artifacts are cells×dim + M×K×sub doubles — driver-
     resident state written and read back DRIVER-SIDE via pyarrow (the
     FAISS index-header analogue: it is not a dataset, so routing ~150
     tiny rows through spark.createDataFrame+write cost two full Spark
-    jobs ≈ 11s of the first bench measurement — profiled r13)."""
+    jobs ≈ 11s of the first bench measurement — profiled r13).
+
+    Crash safety + provenance (both r13 ADVICE):
+    - the header files are written to temp names and os.replace'd —
+      rename is atomic, and codebooks.parquet (the streaming sink's
+      'trained' sentinel) lands LAST, after the codes delta, so a crash
+      mid-build can never leave a truncated sentinel that flips every
+      replay onto the append path against corrupt artifacts; a replayed
+      seed batch simply retrains over the partial state;
+    - the seed delta carries the REAL batch id: with empty leading
+      stream batches the seed arrives as batch K>0, and hard-coding
+      delta=0 both mislabeled _rows_with_batch provenance and made a
+      replay of batch K anti-join against its own rows (filed under
+      delta=0 < K) and write an empty delta=K. With delta=K the replay
+      re-derives from state strictly below K — nothing — and rewrites
+      the same rows.
+    In-batch duplicate vec_ids collapse via the DETERMINISTIC min-struct
+    keeper before both training and encode, so a replay trains and
+    encodes the identical row set even when the batch carries one id
+    with conflicting payloads (bare dropDuplicates picked arbitrarily)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    coarse, books = _fit_from_base(base)
+    seed = keep_min_by(base.select("vec_id", "emb"), "vec_id")
+    coarse, books = _fit_from_base(seed)
     os.makedirs(state_dir, exist_ok=True)
-    pq.write_table(
+    _encode_with(seed, coarse, books).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "codes", f"delta={batch_id}")
+    )
+
+    def _atomic_write(tbl, name: str) -> None:
+        tmp = os.path.join(state_dir, name + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(state_dir, name))
+
+    _atomic_write(
         pa.table(
             {
                 "cell": pa.array(range(len(coarse)), type=pa.int32()),
@@ -108,14 +136,14 @@ def vector_index_build(base: DataFrame, state_dir: str) -> None:
                               type=pa.list_(pa.float64())),
             }
         ),
-        os.path.join(state_dir, "centroids.parquet"),
+        "centroids.parquet",
     )
     rows = [
         (m, k, list(map(float, books[m][k])))
         for m in range(len(books))
         for k in range(books[m].shape[0])
     ]
-    pq.write_table(
+    _atomic_write(
         pa.table(
             {
                 "m": pa.array([r[0] for r in rows], type=pa.int32()),
@@ -124,11 +152,8 @@ def vector_index_build(base: DataFrame, state_dir: str) -> None:
                               type=pa.list_(pa.float64())),
             }
         ),
-        os.path.join(state_dir, "codebooks.parquet"),
+        "codebooks.parquet",
     )
-    _encode_with(base.dropDuplicates(["vec_id"]), coarse, books).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "codes", "delta=0"))
 
 
 def _load_artifacts(spark: SparkSession, state_dir: str):
@@ -194,10 +219,13 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
         prior_ids = prior_ids.unionByName(
             _read_tombstones(spark, state_dir, batch_id)
         )
-    fresh = (
-        new_df.select("vec_id", "emb")
-        .dropDuplicates(["vec_id"])
-        .join(prior_ids, "vec_id", "left_anti")
+    # deterministic in-batch keeper (min emb per vec_id), never bare
+    # dropDuplicates: an arbitrary pick would let a checkpoint replay of
+    # a batch carrying one vec_id with conflicting payloads write a
+    # DIFFERENT delta than the first run, breaking the byte-for-byte
+    # replay contract (r13 ADVICE)
+    fresh = keep_min_by(new_df.select("vec_id", "emb"), "vec_id").join(
+        prior_ids, "vec_id", "left_anti"
     )
     coarse, books = _load_artifacts(spark, state_dir)
     _encode_with(fresh, coarse, books).write.mode("overwrite").parquet(
@@ -233,6 +261,19 @@ def vector_index_search(
     never shuffled), exact-cosine refine over the tiny candidate set —
     similarity_ivfpq's query half pointed at parquet instead of a
     same-session encode."""
+    return _search_codes_frame(
+        spark, state_dir, queries, read_index_codes(spark, state_dir)
+    )
+
+
+def _search_codes_frame(
+    spark: SparkSession, state_dir: str, queries: list, codes: DataFrame
+) -> DataFrame:
+    """The search half over an EXPLICIT codes frame — factored so the
+    vacuum twin can serve the snapshotted pre-vacuum view through the
+    byte-identical query path it serves the vacuumed state with (the
+    candidate cut is per-partition, so a served list is only comparable
+    across two states scanned under the same physical layout)."""
     import numpy as np
 
     from cqlcopy_spark.operators.similarity import (
@@ -254,7 +295,7 @@ def vector_index_search(
     bc = spark.sparkContext.broadcast(
         ([q for q, _, _ in queries], _query_luts(books, queries), const_all, probes)
     )
-    cands = read_index_codes(spark, state_dir).mapInPandas(
+    cands = codes.mapInPandas(
         _adc_scan_kernel(bc), schema="q_id long, vec_id long, emb array<double>"
     )
     return _adc_refine_topk(spark, cands, queries)
@@ -359,7 +400,12 @@ def similarity_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_ann_violations` over the served top-k."""
     e, state = _incremental_index(spark, sf_dir)
     coarse, books = _load_artifacts(spark, state)
-    oneshot = _encode_with(e.dropDuplicates(["vec_id"]), coarse, books).select(
+    # the one-shot side collapses duplicate ids with the SAME
+    # deterministic keeper the build/append paths use, so the parity
+    # claim is well-defined even on duplicate-id inputs
+    oneshot = _encode_with(
+        keep_min_by(e.select("vec_id", "emb"), "vec_id"), coarse, books
+    ).select(
         "vec_id", col("cell").alias("o_cell"), col("codes").alias("o_codes")
     )
     stored = read_index_codes(spark, state).select("vec_id", "cell", "codes")
@@ -504,7 +550,7 @@ def _delete_violations(
     tombs = _read_tombstones(spark, state)
     survivors = corpus.join(tombs, "vec_id", "left_anti")
     oneshot = _encode_with(
-        survivors.dropDuplicates(["vec_id"]), coarse, books
+        keep_min_by(survivors.select("vec_id", "emb"), "vec_id"), coarse, books
     ).select("vec_id", col("cell").alias("o_cell"), col("codes").alias("o_codes"))
     stored = read_index_codes(spark, state).select("vec_id", "cell", "codes")
 
@@ -551,6 +597,255 @@ def _delete_violations(
         .unionByName(extra)
         .unionByName(mutated)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vacuum: the offline index-version swap that physically prunes
+# tombstoned rows (the lever vector_index_delete's docstring promises)
+# ---------------------------------------------------------------------------
+
+
+def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
+    """Physically prune tombstoned code rows AND their tombstones by
+    writing the current reader view (codes ANTI-JOIN tombstones) as a
+    new compaction version of the codes index, stamped strictly ABOVE
+    every existing delta — the version-swap lever the delete docstring
+    promises, on compact_cdc_tombstones' discipline (streaming/sinks.py:
+    offline, between batches, caller owns the horizon claim). Returns
+    the number of code rows pruned.
+
+    What changes and for whom:
+    - Readers at-or-above the new version (every future read: searches,
+      appends' first-delivery guard, read_index_codes) see the pruned
+      codes plus an EMPTY tombstone compaction — the codes scan stops
+      carrying dead rows and the per-read tombstone anti-join's build
+      side stops growing with lifetime deletes.
+    - RAW deltas (codes AND tombstones) are RETAINED as replay truth:
+      a same-checkpoint replay of any batch b reads compactions ≤ b
+      and raw deltas — never the vacuum version stamped above it — so
+      it re-derives from exactly the state it saw the first time
+      (_read_index_deltas' out-of-order contract), and
+      _rows_with_batch provenance (the delete twin's 'resurrected'
+      check) still sees every historical write.
+
+    The horizon claim (caller-owned, the lakehouse-VACUUM contract):
+    pruning a tombstone removes it from the append guard, so the caller
+    asserts no producer will ever re-deliver an id retired before the
+    vacuum. If a producer breaks that claim the re-add LANDS — which is
+    exactly why the claim is checkable after the fact: the raw-delta
+    'resurrected' invariant flags it (reader-level checks cannot, by
+    construction — tests/test_vector_index_vacuum.py plants one).
+
+    Crash safety: the new codes version is a Spark overwrite write
+    (_SUCCESS-gated — a partial dir is ignored by _compact_versions and
+    overwritten on retry); superseded versions are removed only after
+    it lands; the tombstone side is swapped last. A crash between the
+    two swaps leaves pruned codes + full tombstones — a consistent,
+    merely unvacuumed-tombstone state; re-running the vacuum completes
+    it (idempotent)."""
+    import shutil
+
+    from cqlcopy_spark.streaming.sinks import _compact_versions, _delta_ids
+
+    codes_root = os.path.join(state_dir, "codes")
+    tomb_root = os.path.join(state_dir, "tombstones")
+    if not os.path.isdir(tomb_root):
+        return 0  # nothing retired — nothing to prune
+    everything = (
+        _delta_ids(codes_root, 1 << 62)
+        + _delta_ids(tomb_root, 1 << 62)
+        + _compact_versions(codes_root)
+        + _compact_versions(tomb_root)
+    )
+    if not everything:
+        return 0
+    vid = 1 + max(everything)
+    tombs = _read_tombstones(spark, state_dir)
+    all_codes = _read_index_deltas_codes(spark, state_dir)
+    # one bounded count job: how many stored rows the swap removes
+    n_pruned = all_codes.join(tombs, "vec_id", "left_semi").count()
+    view = all_codes.join(tombs, "vec_id", "left_anti")
+    (
+        view.repartition("vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(codes_root, "compact", f"v={vid}"))
+    )
+    for v in _compact_versions(codes_root):
+        if v < vid:
+            shutil.rmtree(
+                os.path.join(codes_root, "compact", f"v={v}"), ignore_errors=True
+            )
+    # tombstone swap LAST: an empty compaction at the same version —
+    # every pre-vacuum tombstone is already reflected in the pruned
+    # codes version, so readers at/above vid need none of them
+    spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+        os.path.join(tomb_root, "compact", f"v={vid}")
+    )
+    for v in _compact_versions(tomb_root):
+        if v < vid:
+            shutil.rmtree(
+                os.path.join(tomb_root, "compact", f"v={v}"), ignore_errors=True
+            )
+    return n_pruned
+
+
+def _read_index_deltas_codes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cumulative codes state WITHOUT the tombstone mask — the
+    physical row set read_index_codes starts from."""
+    from cqlcopy_spark.streaming.sinks import _read_index_deltas
+
+    return _read_index_deltas(
+        spark, os.path.join(state_dir, "codes"), 1 << 62, _CODES_SCHEMA
+    )
+
+
+@register("similarity_index_vacuum_verify", oracle=_INDEX_VERIFY_ORACLE)
+def similarity_index_vacuum_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract of the vacuum swap over the full delete
+    lifecycle (build → append → delete → poisoned re-adds → append →
+    VACUUM) — one row per violation against the empty relation:
+
+    - 'search_drift': a served (q_id, n_id, cosine, rank) row present on
+      only one side of the swap — the vacuumed index must serve
+      byte-identical results. The comparison serves the SNAPSHOTTED
+      pre-vacuum view through the identical query path and identical
+      physical layout (the ADC candidate cut is per-partition, so a
+      live multi-delta pre state packs into different scan partitions
+      than the compacted post state and drifts for reasons the vacuum
+      does not own — caught at sf0.01);
+    - 'view_drift': a reader-view codes row (vec_id, emb, cell, codes)
+      on only one side — bitwise invariance of the full visible corpus,
+      which subsumes lost/extra/mutated/dup in one exceptAll pair (the
+      pre view is snapshotted to parquet inside the temp state dir, not
+      collected: it is corpus-sized);
+    - 'dead_row': a tombstoned id PHYSICALLY present in the post-vacuum
+      compacted codes — the vacuousness guard: without it a no-op
+      vacuum would pass both drift checks trivially;
+    - 'tombstone_residue': a reader-visible tombstone surviving the
+      swap — the anti-join build side must be empty after vacuum.
+
+    What this twin deliberately does NOT claim: that a retired id can
+    never return POST-vacuum. Pruning the tombstone removes it from the
+    append guard by design (the caller-owned horizon claim), and a
+    reader-level check here would be vacuous anyway (the masked layer
+    is gone). The raw-delta 'resurrected' invariant remains the
+    checkable truth and tests/test_vector_index_vacuum.py plants a
+    post-vacuum re-add to prove it fires.
+
+    Expected output: EMPTY."""
+    from cqlcopy_spark.operators.similarity import _collect_queries
+
+    e, state = _lifecycle_state(spark, sf_dir)
+    qlist = _collect_queries(e)
+    pre_view_dir, raw_tombs = _pre_vacuum_snapshot(spark, state)
+    vector_index_vacuum(spark, state)
+    return _vacuum_violations(spark, state, qlist, pre_view_dir, raw_tombs)
+
+
+def _pre_vacuum_snapshot(spark: SparkSession, state: str):
+    """(view snapshot dir, raw tombstone frame) captured BEFORE the
+    swap: the corpus-sized reader view is snapshotted to parquet inside
+    the temp state dir (never collected) under the vacuum's EXACT
+    physical layout recipe — hash-clustered and sorted on vec_id — so
+    serving the snapshot and serving the vacuumed state scan identical
+    partitions and the per-partition candidate cut cannot manufacture
+    drift (the ADC scan's served list is layout-dependent by design;
+    first caught at sf0.01 where the multi-delta pre state and the
+    single-dir vacuumed state packed differently). The raw tombstones
+    are persisted and materialized now because the swap empties the
+    reader-visible set they derive from."""
+    pre_view_dir = os.path.join(state, "pre_vacuum_view")
+    (
+        read_index_codes(spark, state)
+        .repartition("vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(pre_view_dir)
+    )
+    raw_tombs = _read_tombstones(spark, state).persist()
+    raw_tombs.count()
+    return pre_view_dir, raw_tombs
+
+
+def _vacuum_violations(
+    spark: SparkSession,
+    state: str,
+    qlist: list,
+    pre_view_dir: str,
+    raw_tombs: DataFrame,
+) -> DataFrame:
+    """The four post-swap violation families over an existing vacuumed
+    state dir (kind semantics in similarity_index_vacuum_verify) —
+    factored so tests/test_vector_index_vacuum.py can corrupt the
+    vacuumed state and assert the exact planted rows come back."""
+    post_search = vector_index_search(spark, state, qlist)
+    pre_search = _search_codes_frame(
+        spark,
+        state,
+        qlist,
+        spark.read.schema(_CODES_SCHEMA).parquet(pre_view_dir),
+    )
+    search_drift = (
+        pre_search.exceptAll(post_search)
+        .unionByName(post_search.exceptAll(pre_search))
+        .select(col("n_id").alias("vec_id"), F.lit("search_drift").alias("kind"))
+    )
+    post_view = read_index_codes(spark, state)
+    pre_view = spark.read.schema(_CODES_SCHEMA).parquet(pre_view_dir)
+    view_drift = (
+        pre_view.exceptAll(post_view)
+        .unionByName(post_view.exceptAll(pre_view))
+        .select("vec_id", F.lit("view_drift").alias("kind"))
+    )
+    dead = (
+        _read_index_deltas_codes(spark, state)
+        .join(raw_tombs, "vec_id", "left_semi")
+        .select("vec_id", F.lit("dead_row").alias("kind"))
+    )
+    residue = _read_tombstones(spark, state).select(
+        "vec_id", F.lit("tombstone_residue").alias("kind")
+    )
+    # no trailing orderBy (CLAUDE.md): an empty relation needs no sort
+    return (
+        search_drift.unionByName(view_drift)
+        .unionByName(dead)
+        .unionByName(residue)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promotion gate: retrieval quality of the PERSISTED index
+# ---------------------------------------------------------------------------
+
+
+@register("similarity_index_eval")  # rows-only: IVF/PQ list isn't SQL-expressible
+def similarity_index_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion gate for the persisted incremental index — the index a
+    production loop would actually swap into serving: recall@k /
+    precision@k / MRR of vector_index_search's served list against the
+    exact top-k ground truth, via the LITERAL metric kernel the fully-
+    oracled grid evaluation is driver-hash-checked on
+    (similarity._retrieval_metrics — r13 VERDICT item 6, the
+    retrieval_eval_metrics factoring), so the gate's arithmetic cannot
+    drift from the verified one. Rows-only because the IVF/PQ candidate
+    list isn't SQL-expressible (trained artifacts); the metric
+    arithmetic itself is pinned by the pure-Python recompute in
+    tests/test_index_eval.py (the test_retrieval_eval.py contract) and
+    every served pair's exactness by similarity_index_verify.
+
+    Scale shape: both inputs are ≤ Q×k relations (the search's one-scan
+    plan and the exact side's broadcast-Q scan carry the corpus cost);
+    the metrics are three Q-sized aggregates and two Q-key joins."""
+    from cqlcopy_spark.operators.similarity import (
+        _collect_queries,
+        _dense_topk,
+        _retrieval_metrics,
+    )
+
+    e, state = _incremental_index(spark, sf_dir)
+    ann = vector_index_search(spark, state, _collect_queries(e))
+    return _retrieval_metrics(ann, _dense_topk(spark, sf_dir))
 
 
 @register("similarity_index_delete_verify", oracle=_INDEX_VERIFY_ORACLE)

@@ -853,13 +853,16 @@ def minhash_apply_batch(
     # indexed exactly once. A source that re-emits a doc (CDC update,
     # upstream reprocessing outside checkpoint replay) would otherwise
     # duplicate pairs and fan out every verify join touching that id —
-    # so re-deliveries are dropped here: dedup within the batch, then a
-    # keys-only anti-join against the prior index. Revising a document's
-    # text is a DELETE+INSERT under a fresh id in this model.
-    fresh = (
-        batch_df.select("doc_id", "text")
-        .dropDuplicates(["doc_id"])
-        .join(prev_hashes.select("doc_id"), "doc_id", "left_anti")
+    # so re-deliveries are dropped here: dedup within the batch via the
+    # DETERMINISTIC min-struct keeper (bare dropDuplicates picks an
+    # arbitrary row on conflicting same-id payloads, letting a replay
+    # write a different delta than the first run — the r13 ADVICE class),
+    # then a keys-only anti-join against the prior index. Revising a
+    # document's text is a DELETE+INSERT under a fresh id in this model.
+    from cqlcopy_spark.functions.skew import keep_min_by
+
+    fresh = keep_min_by(batch_df.select("doc_id", "text"), "doc_id").join(
+        prev_hashes.select("doc_id"), "doc_id", "left_anti"
     )
     docs = _with_minhash_sig(fresh).persist()
     new_bands = _band_rows(docs).persist()
@@ -1011,12 +1014,17 @@ def curation_apply_batch(
        construction of the anti-join, so the cumulative read is a
        plain union).
 
-    In-batch doc_id re-deliveries collapse first (dropDuplicates on the
-    key); the gates are deterministic per document, so a re-delivered
-    REJECTED doc re-rejects identically and needs no doc_id index."""
+    In-batch doc_id re-deliveries collapse first via the DETERMINISTIC
+    min-struct keeper — never bare dropDuplicates, which picks an
+    arbitrary row when one batch carries the same doc_id with
+    conflicting payloads and so lets a checkpoint replay write a
+    DIFFERENT delta than the first run (r13 ADVICE); the gates are
+    deterministic per document, so a re-delivered REJECTED doc
+    re-rejects identically and needs no doc_id index."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
 
+    from cqlcopy_spark.functions.skew import keep_min_by
     from cqlcopy_spark.operators.text import _PACK_SHARDS, _curation_gated
 
     spark = batch_df.sparkSession
@@ -1025,7 +1033,7 @@ def curation_apply_batch(
     prior_ths = _read_index_deltas(spark, ths_root, batch_id, "th string")
 
     gated = _curation_gated(
-        batch_df.select("doc_id", "text", "n_chars").dropDuplicates(["doc_id"])
+        keep_min_by(batch_df.select("doc_id", "text", "n_chars"), "doc_id")
     )
     keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
     admitted = (
@@ -1126,13 +1134,22 @@ def continuous_vector_index_sink(
 
     Replay semantics: a replayed batch re-derives from the state
     strictly below its own id (vector_index_append) and overwrites its
-    own delta. A replayed FIRST batch takes the append path once the
-    codebooks exist — it reads no prior deltas and the codebooks were
-    trained on exactly this batch, so it rewrites delta=0 byte-equal
-    (idempotent by construction). An EMPTY batch before any training
-    is skipped entirely: there is nothing to train on, and training on
-    the first NON-empty batch keeps the trained artifacts a pure
-    function of the stream prefix.
+    own delta. The seed delta carries the SEED BATCH'S REAL id (r13
+    ADVICE: empty leading batches are skipped, so the seed can arrive
+    as batch K>0 — hard-coding delta=0 mislabeled provenance and made
+    a replayed seed anti-join against its own rows and write an empty
+    delta=K); a replayed seed batch therefore takes the append path —
+    the codebooks exist and were trained on exactly this batch, prior
+    deltas strictly below K are empty — and rewrites delta=K with the
+    same rows (idempotent by construction). 'Trained' is gated on
+    codebooks.parquet, which vector_index_build now renames into place
+    ATOMICALLY and LAST (after the codes delta and centroids), so a
+    crash mid-build cannot leave a truncated sentinel that flips every
+    replay onto the append path against corrupt artifacts (r13 ADVICE)
+    — the replayed seed just retrains over the partial state. An EMPTY
+    batch before any training is skipped entirely: there is nothing to
+    train on, and training on the first NON-empty batch keeps the
+    trained artifacts a pure function of the stream prefix.
 
     The cross-run guard (_run_guard) refuses a foreign checkpoint
     ('error') or wipes the index state and recomputes ('restart') —
@@ -1168,7 +1185,7 @@ def continuous_vector_index_sink(
         if not trained:
             if batch_df.isEmpty():
                 return  # nothing to train on yet — wait for data
-            vector_index_build(batch_df, state_dir)
+            vector_index_build(batch_df, state_dir, batch_id=batch_id)
         else:
             vector_index_append(batch_df, batch_id, state_dir)
         _write_run_marker(state_dir, qid)

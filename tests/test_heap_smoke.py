@@ -93,6 +93,13 @@ HEAVY_OPS = [
     # poisoned re-adds + one-shot survivor re-encode + raw-delta
     # provenance joins in one session
     "similarity_index_delete_verify",
+    # r14: the delete lifecycle PLUS a corpus-sized view snapshot write,
+    # the vacuum's anti-join rewrite, two searches and four exceptAll
+    # drift families in one session — the round's heaviest lineage
+    "similarity_index_vacuum_verify",
+    # r14: persisted-index build + search + the Q×N exact ranking and
+    # two persisted ≤Q×k metric inputs in one plan (the promotion gate)
+    "similarity_index_eval",
 ]
 
 _SCRIPT = r"""

@@ -1455,13 +1455,17 @@ def test_stream_curation_batch_kernel_shapes(spark, tmp_path):
     the admitted frame the kernel writes."""
     from pyspark.sql import functions as F
 
+    from cqlcopy_spark.functions.skew import keep_min_by
     from cqlcopy_spark.operators.text import _curation_gated
     from cqlcopy_spark.streaming.sinks import _read_index_deltas
 
     d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
         "doc_id", "text", "n_chars"
     )
-    gated = _curation_gated(d.dropDuplicates(["doc_id"]))
+    # the kernel's deterministic in-batch keeper (r14: replaced bare
+    # dropDuplicates, which picked an arbitrary row on conflicting
+    # same-id payloads — the r13 ADVICE replay-idempotence class)
+    gated = _curation_gated(keep_min_by(d, "doc_id"))
     keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
     prior = _read_index_deltas(spark, str(tmp_path / "none"), 1, "th string")
     admitted = gated.join(keeper, ["th", "doc_id"], "left_semi").join(
