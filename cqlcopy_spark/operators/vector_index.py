@@ -211,6 +211,7 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
 
     spark = new_df.sparkSession
     codes_root = os.path.join(state_dir, "codes")
+    _below_floor_guard(codes_root, batch_id, "vector_index_append")
     _maybe_compact_index(spark, codes_root, batch_id, _CODES_SCHEMA, ["vec_id"])
     prior_ids = _read_index_deltas(
         spark, codes_root, batch_id, _CODES_SCHEMA
@@ -231,6 +232,36 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
     _encode_with(fresh, coarse, books).write.mode("overwrite").parquet(
         os.path.join(codes_root, f"delta={batch_id}")
     )
+
+
+def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
+    """Refuse a FIRST-TIME write whose batch id sits below the root's
+    newest compaction version: every reader resolves state as (newest
+    compaction ≤ reader) + (deltas ≥ that version), so such a delta
+    would be invisible to every current reader — silently lost data.
+    This state can only arise from a non-monotone log: an out-of-band
+    writer numbering below a compaction or vacuum stamp (vacuum stamps
+    strictly above every existing id, so post-vacuum writers must
+    continue above it). A REPLAY of the same batch id is legitimate and
+    passes: its delta dir already exists (replays rewrite identical
+    content — the idempotence contract — and out-of-order replays below
+    a later batch's compaction are exactly what the retained raw deltas
+    are for)."""
+    from cqlcopy_spark.streaming.sinks import _compact_versions
+
+    vs = _compact_versions(root)
+    if (
+        vs
+        and batch_id < vs[-1]
+        and not os.path.isdir(os.path.join(root, f"delta={batch_id}"))
+    ):
+        raise ValueError(
+            f"{what}: batch_id {batch_id} is below this index root's "
+            f"compaction floor v={vs[-1]} and is not a replay (no "
+            f"existing delta={batch_id}) — the write would be invisible "
+            "to every reader. Writers must use monotone batch ids; "
+            "after a vacuum, continue strictly above the vacuum version."
+        )
 
 
 def read_index_codes(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -473,6 +504,7 @@ def vector_index_delete(
 
     spark = vec_ids.sparkSession
     tomb_root = os.path.join(state_dir, "tombstones")
+    _below_floor_guard(tomb_root, batch_id, "vector_index_delete")
     _maybe_compact_index(spark, tomb_root, batch_id, "vec_id long", ["vec_id"])
     vec_ids.select("vec_id").dropDuplicates(["vec_id"]).write.mode(
         "overwrite"
@@ -628,6 +660,15 @@ def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
       _rows_with_batch provenance (the delete twin's 'resurrected'
       check) still sees every historical write.
 
+    Monotone-log requirement: the vacuum version is stamped strictly
+    ABOVE every existing delta and compaction, so every post-vacuum
+    writer must carry a batch id above it — automatic when appends,
+    deletes and the vacuum share one monotone numbering (the offline-
+    between-batches contract). A first-time write numbered below the
+    stamp would be invisible to every reader (the compact-floor read);
+    _below_floor_guard turns that silent loss into an error while still
+    admitting legitimate out-of-order REPLAYS (their delta dirs exist).
+
     The horizon claim (caller-owned, the lakehouse-VACUUM contract):
     pruning a tombstone removes it from the append guard, so the caller
     asserts no producer will ever re-deliver an id retired before the
@@ -664,6 +705,14 @@ def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
     all_codes = _read_index_deltas_codes(spark, state_dir)
     # one bounded count job: how many stored rows the swap removes
     n_pruned = all_codes.join(tombs, "vec_id", "left_semi").count()
+    if n_pruned == 0 and tombs.isEmpty():
+        # nothing to prune and nothing to swap — the state right after
+        # a completed vacuum. Without this fast path a re-run rewrote
+        # the whole corpus as a fresh version for nothing. A crash
+        # BETWEEN the two swaps leaves n_pruned == 0 with tombstones
+        # still visible, which falls through and completes the vacuum
+        # (the crash-retry contract).
+        return 0
     view = all_codes.join(tombs, "vec_id", "left_anti")
     (
         view.repartition("vec_id")

@@ -64,16 +64,44 @@ def test_vacuum_verify_families_empty_after_clean_vacuum(spark, vacuumed):
 
 
 def test_vacuum_idempotent(spark, vacuumed):
-    """A second vacuum finds nothing to prune and leaves the view
-    unchanged (the crash-retry contract)."""
+    """A second vacuum is a NO-OP: nothing pruned, the view unchanged,
+    and no fresh corpus rewrite (the fast path — a re-run must not pay
+    a version swap for nothing)."""
     from cqlcopy_spark.operators.vector_index import (
         read_index_codes,
         vector_index_vacuum,
     )
+    from cqlcopy_spark.streaming.sinks import _compact_versions
 
     e, state, qlist, snap, _ = vacuumed
     before = read_index_codes(spark, state).count()
+    vids_before = _compact_versions(os.path.join(state, "codes"))
     assert vector_index_vacuum(spark, state) == 0
+    assert _compact_versions(os.path.join(state, "codes")) == vids_before
+    assert read_index_codes(spark, state).count() == before
+
+
+def test_vacuum_crash_between_swaps_completes_on_retry(spark, vacuumed):
+    """Crash-retry: with the tombstone swap missing (the crash window),
+    a re-run falls through the no-op fast path and completes the vacuum
+    — tombstones emptied, view unchanged."""
+    import shutil
+
+    from cqlcopy_spark.operators.vector_index import (
+        _read_tombstones,
+        read_index_codes,
+        vector_index_vacuum,
+    )
+    from cqlcopy_spark.streaming.sinks import _compact_versions
+
+    e, state, qlist, snap, _ = vacuumed
+    before = read_index_codes(spark, state).count()
+    tomb_root = os.path.join(state, "tombstones")
+    vid = _compact_versions(tomb_root)[-1]
+    shutil.rmtree(os.path.join(tomb_root, "compact", f"v={vid}"))
+    assert _read_tombstones(spark, state).count() > 0  # the crash state
+    assert vector_index_vacuum(spark, state) == 0  # nothing left to prune
+    assert _read_tombstones(spark, state).count() == 0  # but it completed
     assert read_index_codes(spark, state).count() == before
 
 
@@ -166,6 +194,29 @@ def test_post_vacuum_resurrection_lands_and_raw_deltas_flag_it(spark, vacuumed):
         codes_prov.join(tomb_prov, "vec_id").filter(col("b") > col("tb"))
     )
     assert doomed_id in {r["vec_id"] for r in resurrected.collect()}
+
+
+def test_first_time_write_below_vacuum_floor_refused(spark, vacuumed):
+    """A NEW append or delete numbered below the vacuum stamp would be
+    invisible to every reader (the compact-floor read) — the guard turns
+    the silent loss into an error. Replays (existing delta dirs) pass:
+    test_replay_below_vacuum_reads_pre_vacuum_truth below re-runs batch
+    3 through the same code path."""
+    from cqlcopy_spark.operators.vector_index import (
+        vector_index_append,
+        vector_index_delete,
+    )
+
+    e, state, qlist, snap, _ = vacuumed
+    fresh = e.limit(1)
+    with pytest.raises(ValueError, match="below this index root's"):
+        # batch 1 exists as a delta (replayable); batch 2 was the
+        # TOMBSTONE batch, so codes/delta=2 does not exist — an append
+        # numbered 2 is a first-time write below the floor
+        vector_index_append(fresh, 2, state)
+    with pytest.raises(ValueError, match="below this index root's"):
+        # tombstones/delta=1 does not exist either (batch 1 appended)
+        vector_index_delete(fresh.select("vec_id"), 1, state)
 
 
 def test_replay_below_vacuum_reads_pre_vacuum_truth(spark, vacuumed):
