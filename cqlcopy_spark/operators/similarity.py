@@ -2604,6 +2604,13 @@ def _retrieval_metrics(ann_list: DataFrame, exact_list: DataFrame) -> DataFrame:
     docstring)."""
     ann = ann_list.persist().alias("ann")
     ex = exact_list.persist().alias("ex")
+    # materialize the caches NOW: the three metric branches are
+    # independent stages of one job and otherwise RACE to populate an
+    # unfilled cache, recomputing the expensive lineage per branch
+    # (r14 audit: similarity_index_eval measured ~2x its component sum
+    # until this). Each count touches ≤ Q×k cached rows.
+    ann.count()
+    ex.count()
     hits = (
         ann.join(
             ex.select(col("q_id").alias("hq"), col("n_id").alias("hn")),

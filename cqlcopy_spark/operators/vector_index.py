@@ -828,18 +828,27 @@ def _vacuum_violations(
     state dir (kind semantics in similarity_index_vacuum_verify) —
     factored so tests/test_vector_index_vacuum.py can corrupt the
     vacuumed state and assert the exact planted rows come back."""
-    post_search = vector_index_search(spark, state, qlist)
+    # both searches feed BOTH exceptAll directions: persist and
+    # materialize (≤ Q×k rows each) or the two drift branches recompute
+    # the whole scan+refine lineage per direction (the cache-race rule —
+    # see similarity._retrieval_metrics)
+    post_search = vector_index_search(spark, state, qlist).persist()
     pre_search = _search_codes_frame(
         spark,
         state,
         qlist,
         spark.read.schema(_CODES_SCHEMA).parquet(pre_view_dir),
-    )
+    ).persist()
+    post_search.count()
+    pre_search.count()
     search_drift = (
         pre_search.exceptAll(post_search)
         .unionByName(post_search.exceptAll(pre_search))
         .select(col("n_id").alias("vec_id"), F.lit("search_drift").alias("kind"))
     )
+    # the views are single parquet scans (plus one broadcast anti-join
+    # on the post side) — cheaper to scan twice than to cache a
+    # corpus-sized relation, so they stay unpersisted on purpose
     post_view = read_index_codes(spark, state)
     pre_view = spark.read.schema(_CODES_SCHEMA).parquet(pre_view_dir)
     view_drift = (
