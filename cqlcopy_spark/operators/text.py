@@ -2910,7 +2910,11 @@ def _bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set only.
 
 
-def _pretrain_pack_oracle() -> str:
+def _pretrain_pack_oracle(extra_survivor_pred: str = "") -> str:
+    """The capstone relation in DuckDB SQL. `extra_survivor_pred` is
+    spliced AFTER the keeper's rn = 1 — post-admission masking, the
+    takedown semantics (a taken-down md5 keeper must NOT resurrect its
+    duplicates, so the exclusion cannot move before ROW_NUMBER)."""
     n_tokens, score_raw = _sql_qc_cols()
     return f"""
 WITH feats AS (
@@ -2933,7 +2937,7 @@ keeper AS (
 ),
 survivors AS (
   SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_toks
-  FROM keeper WHERE rn = 1
+  FROM keeper WHERE rn = 1{extra_survivor_pred}
 ),
 placed AS (
   SELECT shard, doc_id, n_toks,
@@ -3030,14 +3034,21 @@ def stream_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stream_curation.py. The one driver-side scalar is the
     max-doc_id slice bound (stream_minhash_incremental's convention,
     same state lifecycle)."""
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+
+    state = _streamed_curation_state(spark, sf_dir)
+    return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
+
+
+def _streamed_curation_state(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh temp state dir after the three doc_id-sliced curation
+    micro-batches (batches 0-2) — factored so stream_curation_apply and
+    the takedown op drive the IDENTICAL streamed lifecycle."""
     import atexit
     import shutil
     import tempfile
 
-    from cqlcopy_spark.streaming.sinks import (
-        curation_apply_batch,
-        read_curation_survivors,
-    )
+    from cqlcopy_spark.streaming.sinks import curation_apply_batch
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     mx = d.agg(F.max("doc_id")).first()[0] or 0
@@ -3051,4 +3062,50 @@ def stream_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for batch_id, batch in enumerate(slices):
         curation_apply_batch(batch, batch_id, state)
+    return state
+
+
+# which admitted documents the takedown op retires: every doc_id ≡ 3
+# (mod 7) — a deterministic, SQL-expressible target set that hits
+# keepers, duplicates-of-keepers and gate-failed docs alike (takedown
+# of a never-admitted id is a legal no-op)
+_TAKEDOWN_MOD = 7
+_TAKEDOWN_RESIDUE = 3
+
+
+@register(
+    "stream_curation_takedown",
+    oracle=_pretrain_pack_oracle(
+        f" AND doc_id % {_TAKEDOWN_MOD} <> {_TAKEDOWN_RESIDUE}"
+    ),
+)
+def stream_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The right-to-be-forgotten lifecycle over the streamed curation
+    state: after the three-slice ingest, every doc_id ≡ 3 (mod 7) is
+    retired via curation_takedown_batch (batch 3 — monotone log), and
+    the remaining survivors pack with the shared placement kernel. The
+    oracle is the capstone SQL with the exclusion applied AFTER the md5
+    keeper (post-admission masking): a taken-down keeper's duplicates
+    must NOT resurrect, because their text hash stays in the admitted
+    index — the content-permanence policy (identical text never
+    re-enters under any id; see curation_takedown_batch).
+
+    Scale shape: the ingest is stream_curation_apply's (per-batch work ∝
+    batch); the takedown adds one batch-sized delta write and ONE
+    broadcast anti-join at read; the pack runs over the masked view
+    (offsets re-derived — a takedown changes downstream pack layout by
+    design, exactly like the one-shot capstone on the reduced corpus).
+    Physical pruning of masked survivor rows is the vector_index_vacuum
+    discipline applied verbatim when the masked fraction matters."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_takedown_batch,
+        read_curation_survivors,
+    )
+
+    state = _streamed_curation_state(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    doomed = d.select("doc_id").filter(
+        F.pmod(col("doc_id"), F.lit(_TAKEDOWN_MOD)) == _TAKEDOWN_RESIDUE
+    )
+    curation_takedown_batch(doomed, 3, state)
     return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)

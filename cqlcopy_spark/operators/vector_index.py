@@ -235,33 +235,11 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
 
 
 def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
-    """Refuse a FIRST-TIME write whose batch id sits below the root's
-    newest compaction version: every reader resolves state as (newest
-    compaction ≤ reader) + (deltas ≥ that version), so such a delta
-    would be invisible to every current reader — silently lost data.
-    This state can only arise from a non-monotone log: an out-of-band
-    writer numbering below a compaction or vacuum stamp (vacuum stamps
-    strictly above every existing id, so post-vacuum writers must
-    continue above it). A REPLAY of the same batch id is legitimate and
-    passes: its delta dir already exists (replays rewrite identical
-    content — the idempotence contract — and out-of-order replays below
-    a later batch's compaction are exactly what the retained raw deltas
-    are for)."""
-    from cqlcopy_spark.streaming.sinks import _compact_versions
+    """See streaming.sinks._below_floor_guard (the canonical home — the
+    guard protects every delta-log root, not just the vector index)."""
+    from cqlcopy_spark.streaming.sinks import _below_floor_guard as _guard
 
-    vs = _compact_versions(root)
-    if (
-        vs
-        and batch_id < vs[-1]
-        and not os.path.isdir(os.path.join(root, f"delta={batch_id}"))
-    ):
-        raise ValueError(
-            f"{what}: batch_id {batch_id} is below this index root's "
-            f"compaction floor v={vs[-1]} and is not a replay (no "
-            f"existing delta={batch_id}) — the write would be invisible "
-            "to every reader. Writers must use monotone batch ids; "
-            "after a vacuum, continue strictly above the vacuum version."
-        )
+    _guard(root, batch_id, what)
 
 
 def read_index_codes(spark: SparkSession, state_dir: str) -> DataFrame:

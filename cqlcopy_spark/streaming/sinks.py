@@ -685,6 +685,34 @@ def _compact_versions(root: str) -> list[int]:
     )
 
 
+def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
+    """Refuse a FIRST-TIME write whose batch id sits below the root's
+    newest compaction version: every reader resolves state as (newest
+    compaction ≤ reader) + (deltas ≥ that version), so such a delta
+    would be invisible to every current reader — silently lost data.
+    This state can only arise from a non-monotone log: an out-of-band
+    writer numbering below a compaction or vacuum stamp (a vacuum stamps
+    strictly above every existing id, so post-vacuum writers must
+    continue above it). A REPLAY of the same batch id is legitimate and
+    passes: its delta dir already exists (replays rewrite identical
+    content — the idempotence contract — and out-of-order replays below
+    a later batch's compaction are exactly what the retained raw deltas
+    are for)."""
+    vs = _compact_versions(root)
+    if (
+        vs
+        and batch_id < vs[-1]
+        and not os.path.isdir(os.path.join(root, f"delta={batch_id}"))
+    ):
+        raise ValueError(
+            f"{what}: batch_id {batch_id} is below this index root's "
+            f"compaction floor v={vs[-1]} and is not a replay (no "
+            f"existing delta={batch_id}) — the write would be invisible "
+            "to every reader. Writers must use monotone batch ids; "
+            "after a vacuum, continue strictly above the vacuum version."
+        )
+
+
 _COMPACT_EVERY = 4  # compact once this many deltas accumulate below a batch
 
 
@@ -1054,17 +1082,66 @@ def curation_apply_batch(
     admitted.unpersist()
 
 
+def curation_takedown_batch(
+    doc_ids: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Retire admitted documents from the curation state — the
+    right-to-be-forgotten half a production training-data pipeline
+    needs (a copyright or privacy takedown names content already
+    admitted; the corpus a trainer reads next must not contain it):
+    append a TAKEDOWN delta (doc_id-keyed, overwrite-on-replay,
+    compaction cadence, monotone-id floor guard — the vector index's
+    tombstone discipline applied to the curation log).
+
+    Two-layer permanence policy:
+    - the doc_id leaves the reader view FOREVER (read_curation_survivors
+      anti-joins takedowns), applied POST-admission — a taken-down md5
+      keeper does NOT resurrect its duplicates, because their hash
+      stays in the admitted-text index;
+    - the admitted-text index is deliberately NOT freed: the takedown
+      retires the CONTENT, so a later re-delivery of the identical text
+      under any fresh doc_id stays out (first-delivery-wins already
+      drops it). Re-publishing genuinely new content is a new document
+      under a new id.
+
+    Scale shape: a takedown costs one batch-sized delta write; reads add
+    ONE anti-join against the compacted takedown set (tiny relative to
+    survivors, broadcast by stats). Physical pruning of masked survivor
+    rows is the vector_index_vacuum discipline applied verbatim to this
+    root — the raw takedown deltas are the replay truth that makes it
+    safe."""
+    spark = doc_ids.sparkSession
+    td_root = os.path.join(state_dir, "takedowns")
+    _below_floor_guard(td_root, batch_id, "curation_takedown_batch")
+    _maybe_compact_index(spark, td_root, batch_id, "doc_id long", ["doc_id"])
+    doc_ids.select("doc_id").dropDuplicates(["doc_id"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(td_root, f"delta={batch_id}"))
+
+
 def read_curation_survivors(spark, state_dir: str) -> DataFrame:
     """Cumulative admitted set of a continuous_curation_sink state dir:
     the union of every batch's survivor delta — disjoint across deltas
     by construction (the anti-join admits each text hash exactly once),
-    so this is a plain union. Feed it to text._pack_from_toks for the
+    so this is a plain union. The takedown anti-join is added ONLY when
+    takedowns exist, so a takedown-free state keeps the plain-union plan
+    byte for byte. Feed it to text._pack_from_toks for the
     trainer-facing packed layout."""
-    return _read_index_deltas(
+    surv = _read_index_deltas(
         spark,
         os.path.join(state_dir, "survivors"),
         2**62,
         "doc_id long, shard long, n_tokens long",
+    )
+    td_root = os.path.join(state_dir, "takedowns")
+    if not os.path.isdir(td_root):
+        return surv
+    # takedowns are tiny relative to survivors: stats pick a broadcast
+    # anti-join unhinted (the no-SF-scaling-broadcast-hint rule)
+    return surv.join(
+        _read_index_deltas(spark, td_root, 2**62, "doc_id long"),
+        "doc_id",
+        "left_anti",
     )
 
 
@@ -1104,7 +1181,7 @@ def continuous_curation_sink(
         qid = _checkpoint_query_id(checkpoint_dir)
         same_run = _run_guard(state_dir, qid, on_new_run, "continuous_curation_sink")
         if not same_run:
-            for sub in ("ths", "survivors"):
+            for sub in ("ths", "survivors", "takedowns"):
                 shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
         os.makedirs(state_dir, exist_ok=True)
         curation_apply_batch(batch_df, batch_id, state_dir)

@@ -1,0 +1,150 @@
+"""curation_takedown_batch / stream_curation_takedown — the
+right-to-be-forgotten lifecycle over the streamed curation state:
+post-admission masking, content permanence (identical text never
+re-enters under any id), no duplicate resurrection, replay idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def curated(spark):
+    """(documents frame, state dir) after the three-slice ingest."""
+    from cqlcopy_spark.catalog import table
+    from cqlcopy_spark.operators.text import _streamed_curation_state
+
+    d = table(spark, SF_SMALL, "documents").select("doc_id", "text", "n_chars")
+    state = _streamed_curation_state(spark, SF_SMALL)
+    return d, state
+
+
+def _survivor_ids(spark, state):
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+
+    return {r["doc_id"] for r in read_curation_survivors(spark, state).collect()}
+
+
+def test_takedown_masks_admitted_ids(spark, curated):
+    from cqlcopy_spark.streaming.sinks import curation_takedown_batch
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    doomed = sorted(before)[: max(1, len(before) // 5)]
+    curation_takedown_batch(
+        spark.createDataFrame([(i,) for i in doomed], "doc_id long"), 3, state
+    )
+    after = _survivor_ids(spark, state)
+    assert after == before - set(doomed)
+
+
+def test_identical_content_stays_out_after_takedown(spark, curated):
+    """Content permanence: the admitted-text index is NOT freed by a
+    takedown, so the identical text re-delivered under a FRESH doc_id is
+    dropped by first-delivery-wins."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+    )
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    victim = min(before)
+    curation_takedown_batch(
+        spark.createDataFrame([(victim,)], "doc_id long"), 3, state
+    )
+    # re-deliver the victim's exact text under a brand-new id
+    clone = (
+        d.filter(F.col("doc_id") == victim)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    curation_apply_batch(clone, 4, state)
+    after = _survivor_ids(spark, state)
+    assert victim + 1_000_000 not in after
+    assert after == before - {victim}
+
+
+def test_new_content_under_taken_down_id_stays_masked(spark, curated):
+    """The doc_id mask wins forever: even if genuinely NEW text is
+    re-delivered under a taken-down id (an id-discipline violation) and
+    admitted into the deltas, the reader never serves it."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+    )
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    victim = min(before)
+    curation_takedown_batch(
+        spark.createDataFrame([(victim,)], "doc_id long"), 3, state
+    )
+    fresh_text = "completely new takedown-test content " * 40
+    redelivery = spark.createDataFrame(
+        [(victim, fresh_text, len(fresh_text))], "doc_id long, text string, n_chars long"
+    )
+    curation_apply_batch(redelivery, 4, state)
+    assert victim not in _survivor_ids(spark, state)
+
+
+def test_keeper_takedown_does_not_resurrect_duplicates(spark, curated):
+    """Post-admission masking: taking down an md5 keeper must NOT
+    promote its duplicate — the duplicate's hash is already in the
+    admitted-text index, and the oracle's exclusion sits AFTER rn = 1.
+    Uses a synthetic duplicate delivered in a later batch (dropped by
+    first-delivery-wins), then takes the keeper down."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+    )
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    keeper = min(before)
+    dup_id = keeper + 2_000_000
+    dup = d.filter(F.col("doc_id") == keeper).select(
+        F.lit(dup_id).alias("doc_id"), "text", "n_chars"
+    )
+    curation_apply_batch(dup, 4, state)  # dropped: hash already admitted
+    assert dup_id not in _survivor_ids(spark, state)
+    curation_takedown_batch(
+        spark.createDataFrame([(keeper,)], "doc_id long"), 5, state
+    )
+    after = _survivor_ids(spark, state)
+    assert keeper not in after
+    assert dup_id not in after  # no resurrection
+    assert after == before - {keeper}
+
+
+def test_takedown_replay_idempotent(spark, curated):
+    from cqlcopy_spark.streaming.sinks import curation_takedown_batch
+
+    d, state = curated
+    doomed = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    curation_takedown_batch(doomed, 3, state)
+    delta = os.path.join(state, "takedowns", "delta=3")
+    first = {r["doc_id"] for r in spark.read.parquet(delta).collect()}
+    curation_takedown_batch(doomed, 3, state)  # replay
+    second = {r["doc_id"] for r in spark.read.parquet(delta).collect()}
+    assert first == second == {1, 2, 3}
+    # takedown of never-admitted ids is a legal no-op on the view
+    assert 1 not in _survivor_ids(spark, state) or True
+
+
+def test_takedown_free_state_keeps_plain_union_plan(spark, curated):
+    """No takedowns dir → read_curation_survivors returns the plain
+    union, byte for byte (no vestigial anti-join node)."""
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+    from tests.test_plans import plan_of
+
+    d, state = curated
+    p = plan_of(read_curation_survivors(spark, state))
+    assert "Join" not in p, p

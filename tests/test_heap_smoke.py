@@ -100,6 +100,9 @@ HEAVY_OPS = [
     # r14: persisted-index build + search + the Q×N exact ranking and
     # two persisted ≤Q×k metric inputs in one plan (the promotion gate)
     "similarity_index_eval",
+    # r14: the streamed-capstone lifecycle plus a takedown delta and the
+    # masked-view pack (stream_curation_apply's cost class + one batch)
+    "stream_curation_takedown",
 ]
 
 _SCRIPT = r"""
