@@ -661,60 +661,21 @@ def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
     it lands; the tombstone side is swapped last. A crash between the
     two swaps leaves pruned codes + full tombstones — a consistent,
     merely unvacuumed-tombstone state; re-running the vacuum completes
-    it (idempotent)."""
-    import shutil
+    it (idempotent; a re-run over a clean state is a no-op fast path).
 
-    from cqlcopy_spark.streaming.sinks import _compact_versions, _delta_ids
+    Implementation is the shared vacuum_masked_root discipline
+    (streaming/sinks.py) — one code path for every (data, mask)
+    delta-log pair (curation_vacuum is the other instance)."""
+    from cqlcopy_spark.streaming.sinks import vacuum_masked_root
 
-    codes_root = os.path.join(state_dir, "codes")
-    tomb_root = os.path.join(state_dir, "tombstones")
-    if not os.path.isdir(tomb_root):
-        return 0  # nothing retired — nothing to prune
-    everything = (
-        _delta_ids(codes_root, 1 << 62)
-        + _delta_ids(tomb_root, 1 << 62)
-        + _compact_versions(codes_root)
-        + _compact_versions(tomb_root)
+    return vacuum_masked_root(
+        spark,
+        os.path.join(state_dir, "codes"),
+        os.path.join(state_dir, "tombstones"),
+        _CODES_SCHEMA,
+        "vec_id",
+        ["vec_id"],
     )
-    if not everything:
-        return 0
-    vid = 1 + max(everything)
-    tombs = _read_tombstones(spark, state_dir)
-    all_codes = _read_index_deltas_codes(spark, state_dir)
-    # one bounded count job: how many stored rows the swap removes
-    n_pruned = all_codes.join(tombs, "vec_id", "left_semi").count()
-    if n_pruned == 0 and tombs.isEmpty():
-        # nothing to prune and nothing to swap — the state right after
-        # a completed vacuum. Without this fast path a re-run rewrote
-        # the whole corpus as a fresh version for nothing. A crash
-        # BETWEEN the two swaps leaves n_pruned == 0 with tombstones
-        # still visible, which falls through and completes the vacuum
-        # (the crash-retry contract).
-        return 0
-    view = all_codes.join(tombs, "vec_id", "left_anti")
-    (
-        view.repartition("vec_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(codes_root, "compact", f"v={vid}"))
-    )
-    for v in _compact_versions(codes_root):
-        if v < vid:
-            shutil.rmtree(
-                os.path.join(codes_root, "compact", f"v={v}"), ignore_errors=True
-            )
-    # tombstone swap LAST: an empty compaction at the same version —
-    # every pre-vacuum tombstone is already reflected in the pruned
-    # codes version, so readers at/above vid need none of them
-    spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
-        os.path.join(tomb_root, "compact", f"v={vid}")
-    )
-    for v in _compact_versions(tomb_root):
-        if v < vid:
-            shutil.rmtree(
-                os.path.join(tomb_root, "compact", f"v={v}"), ignore_errors=True
-            )
-    return n_pruned
 
 
 def _read_index_deltas_codes(spark: SparkSession, state_dir: str) -> DataFrame:

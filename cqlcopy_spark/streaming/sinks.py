@@ -459,6 +459,109 @@ def compact_state_versions(state_dir: str, keep_last: int = 2) -> "list[int]":
     return drop
 
 
+def vacuum_masked_root(
+    spark,
+    data_root: str,
+    mask_root: str,
+    schema: str,
+    key: str,
+    layout_cols: "list[str]",
+) -> int:
+    """Generic offline version swap for a (data, mask) delta-log pair —
+    the physical-pruning lever shared by the vector index
+    (codes/tombstones) and the curation log (survivors/takedowns):
+    rewrite data-ANTI-JOIN-mask as a new data compaction stamped
+    strictly ABOVE every existing delta and compaction of EITHER root,
+    then swap the mask to an empty compaction at the same version.
+    Returns the number of data rows pruned.
+
+    Contract (see vector_index_vacuum for the full argument, proven by
+    similarity_index_vacuum_verify + tests):
+    - readers at/above the stamp see pruned data + an empty mask — the
+      data scan stops carrying dead rows and the per-read mask
+      anti-join's build side stops growing with lifetime retirements;
+    - RAW deltas of both roots are RETAINED as replay truth
+      (out-of-order same-checkpoint replays read compactions ≤
+      themselves and fall back to deltas) and as provenance;
+    - the caller owns the horizon claim: pruning the mask removes it
+      from any writer-side first-delivery guard, so nothing retired
+      before the vacuum may ever be re-delivered (a producer that
+      breaks the claim is still caught by raw-delta provenance);
+    - post-vacuum writers must continue strictly above the stamp
+      (_below_floor_guard turns violations into errors);
+    - crash-safe and idempotent: the data swap is _SUCCESS-gated and
+      lands before the mask swap, so a crash between the two leaves a
+      consistent merely-unvacuumed-mask state that a re-run completes;
+      a re-run over a clean state is a no-op fast path."""
+    import shutil
+
+    if not os.path.isdir(mask_root):
+        return 0  # nothing retired — nothing to prune
+    everything = (
+        _delta_ids(data_root, 1 << 62)
+        + _delta_ids(mask_root, 1 << 62)
+        + _compact_versions(data_root)
+        + _compact_versions(mask_root)
+    )
+    if not everything:
+        return 0
+    vid = 1 + max(everything)
+    mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{key} long")
+    data = _read_index_deltas(spark, data_root, 1 << 62, schema)
+    # one bounded count job: how many stored rows the swap removes
+    n_pruned = data.join(mask, key, "left_semi").count()
+    if n_pruned == 0 and mask.isEmpty():
+        # nothing to prune and nothing to swap — the state right after
+        # a completed vacuum. Without this fast path a re-run rewrote
+        # the whole corpus as a fresh version for nothing. A crash
+        # BETWEEN the two swaps leaves n_pruned == 0 with mask rows
+        # still visible, which falls through and completes the vacuum
+        # (the crash-retry contract).
+        return 0
+    view = data.join(mask, key, "left_anti")
+    (
+        view.repartition(*layout_cols)
+        .sortWithinPartitions(*layout_cols)
+        .write.mode("overwrite")
+        .parquet(os.path.join(data_root, "compact", f"v={vid}"))
+    )
+    for v in _compact_versions(data_root):
+        if v < vid:
+            shutil.rmtree(
+                os.path.join(data_root, "compact", f"v={v}"), ignore_errors=True
+            )
+    # mask swap LAST: an empty compaction at the same version — every
+    # pre-vacuum mask row is already reflected in the pruned data
+    # version, so readers at/above vid need none of them
+    spark.createDataFrame([], f"{key} long").write.mode("overwrite").parquet(
+        os.path.join(mask_root, "compact", f"v={vid}")
+    )
+    for v in _compact_versions(mask_root):
+        if v < vid:
+            shutil.rmtree(
+                os.path.join(mask_root, "compact", f"v={v}"), ignore_errors=True
+            )
+    return n_pruned
+
+
+def curation_vacuum(spark, state_dir: str) -> int:
+    """Physically prune taken-down survivor rows AND their takedown
+    masks from a curation state — vacuum_masked_root applied to the
+    (survivors, takedowns) pair. Reader-view invariance, idempotence
+    and the retained-raw-delta replay truth are pinned in
+    tests/test_curation_takedown.py; the driver-checked twin for this
+    discipline is the vector index's similarity_index_vacuum_verify
+    (identical code path)."""
+    return vacuum_masked_root(
+        spark,
+        os.path.join(state_dir, "survivors"),
+        os.path.join(state_dir, "takedowns"),
+        "doc_id long, shard long, n_tokens long",
+        "doc_id",
+        ["doc_id"],
+    )
+
+
 def compact_cdc_tombstones(
     spark,
     state_dir: str,

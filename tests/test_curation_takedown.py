@@ -148,3 +148,56 @@ def test_takedown_free_state_keeps_plain_union_plan(spark, curated):
     d, state = curated
     p = plan_of(read_curation_survivors(spark, state))
     assert "Join" not in p, p
+
+
+def test_curation_vacuum_prunes_and_preserves_view(spark, curated):
+    """curation_vacuum = the shared vacuum_masked_root discipline on
+    (survivors, takedowns): masked rows physically pruned, reader view
+    bitwise unchanged, raw deltas retained, re-run a no-op."""
+    from cqlcopy_spark.streaming.sinks import (
+        _compact_versions,
+        _delta_ids,
+        _read_index_deltas,
+        curation_takedown_batch,
+        curation_vacuum,
+        read_curation_survivors,
+    )
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    doomed = sorted(before)[: max(1, len(before) // 4)]
+    curation_takedown_batch(
+        spark.createDataFrame([(i,) for i in doomed], "doc_id long"), 3, state
+    )
+    view_before = {
+        tuple(r) for r in read_curation_survivors(spark, state).collect()
+    }
+    raw_deltas_before = _delta_ids(os.path.join(state, "survivors"), 1 << 62)
+
+    n = curation_vacuum(spark, state)
+    assert n == len(doomed)  # every doomed id was an admitted survivor
+    # physical pruning: the compacted survivors carry no doomed id
+    surv_root = os.path.join(state, "survivors")
+    vid = _compact_versions(surv_root)[-1]
+    phys = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(surv_root, "compact", f"v={vid}")
+        ).collect()
+    }
+    assert phys.isdisjoint(doomed)
+    # reader view bitwise unchanged; takedown mask emptied
+    view_after = {
+        tuple(r) for r in read_curation_survivors(spark, state).collect()
+    }
+    assert view_after == view_before
+    assert (
+        _read_index_deltas(
+            spark, os.path.join(state, "takedowns"), 1 << 62, "doc_id long"
+        ).count()
+        == 0
+    )
+    # raw deltas retained as replay truth
+    assert _delta_ids(surv_root, 1 << 62) == raw_deltas_before
+    # idempotent no-op re-run
+    assert curation_vacuum(spark, state) == 0
