@@ -3104,8 +3104,11 @@ def stream_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _streamed_curation_state(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
+    # Spark `%`, not pmod: Spark and DuckDB `%` both follow the DIVIDEND
+    # sign (CLAUDE.md), so this matches the oracle's `doc_id % 7 <> 3`
+    # for negative ids too — pmod would silently diverge there
     doomed = d.select("doc_id").filter(
-        F.pmod(col("doc_id"), F.lit(_TAKEDOWN_MOD)) == _TAKEDOWN_RESIDUE
+        (col("doc_id") % _TAKEDOWN_MOD) == _TAKEDOWN_RESIDUE
     )
     curation_takedown_batch(doomed, 3, state)
     return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
