@@ -492,7 +492,19 @@ def vacuum_masked_root(
     - crash-safe and idempotent: the data swap is _SUCCESS-gated and
       lands before the mask swap, so a crash between the two leaves a
       consistent merely-unvacuumed-mask state that a re-run completes;
-      a re-run over a clean state is a no-op fast path."""
+      a re-run over a clean state is a no-op fast path.
+
+    Streaming-checkpoint caveat: Structured Streaming batch ids are
+    checkpoint-owned and resume at small values, so RESUMING the same
+    checkpoint after a vacuum stamped above them would write
+    reader-invisible deltas — every writer's _below_floor_guard turns
+    that into a loud error instead of silent loss. Supported
+    compositions: vacuum after the checkpoint retires, or continue
+    ingest through the batch kernels with explicit ids above the
+    stamp. The production lever for live pipelines is a persisted log
+    epoch (effective id = batch id + offset bumped at vacuum time) —
+    a table-format-style version counter decoupled from the
+    checkpoint — not implemented here."""
     import shutil
 
     if not os.path.isdir(mask_root):
@@ -947,6 +959,12 @@ def minhash_apply_batch(
     )
 
     spark = batch_df.sparkSession
+    # refuse first-time writes below a compaction stamp on any of the
+    # three roots (reader-invisible — silent loss); replays pass
+    for sub in ("bands", "hashes", "pairs"):
+        _below_floor_guard(
+            os.path.join(state_dir, sub), batch_id, f"minhash_apply_batch[{sub}]"
+        )
     # compact BEFORE probing (r8 VERDICT item 2): once _COMPACT_EVERY
     # deltas sit below this batch, fold them into one (band, key)-
     # clustered dir so the probe (and the refine's hashes read) stop
@@ -1160,6 +1178,14 @@ def curation_apply_batch(
 
     spark = batch_df.sparkSession
     ths_root = os.path.join(state_dir, "ths")
+    # refuse first-time writes below a compaction/vacuum stamp on either
+    # root (they would be reader-invisible — silent loss); replays pass
+    _below_floor_guard(ths_root, batch_id, "curation_apply_batch[ths]")
+    _below_floor_guard(
+        os.path.join(state_dir, "survivors"),
+        batch_id,
+        "curation_apply_batch[survivors]",
+    )
     _maybe_compact_index(spark, ths_root, batch_id, "th string", ["th"])
     prior_ths = _read_index_deltas(spark, ths_root, batch_id, "th string")
 

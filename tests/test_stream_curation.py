@@ -154,3 +154,58 @@ def test_sink_end_to_end_matches_batch_apply(spark, tmp_path):
     finally:
         q.stop()
     assert _survivor_ids(spark, state) == {1, 3, 5}
+
+
+def test_takedown_vacuum_then_ingest_above_the_stamp(spark, tmp_path):
+    """The supported offline composition: ingest → takedown → vacuum →
+    CONTINUED ingest with batch ids strictly above the vacuum stamp.
+    The retired doc stays out, its identical text re-delivered under a
+    fresh id stays out (content permanence), and new content lands."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+        curation_vacuum,
+    )
+
+    state = str(tmp_path / "state")
+    curation_apply_batch(_df(spark, [(1, _doc(1)), (3, _doc(3))]), 0, state)
+    curation_apply_batch(_df(spark, [(5, _doc(5))]), 1, state)
+    assert _survivor_ids(spark, state) == {1, 3, 5}
+
+    curation_takedown_batch(
+        spark.createDataFrame([(3,)], "doc_id long"), 2, state
+    )
+    assert curation_vacuum(spark, state) == 1  # stamps v=3 on both roots
+    assert _survivor_ids(spark, state) == {1, 5}
+
+    # post-vacuum ingest at ids above the stamp: doc 30 carries doc 3's
+    # exact retired text, doc 7 is genuinely new
+    curation_apply_batch(_df(spark, [(30, _doc(3)), (7, _doc(7))]), 4, state)
+    got = _survivor_ids(spark, state)
+    assert 7 in got
+    assert 30 not in got
+    assert 3 not in got
+
+
+def test_resumed_ingest_below_vacuum_stamp_refused_loudly(spark, tmp_path):
+    """The UNSUPPORTED composition fails loudly instead of losing data:
+    a first-time survivor write below the vacuumed compaction floor
+    would be invisible to every reader (the compact-floor read), so the
+    writer's floor guard raises — e.g. a resumed same-checkpoint stream
+    whose batch ids restart below an out-of-band vacuum stamp."""
+    import pytest
+
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+        curation_vacuum,
+    )
+
+    state = str(tmp_path / "state")
+    curation_apply_batch(_df(spark, [(1, _doc(1))]), 0, state)
+    curation_takedown_batch(
+        spark.createDataFrame([(1,)], "doc_id long"), 50, state
+    )
+    assert curation_vacuum(spark, state) == 1  # stamps v=51
+    with pytest.raises(ValueError, match="below this index root's"):
+        curation_apply_batch(_df(spark, [(9, _doc(9))]), 1, state)
