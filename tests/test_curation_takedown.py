@@ -135,8 +135,22 @@ def test_takedown_replay_idempotent(spark, curated):
     curation_takedown_batch(doomed, 3, state)  # replay
     second = {r["doc_id"] for r in spark.read.parquet(delta).collect()}
     assert first == second == {1, 2, 3}
-    # takedown of never-admitted ids is a legal no-op on the view
-    assert 1 not in _survivor_ids(spark, state) or True
+
+
+def test_takedown_of_never_admitted_ids_is_a_view_noop(spark, curated):
+    """Taking down ids that were never admitted is legal and must leave
+    the survivor view exactly as it was — the mask only ever REMOVES
+    admitted rows, it cannot perturb unrelated ones."""
+    from cqlcopy_spark.streaming.sinks import curation_takedown_batch
+
+    d, state = curated
+    before = _survivor_ids(spark, state)
+    ghosts = [max(before) + 5_000_000 + i for i in range(3)]
+    assert not set(ghosts) & before
+    curation_takedown_batch(
+        spark.createDataFrame([(g,) for g in ghosts], "doc_id long"), 3, state
+    )
+    assert _survivor_ids(spark, state) == before
 
 
 def test_takedown_free_state_keeps_plain_union_plan(spark, curated):
