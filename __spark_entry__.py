@@ -89,56 +89,42 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 14 (r13 VERDICT item 1 — drain the r9 freshness tail): ALL 34
-# r9-stale entries are forced, not just the 19 the verdict listed. The
-# verdict's simulation ("the other 15 front naturally at positions
-# 1-15") held against the round-START tree; this round's planned edits
-# (similarity.py 24 entries, dedup.py 12, vector_index.py 3+) create a
-# ~40-entry rank-4 changed-module pool that would displace every rank-5
-# natural r9 entry past position 50 at the round-END window the driver
-# actually computes. 34 forced + 16 changed-module slots = the full
-# window; the remaining changed entries keep rank-4 fronting into r15.
-# (The four r13 formats.py forces all re-greened in r13 and are pruned —
+# Round 15 (r14 VERDICT item 1 — drain the r10 freshness tail): the 22
+# r10-stale entries whose modules are UNCHANGED since their r10 check
+# (so the content-hash ledger correctly ranks them 5, behind a
+# ~100-entry rank-4 changed-module pool from the r14 rewrites — they
+# simulate at positions 117-138 and would wait ~3 rounds). The other 12
+# r10-stale entries front naturally at positions 1-12; together the
+# window drains the whole r10 cohort. Window accounting: rank-3
+# never-checked entries (any r15-new op without an oracle baseline)
+# occupy slots AHEAD of the rank-4 changed pool, so 22 forced +
+# N new + (28-N) changed-module slots fill the 50. (The 34 r14 forces
+# all carry r14 verdicts >= _FORCE_FRONT_ROUND=14 and are pruned —
 # with the round bumped they would otherwise reactivate.)
-_FORCE_FRONT_ROUND = 14
+_FORCE_FRONT_ROUND = 15
 _FORCE_FRONT = (
-    # the 19 the verdict names (simulated positions 146-164)
-    "copy_reconcile",
-    "graph_link_predict_pages",
-    "graph_pagerank",
-    "graph_triangles_pages",
-    "join_cross",
-    "join_lateral",
-    "join_null_safe",
-    "join_outer",
-    "join_q5_local",
-    "join_semi_anti",
-    "join_skew_salted",
-    "join_star",
-    "merge_upsert",
-    "null_handling",
-    "recursive_price_buckets",
-    "set_ops",
-    "sql_shipping_priority",
-    "timeseries_interpolate",
-    "window_topk",
-    # the other 15 r9-stale — natural fronting breaks once this round's
-    # module edits land, so they are pinned too
-    "join_asof_nearest",
-    "multimodal_dedup",
-    "profile_columns",
-    "sample_per_group",
-    "similarity_ann_grid",
-    "skew_diagnose",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_ohlc",
-    "stream_sessionize",
-    "stream_sliding_agg",
-    "stream_static_join",
-    "stream_tumbling_agg",
-    "tfidf_top_terms",
-    "url_canonical",
+    "ab_experiment_lift",
+    "agg_q6_forecast",
+    "agg_q9_profit",
+    "agg_q11_important",
+    "agg_q12_latency",
+    "agg_q13_custdist",
+    "agg_q15_top_supplier",
+    "agg_q16_supplier_cnt",
+    "binary_roundtrip",
+    "events_ewma",
+    "graph_link_predict",
+    "graph_triangles",
+    "join_q2_min_cost",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q10_returned",
+    "join_q18_big_orders",
+    "join_q20_excess_share",
+    "join_q21_late_supplier",
+    "schema_evolution_scan",
+    "sql_pipe_query",
+    "timeseries_changepoints",
 )
 
 

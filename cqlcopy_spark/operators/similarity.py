@@ -1097,7 +1097,6 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n_corpus = e.count()
     sample = _train_sample(e, _IVF_TRAIN_CAP)
     centroids = _train_centroids(sample, _IVF_CELLS)
     bc = spark.sparkContext.broadcast(centroids)
