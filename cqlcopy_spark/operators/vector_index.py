@@ -116,6 +116,12 @@ def vector_index_build(base: DataFrame, state_dir: str, batch_id: int = 0) -> No
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from cqlcopy_spark.streaming.sinks import _apply_epoch
+
+    # uniform effective-id mapping across every writer of this state dir
+    # (a no-op on the fresh state dirs build normally targets: no epoch
+    # file exists until a vacuum bumps one)
+    batch_id = _apply_epoch(state_dir, batch_id)
     seed = keep_min_by(base.select("vec_id", "emb"), "vec_id")
     coarse, books = _fit_from_base(seed)
     os.makedirs(state_dir, exist_ok=True)
@@ -209,7 +215,12 @@ def vector_index_append(new_df: DataFrame, batch_id: int, state_dir: str) -> Non
         _read_index_deltas,
     )
 
+    from cqlcopy_spark.streaming.sinks import _apply_epoch
+
     spark = new_df.sparkSession
+    # effective id = batch id + persisted log epoch (0 until a vacuum
+    # bumps it) — lets the same checkpoint resume after a vacuum
+    batch_id = _apply_epoch(state_dir, batch_id)
     codes_root = os.path.join(state_dir, "codes")
     _below_floor_guard(codes_root, batch_id, "vector_index_append")
     _maybe_compact_index(spark, codes_root, batch_id, _CODES_SCHEMA, ["vec_id"])
@@ -478,9 +489,10 @@ def vector_index_delete(
     ONE anti-join against the compacted tombstone set (tiny relative to
     codes, broadcast by stats); physical pruning is an offline
     index-version swap, never a read-path concern."""
-    from cqlcopy_spark.streaming.sinks import _maybe_compact_index
+    from cqlcopy_spark.streaming.sinks import _apply_epoch, _maybe_compact_index
 
     spark = vec_ids.sparkSession
+    batch_id = _apply_epoch(state_dir, batch_id)
     tomb_root = os.path.join(state_dir, "tombstones")
     _below_floor_guard(tomb_root, batch_id, "vector_index_delete")
     _maybe_compact_index(spark, tomb_root, batch_id, "vec_id long", ["vec_id"])
@@ -615,7 +627,9 @@ def _delete_violations(
 # ---------------------------------------------------------------------------
 
 
-def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
+def vector_index_vacuum(
+    spark: SparkSession, state_dir: str, bump_epoch: bool = False
+) -> int:
     """Physically prune tombstoned code rows AND their tombstones by
     writing the current reader view (codes ANTI-JOIN tombstones) as a
     new compaction version of the codes index, stamped strictly ABOVE
@@ -665,10 +679,16 @@ def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
 
     Implementation is the shared vacuum_masked_root discipline
     (streaming/sinks.py) — one code path for every (data, mask)
-    delta-log pair (curation_vacuum is the other instance)."""
-    from cqlcopy_spark.streaming.sinks import vacuum_masked_root
+    delta-log pair (curation_vacuum is the other instance).
 
-    return vacuum_masked_root(
+    bump_epoch=True additionally raises the state dir's persisted log
+    epoch to the vacuum stamp (bump_log_epoch), which lets the SAME
+    checkpoint resume ingest afterwards; the default keeps the no-epoch
+    behavior (a resumed checkpoint fails loudly at _below_floor_guard).
+    Quiescence contract: see bump_log_epoch."""
+    from cqlcopy_spark.streaming.sinks import bump_log_epoch, vacuum_masked_root
+
+    n = vacuum_masked_root(
         spark,
         os.path.join(state_dir, "codes"),
         os.path.join(state_dir, "tombstones"),
@@ -676,6 +696,12 @@ def vector_index_vacuum(spark: SparkSession, state_dir: str) -> int:
         "vec_id",
         ["vec_id"],
     )
+    if bump_epoch:
+        bump_log_epoch(
+            state_dir,
+            [os.path.join(state_dir, sub) for sub in ("codes", "tombstones")],
+        )
+    return n
 
 
 def _read_index_deltas_codes(spark: SparkSession, state_dir: str) -> DataFrame:

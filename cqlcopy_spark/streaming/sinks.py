@@ -556,15 +556,22 @@ def vacuum_masked_root(
     return n_pruned
 
 
-def curation_vacuum(spark, state_dir: str) -> int:
+def curation_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
     """Physically prune taken-down survivor rows AND their takedown
     masks from a curation state — vacuum_masked_root applied to the
     (survivors, takedowns) pair. Reader-view invariance, idempotence
     and the retained-raw-delta replay truth are pinned in
-    tests/test_curation_takedown.py; the driver-checked twin for this
-    discipline is the vector index's similarity_index_vacuum_verify
-    (identical code path)."""
-    return vacuum_masked_root(
+    tests/test_curation_takedown.py; driver-checked directly by
+    stream_curation_vacuum (operators/text.py) and by the vector
+    index's similarity_index_vacuum_verify (identical code path).
+
+    bump_epoch=True additionally raises the state dir's persisted log
+    epoch to the vacuum stamp (bump_log_epoch — covering the ths root
+    too, so every kernel under this dir stays monotone), which lets the
+    SAME checkpoint resume ingest afterwards; the default keeps the
+    no-epoch behavior (a resumed checkpoint fails loudly at
+    _below_floor_guard). Quiescence contract: see bump_log_epoch."""
+    n = vacuum_masked_root(
         spark,
         os.path.join(state_dir, "survivors"),
         os.path.join(state_dir, "takedowns"),
@@ -572,6 +579,15 @@ def curation_vacuum(spark, state_dir: str) -> int:
         "doc_id",
         ["doc_id"],
     )
+    if bump_epoch:
+        bump_log_epoch(
+            state_dir,
+            [
+                os.path.join(state_dir, sub)
+                for sub in ("survivors", "takedowns", "ths")
+            ],
+        )
+    return n
 
 
 def compact_cdc_tombstones(
@@ -828,6 +844,87 @@ def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
         )
 
 
+_EPOCH_FILE = "_log_epoch"
+
+
+def log_epoch(state_dir: str) -> int:
+    """Persisted log-epoch offset of a state dir — 0 until a vacuum
+    bumps it (bump_log_epoch). Every batch kernel writing under this
+    state dir maps its checkpoint-owned batch id to
+    ``effective id = batch id + epoch`` (_apply_epoch), which is what
+    lets the SAME Structured Streaming checkpoint resume after a vacuum
+    stamped above its small restart ids: the offset lifts every future
+    write above the vacuum version, exactly a table-format version
+    counter decoupled from the checkpoint (the lever the
+    vacuum_masked_root docstring names).
+
+    A malformed file raises rather than silently reading 0 — an
+    under-numbered effective id is the reader-invisible-delta silent
+    loss the _below_floor_guard exists to prevent."""
+    p = os.path.join(state_dir, _EPOCH_FILE)
+    try:
+        with open(p, encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _apply_epoch(state_dir: str, batch_id: int) -> int:
+    return batch_id + log_epoch(state_dir)
+
+
+def _clear_log_epoch(state_dir: str) -> None:
+    """Remove the epoch file — part of every sink's 'restart' wipe: the
+    epoch exists to keep effective ids above the wiped state's vacuum
+    stamps, and a fresh lineage over an empty state has none."""
+    try:
+        os.remove(os.path.join(state_dir, _EPOCH_FILE))
+    except FileNotFoundError:
+        pass
+
+
+def bump_log_epoch(state_dir: str, roots: "list[str]") -> int:
+    """Raise the state dir's log epoch to sit at/above every existing
+    delta id and compaction version across `roots` — called by a vacuum
+    (with bump_epoch=True) so a LIVE pipeline's checkpoint can resume
+    afterwards: the next batch 0 maps to the vacuum stamp itself (the
+    newest compaction version — a reader at that id sees exactly the
+    vacuumed state), later batches strictly above it, and no effective
+    id ever collides with an existing delta (existing ids contribute
+    id+1 to the stamp).
+
+    Monotone and idempotent: never decreases, re-running after a
+    completed vacuum recomputes the same value. Atomic temp-name +
+    os.replace write — a crash before the replace leaves the old epoch,
+    and resuming the checkpoint then fails LOUDLY at _below_floor_guard
+    (recoverable: re-run the vacuum with bump_epoch=True; the no-op
+    fast path still re-bumps).
+
+    Quiescence contract (caller-owned, same as any table-format
+    compaction vs concurrent writers): bump only against a CLEANLY
+    STOPPED stream. If the checkpoint has an uncommitted in-flight
+    batch, its post-bump replay maps to a fresh effective id and
+    re-derives against the VACUUMED state — rows of that batch that the
+    vacuum pruned are no longer in the first-delivery guard and would
+    re-land, a resurrection the raw-delta provenance check flags but
+    the reader cannot (the horizon claim)."""
+    stamp = 0
+    for r in roots:
+        stamp = max(
+            [stamp]
+            + [i + 1 for i in _delta_ids(r, 1 << 62)]
+            + _compact_versions(r)
+        )
+    new = max(stamp, log_epoch(state_dir))
+    if new != log_epoch(state_dir):
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = os.path.join(state_dir, _EPOCH_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(new))
+        os.replace(tmp, os.path.join(state_dir, _EPOCH_FILE))
+    return new
+
+
 _COMPACT_EVERY = 4  # compact once this many deltas accumulate below a batch
 
 
@@ -959,6 +1056,9 @@ def minhash_apply_batch(
     )
 
     spark = batch_df.sparkSession
+    # effective id = batch id + persisted log epoch (0 until a vacuum
+    # bumps it) — lets the same checkpoint resume after a vacuum
+    batch_id = _apply_epoch(state_dir, batch_id)
     # refuse first-time writes below a compaction stamp on any of the
     # three roots (reader-invisible — silent loss); replays pass
     for sub in ("bands", "hashes", "pairs"):
@@ -1112,6 +1212,7 @@ def continuous_minhash_dedup_sink(
         if not same_run:
             for sub in ("bands", "hashes", "pairs"):
                 shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+            _clear_log_epoch(state_dir)
         os.makedirs(state_dir, exist_ok=True)
         minhash_apply_batch(batch_df, batch_id, state_dir)
         _write_run_marker(state_dir, qid)
@@ -1144,6 +1245,10 @@ def curation_apply_batch(
 
     Per batch (all sizes ∝ batch, never ∝ corpus):
 
+    0. OPTIONAL decontamination gate (armed by a persisted eval window
+       index — see decontamination_index_write / _decontaminate_batch):
+       bench docs and verbatim-window contamination hits rejected
+       pre-admission;
     1. BOTH quality gates in one scan (operators.text._curation_gated —
        the capstone's literal gate expression, so the streamed corpus
        can never drift from the batch relation);
@@ -1177,6 +1282,9 @@ def curation_apply_batch(
     from cqlcopy_spark.operators.text import _PACK_SHARDS, _curation_gated
 
     spark = batch_df.sparkSession
+    # effective id = batch id + persisted log epoch (0 until a vacuum
+    # bumps it) — lets the same checkpoint resume after a vacuum
+    batch_id = _apply_epoch(state_dir, batch_id)
     ths_root = os.path.join(state_dir, "ths")
     # refuse first-time writes below a compaction/vacuum stamp on either
     # root (they would be reader-invisible — silent loss); replays pass
@@ -1189,9 +1297,14 @@ def curation_apply_batch(
     _maybe_compact_index(spark, ths_root, batch_id, "th string", ["th"])
     prior_ths = _read_index_deltas(spark, ths_root, batch_id, "th string")
 
-    gated = _curation_gated(
-        keep_min_by(batch_df.select("doc_id", "text", "n_chars"), "doc_id")
-    )
+    fresh = keep_min_by(batch_df.select("doc_id", "text", "n_chars"), "doc_id")
+    # decontamination gate — armed only when the state dir carries a
+    # persisted eval window index (decontamination_index_write); a
+    # gate-free state keeps the original plan byte for byte
+    ew_root = os.path.join(state_dir, _EVAL_WINDOWS)
+    if os.path.isdir(ew_root):
+        fresh = _decontaminate_batch(spark, fresh, ew_root)
+    gated = _curation_gated(fresh)
     keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
     admitted = (
         gated.join(keeper, ["th", "doc_id"], "left_semi")
@@ -1209,6 +1322,60 @@ def curation_apply_batch(
         os.path.join(state_dir, "survivors", f"delta={batch_id}")
     )
     admitted.unpersist()
+
+
+_EVAL_WINDOWS = "eval_windows"
+
+
+def decontamination_index_write(bench_docs: DataFrame, state_dir: str) -> None:
+    """Persist the eval benchmark's verbatim char-window index (the
+    fixed-size side of contamination_substring: every length-_SUB_N
+    window, stride 1) into the curation state dir — its presence ARMS
+    the per-batch decontamination gate in curation_apply_batch. Written
+    once, before ingest begins (a production benchmark is frozen before
+    training data arrives; re-writing it mid-stream would make the flag
+    batch-dependent and break the streamed==one-shot hash contract).
+    Bounded by construction: ≤ _BENCH_CAP bench docs at every SF (the
+    id-cap rule, operators/text._bench_split), so the index broadcasts
+    soundly at read."""
+    from cqlcopy_spark.operators.text import _char_windows
+
+    os.makedirs(state_dir, exist_ok=True)
+    (
+        _char_windows(bench_docs.select("doc_id", "text"), 1)
+        .select("w")
+        .dropDuplicates(["w"])
+        .write.mode("overwrite")
+        .parquet(os.path.join(state_dir, _EVAL_WINDOWS))
+    )
+
+
+def _decontaminate_batch(spark, batch: DataFrame, ew_root: str) -> DataFrame:
+    """Streaming decontamination gate (r14 VERDICT item 6): drop the
+    held-out bench docs themselves and every batch doc sharing a
+    verbatim _SUB_N-char window with the persisted eval index —
+    contamination_substring's exact membership rule (stride-sampled
+    corpus windows vs the stride-1 eval windows), applied per
+    micro-batch. Work ∝ batch: windows of THIS batch only; the eval
+    index is fixed-size by construction (≤ _BENCH_CAP docs) and
+    broadcasts; the flagged key set is batch-bounded, so the anti-join
+    leaves the batch in place. The flag is a pure per-document function
+    constant across batches, which is what keeps the streamed corpus
+    hash-equal to the one-shot decontaminated capstone
+    (pipeline_pretrain_pack_decontam)."""
+    from pyspark.sql import functions as F
+
+    from cqlcopy_spark.operators.text import _SUB_STRIDE, _bench_split, _char_windows
+
+    clean = _bench_split(batch)[1]
+    ew = spark.read.schema("w string").parquet(ew_root)
+    flagged = (
+        _char_windows(clean.select("doc_id", "text"), _SUB_STRIDE)
+        .join(F.broadcast(ew), "w")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    return clean.join(flagged, "doc_id", "left_anti")
 
 
 def curation_takedown_batch(
@@ -1240,6 +1407,7 @@ def curation_takedown_batch(
     root — the raw takedown deltas are the replay truth that makes it
     safe."""
     spark = doc_ids.sparkSession
+    batch_id = _apply_epoch(state_dir, batch_id)
     td_root = os.path.join(state_dir, "takedowns")
     _below_floor_guard(td_root, batch_id, "curation_takedown_batch")
     _maybe_compact_index(spark, td_root, batch_id, "doc_id long", ["doc_id"])
@@ -1248,18 +1416,30 @@ def curation_takedown_batch(
     ).parquet(os.path.join(td_root, f"delta={batch_id}"))
 
 
-def read_curation_survivors(spark, state_dir: str) -> DataFrame:
+def read_curation_survivors(
+    spark, state_dir: str, as_of: int = 1 << 62
+) -> DataFrame:
     """Cumulative admitted set of a continuous_curation_sink state dir:
     the union of every batch's survivor delta — disjoint across deltas
     by construction (the anti-join admits each text hash exactly once),
     so this is a plain union. The takedown anti-join is added ONLY when
     takedowns exist, so a takedown-free state keeps the plain-union plan
     byte for byte. Feed it to text._pack_from_toks for the
-    trainer-facing packed layout."""
+    trainer-facing packed layout.
+
+    `as_of` is TIME TRAVEL over the delta log: the state a reader AT
+    batch id `as_of` saw — deltas (and takedown masks) strictly below
+    it, exactly _read_index_deltas' replay contract. Compactions only
+    ever fold deltas strictly below their own version, so a compaction
+    ≤ as_of is a lossless shortcut; a vacuum version is stamped ABOVE
+    every id and is therefore skipped by any historical as_of, which
+    falls back to the retained raw deltas — time travel keeps working
+    across physical pruning, because the raw deltas are the replay
+    truth the vacuum deliberately retains."""
     surv = _read_index_deltas(
         spark,
         os.path.join(state_dir, "survivors"),
-        2**62,
+        as_of,
         "doc_id long, shard long, n_tokens long",
     )
     td_root = os.path.join(state_dir, "takedowns")
@@ -1268,7 +1448,41 @@ def read_curation_survivors(spark, state_dir: str) -> DataFrame:
     # takedowns are tiny relative to survivors: stats pick a broadcast
     # anti-join unhinted (the no-SF-scaling-broadcast-hint rule)
     return surv.join(
-        _read_index_deltas(spark, td_root, 2**62, "doc_id long"),
+        _read_index_deltas(spark, td_root, as_of, "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
+    """(doc_id, shard, n_tokens, admitted_batch) — every live survivor
+    with the batch id that ADMITTED it, read from the RAW survivor
+    deltas (the curation twin of vector_index._rows_with_batch):
+    compactions are skipped on purpose, because provenance is exactly
+    what compaction erases and the raw deltas are retained as replay
+    truth. Driver state is one os.listdir; the loop builds a union PLAN
+    (rows never collect). The takedown mask applies as usual — retired
+    docs carry no provenance row in the live view."""
+    from pyspark.sql import functions as F
+
+    root = os.path.join(state_dir, "survivors")
+    schema = "doc_id long, shard long, n_tokens long"
+    frames = [
+        spark.read.schema(schema)
+        .parquet(os.path.join(root, f"delta={b}"))
+        .withColumn("admitted_batch", F.lit(b).cast("long"))
+        for b in _delta_ids(root, 1 << 62)
+    ]
+    if not frames:
+        return spark.createDataFrame([], schema + ", admitted_batch long")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    td_root = os.path.join(state_dir, "takedowns")
+    if not os.path.isdir(td_root):
+        return out
+    return out.join(
+        _read_index_deltas(spark, td_root, 1 << 62, "doc_id long"),
         "doc_id",
         "left_anti",
     )
@@ -1312,6 +1526,7 @@ def continuous_curation_sink(
         if not same_run:
             for sub in ("ths", "survivors", "takedowns"):
                 shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+            _clear_log_epoch(state_dir)
         os.makedirs(state_dir, exist_ok=True)
         curation_apply_batch(batch_df, batch_id, state_dir)
         _write_run_marker(state_dir, qid)
@@ -1381,6 +1596,7 @@ def continuous_vector_index_sink(
         if not same_run:
             for sub in ("codes", "tombstones"):
                 shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
+            _clear_log_epoch(state_dir)
             for f in ("centroids.parquet", "codebooks.parquet"):
                 p = os.path.join(state_dir, f)
                 shutil.rmtree(p, ignore_errors=True)
