@@ -2910,25 +2910,39 @@ def _bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set only.
 
 
-def _pretrain_pack_oracle(extra_survivor_pred: str = "") -> str:
-    """The capstone relation in DuckDB SQL. `extra_survivor_pred` is
-    spliced AFTER the keeper's rn = 1 — post-admission masking, the
+def _capstone_survivor_ctes(
+    extra_survivor_pred: str = "",
+    extra_gate_pred: str = "",
+    prefix_ctes: str = "",
+    feats_pred: str = "",
+) -> str:
+    """WITH … survivors — the capstone admission pipeline's CTE chain in
+    DuckDB SQL, shared by the pack oracle and the provenance oracle so
+    the admission spec cannot drift between them. `extra_survivor_pred`
+    splices AFTER the keeper's rn = 1 — post-admission masking, the
     takedown semantics (a taken-down md5 keeper must NOT resurrect its
-    duplicates, so the exclusion cannot move before ROW_NUMBER)."""
+    duplicates, so the exclusion cannot move before ROW_NUMBER).
+    `extra_gate_pred` splices INTO the gated WHERE — pre-keeper
+    exclusion, the decontamination semantics (an excised doc never
+    enters admission, so the keeper re-picks among clean copies).
+    `feats_pred` (a full WHERE clause) restricts the document set
+    itself — the time-travel semantics (an as-of read sees only the
+    docs delivered before its batch id). `prefix_ctes` prepends CTEs
+    (trailing comma included) for the predicates to reference."""
     n_tokens, score_raw = _sql_qc_cols()
     return f"""
-WITH feats AS (
+WITH {prefix_ctes}feats AS (
   SELECT doc_id, text,
          {n_tokens} AS n_toks,
          {score_raw} AS score_raw,
          {_SQL_GOPHER_FEATS}
-  FROM documents
+  FROM documents{feats_pred}
 ),
 gated AS (
   SELECT doc_id, text, n_toks
   FROM feats
   WHERE ({_SQL_GOPHER_PASS})
-    AND {_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks
+    AND {_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks{extra_gate_pred}
 ),
 keeper AS (
   SELECT doc_id, n_toks,
@@ -2938,7 +2952,20 @@ keeper AS (
 survivors AS (
   SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard, n_toks
   FROM keeper WHERE rn = 1{extra_survivor_pred}
-),
+)"""
+
+
+def _pretrain_pack_oracle(
+    extra_survivor_pred: str = "",
+    extra_gate_pred: str = "",
+    prefix_ctes: str = "",
+    feats_pred: str = "",
+) -> str:
+    """The capstone relation in DuckDB SQL — the shared survivor CTEs
+    (_capstone_survivor_ctes, see there for the splice-point semantics)
+    plus the shard placement and pack aggregation."""
+    return f"""
+{_capstone_survivor_ctes(extra_survivor_pred, extra_gate_pred, prefix_ctes, feats_pred)},
 placed AS (
   SELECT shard, doc_id, n_toks,
          CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
@@ -2972,8 +2999,14 @@ def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses it). Token counts are the classifier's n_tokens (= gopher
     n_words — one definition), all integer arithmetic through the
     pack."""
-    d = table(spark, sf_dir, "documents")
-    gated = _curation_gated(d)
+    return _capstone_pack(_curation_gated(table(spark, sf_dir, "documents")))
+
+
+def _capstone_pack(gated: DataFrame) -> DataFrame:
+    """md5 keeper + shard placement + pack over a gated (doc_id, th,
+    n_toks) relation — the post-gate half of pipeline_pretrain_pack,
+    factored so the decontaminated twin composes the LITERAL same
+    keeper/pack expressions on its excised input."""
     keepers = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
     survivors = gated.join(keepers, ["th", "doc_id"], "left_semi").select(
         "doc_id",
@@ -3040,20 +3073,30 @@ def stream_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
 
 
-def _streamed_curation_state(spark: SparkSession, sf_dir: str) -> str:
+def _streamed_curation_state(
+    spark: SparkSession, sf_dir: str, decontam: bool = False
+) -> str:
     """Fresh temp state dir after the three doc_id-sliced curation
     micro-batches (batches 0-2) — factored so stream_curation_apply and
-    the takedown op drive the IDENTICAL streamed lifecycle."""
+    the takedown/vacuum/decontam ops drive the IDENTICAL streamed
+    lifecycle. decontam=True persists the eval char-window index FIRST
+    (the benchmark exists before training ingest begins), arming
+    curation_apply_batch's per-batch decontamination gate."""
     import atexit
     import shutil
     import tempfile
 
-    from cqlcopy_spark.streaming.sinks import curation_apply_batch
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        decontamination_index_write,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     mx = d.agg(F.max("doc_id")).first()[0] or 0
     state = tempfile.mkdtemp(prefix="curation_stream_state_")
     atexit.register(shutil.rmtree, state, ignore_errors=True)
+    if decontam:
+        decontamination_index_write(_bench_split(d)[0], state)
     cuts = (mx // 3, 2 * (mx // 3))
     slices = (
         d.filter(col("doc_id") <= cuts[0]),
@@ -3112,3 +3155,211 @@ def stream_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curation_takedown_batch(doomed, 3, state)
     return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
+
+
+@register(
+    "stream_curation_vacuum",
+    oracle=_pretrain_pack_oracle(
+        f" AND doc_id % {_TAKEDOWN_MOD} <> {_TAKEDOWN_RESIDUE}"
+    ),
+)
+def stream_curation_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_curation_takedown's lifecycle with a PHYSICAL vacuum
+    spliced between the takedown and the pack (r14 VERDICT item 5):
+    curation_vacuum rewrites survivors-ANTI-JOIN-takedowns as a new
+    compaction version and swaps the mask empty — and the pack over the
+    post-swap reader view must be HASH-identical to the takedown op's
+    (same oracle SQL: the capstone with the exclusion spliced
+    post-keeper). This driver-checks reader-view invariance of the
+    SECOND vacuum_masked_root instance under the oracle — the vector
+    twin (similarity_index_vacuum_verify) covers the first; until this
+    entry, curation_vacuum was only pytest-pinned. The in-op
+    nothing-pruned guard keeps the check non-vacuous: a silently
+    no-op'd vacuum would hash the UN-vacuumed view and prove nothing.
+
+    Scale shape: the vacuum is one offline corpus-sized rewrite (the
+    compaction trade, amortized across every later read, which stops
+    carrying dead rows and the mask anti-join); the ingest/takedown/
+    pack costs are stream_curation_takedown's."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_takedown_batch,
+        curation_vacuum,
+        read_curation_survivors,
+    )
+
+    state = _streamed_curation_state(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    doomed = d.select("doc_id").filter(
+        (col("doc_id") % _TAKEDOWN_MOD) == _TAKEDOWN_RESIDUE
+    )
+    curation_takedown_batch(doomed, 3, state)
+    n_pruned = curation_vacuum(spark, state)
+    if n_pruned <= 0:
+        raise AssertionError(
+            "curation_vacuum pruned nothing — the reader-view-invariance "
+            "check would be vacuous (it would hash the un-vacuumed view)"
+        )
+    return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# decontaminated capstone — the contamination gate spliced into curation
+# ---------------------------------------------------------------------------
+
+
+def _decontam_pack_oracle() -> str:
+    """The capstone SQL with the decontamination gate spliced PRE-keeper
+    (r14 VERDICT item 6): the gated CTE additionally drops the held-out
+    bench docs themselves and every doc sharing a verbatim
+    {_SUB_N}-char window with one — contamination_excise's exact
+    membership rule (contamination_substring's flagged set). Pre-keeper
+    is the correct splice for excision (unlike the takedown's
+    post-keeper mask): an excised doc never enters admission, so the
+    md5 keeper re-picks among the remaining clean copies."""
+    prefix = f"""bench_w AS (
+  SELECT DISTINCT unnest({_sql_char_windows(1)}) AS w FROM documents
+  WHERE {_sql_is_bench()} AND len(text) >= {_SUB_N}
+),
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest({_sql_char_windows(_SUB_STRIDE)}) AS w
+        FROM documents
+        WHERE NOT ({_sql_is_bench()}) AND len(text) >= {_SUB_N}) c
+  JOIN bench_w b USING (w)
+),
+"""
+    gate = (
+        f"\n    AND NOT ({_sql_is_bench()})"
+        "\n    AND doc_id NOT IN (SELECT doc_id FROM flagged)"
+    )
+    return _pretrain_pack_oracle(extra_gate_pred=gate, prefix_ctes=prefix)
+
+
+_DECONTAM_PACK_ORACLE = _decontam_pack_oracle()
+
+
+def _decontaminated_corpus(d: DataFrame) -> DataFrame:
+    """documents minus the bench split minus the exact-substring flagged
+    set — contamination_excise's membership rule projected for the
+    curation gates. The flagged side is contamination-rate-sized
+    (doc_id keys only), so the anti-join leaves the corpus in place."""
+    _, corpus_docs = _bench_split(d)
+    flagged = _substring_pairs(d).select("doc_id").dropDuplicates(["doc_id"])
+    return corpus_docs.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "text", "n_chars"
+    )
+
+
+@register("pipeline_pretrain_pack_decontam", oracle=_DECONTAM_PACK_ORACLE)
+def pipeline_pretrain_pack_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-shot decontaminated capstone: contamination excision
+    (bench docs + verbatim-window hits out, pre-keeper) → quality gates
+    → md5 keeper → pack, each stage the standalone op's literal factored
+    expression (_substring_pairs / _bench_split / _curation_gated /
+    _capstone_pack). The batch twin stream_curation_decontam must
+    HASH-equal this relation (same oracle SQL) — the
+    stream_curation_apply == pipeline_pretrain_pack precedent extended
+    to the decontaminated pipeline.
+
+    Scale shape: the flag scan is contamination_substring's (batch
+    windows vs the broadcast fixed-size bench index, corpus never
+    shuffles on text); everything downstream is the capstone's."""
+    d = table(spark, sf_dir, "documents")
+    return _capstone_pack(_curation_gated(_decontaminated_corpus(d)))
+
+
+@register("stream_curation_decontam", oracle=_DECONTAM_PACK_ORACLE)
+def stream_curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed curation ingest WITH the decontamination gate armed
+    (r14 VERDICT item 6): the eval char-window index is persisted into
+    the state dir before ingest begins (benchmarks exist before
+    training data arrives), and every micro-batch's docs are probed
+    against it inside curation_apply_batch — flagged docs and bench
+    docs are rejected pre-admission, exactly the asymmetric
+    dedup_incremental shape (per-batch work ∝ batch; the fixed-size
+    eval index broadcasts). HASH-equal to pipeline_pretrain_pack_decontam
+    by the slice-invisibility argument: the flag is a pure per-document
+    function (text windows + the id-based bench rule) constant across
+    batches, so first-delivery-wins admission over clean gated arrivals
+    selects exactly the one-shot keeper set."""
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+
+    state = _streamed_curation_state(spark, sf_dir, decontam=True)
+    return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# delta-log time travel + provenance over the streamed curation state
+# ---------------------------------------------------------------------------
+
+# time-travel read point: the state a reader at batch id 2 saw — deltas
+# 0 and 1 only, i.e. the first two doc_id slices
+_ASOF_BATCH = 2
+_SQL_ASOF_CUT = "2 * ((SELECT MAX(doc_id) FROM documents) // 3)"
+
+
+@register(
+    "stream_curation_asof",
+    oracle=_pretrain_pack_oracle(
+        feats_pred=f"\n  WHERE doc_id <= {_SQL_ASOF_CUT}"
+    ),
+)
+def stream_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the curation delta log: after the full
+    three-slice ingest, read the survivor state AS OF batch
+    {_ASOF_BATCH} (deltas strictly below it — exactly what a replay of
+    batch 2 would have seen) and pack it. The oracle is the capstone
+    SQL over ONLY the documents the first two slices delivered
+    (doc_id <= 2·(max//3)) — equality proves the as-of read
+    reconstructs the exact historical admission state, which holds
+    because survivor deltas are disjoint first-delivery-wins sets and
+    compactions only ever fold deltas strictly below their own version
+    (a vacuum version stamps ABOVE every id, so historical reads skip
+    it and fall back to the retained raw deltas — time travel survives
+    physical pruning by construction; see read_curation_survivors).
+
+    Scale shape: identical to stream_curation_apply's read (a plain
+    union of fewer deltas); time travel costs nothing because the log
+    IS the history — no snapshot copies, the lakehouse version-read
+    economics."""
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors
+
+    state = _streamed_curation_state(spark, sf_dir)
+    return _pack_from_toks(
+        read_curation_survivors(spark, state, as_of=_ASOF_BATCH), _PACK_BUDGET
+    )
+
+
+def _provenance_oracle() -> str:
+    cut1 = "(SELECT MAX(doc_id) // 3 FROM documents)"
+    return f"""
+{_capstone_survivor_ctes()}
+SELECT doc_id, shard,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN doc_id <= {cut1} THEN 0
+                 WHEN doc_id <= {_SQL_ASOF_CUT} THEN 1
+                 ELSE 2 END AS BIGINT) AS admitted_batch
+FROM survivors
+"""
+
+
+@register("stream_curation_provenance", oracle=_provenance_oracle())
+def stream_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission PROVENANCE over the curation delta log: every live
+    survivor with the batch id that admitted it, read from the RAW
+    survivor deltas (read_curation_survivors_with_batch — the curation
+    twin of the vector index's _rows_with_batch audit surface). The
+    oracle derives each keeper's batch from the slice that contained
+    its doc_id: with ascending doc_id slices, first-delivery-wins
+    admits every capstone keeper in exactly its own slice's batch, so
+    the delta-file provenance must reproduce the CASE — a drift in
+    either the keeper rule or the delta discipline breaks the hash.
+
+    Scale shape: a union PLAN over the raw delta files (file count ∝
+    batches on disk, bounded by retention policy; rows never collect)
+    plus the usual mask anti-join; this is the audit/lineage read a
+    takedown-compliance review runs, not a hot path."""
+    from cqlcopy_spark.streaming.sinks import read_curation_survivors_with_batch
+
+    state = _streamed_curation_state(spark, sf_dir)
+    return read_curation_survivors_with_batch(spark, state)

@@ -103,6 +103,15 @@ HEAVY_OPS = [
     # r14: the streamed-capstone lifecycle plus a takedown delta and the
     # masked-view pack (stream_curation_apply's cost class + one batch)
     "stream_curation_takedown",
+    # r15: the takedown lifecycle PLUS the corpus-sized vacuum rewrite
+    # (anti-join + repartition + both compaction swaps) in one session
+    "stream_curation_vacuum",
+    # r15: the streamed lifecycle with the per-batch decontamination
+    # probe armed (batch char-window explode + broadcast eval join per
+    # micro-batch) — and its one-shot twin composing the excision
+    # anti-join atop the capstone's two token folds + dedup + pack
+    "stream_curation_decontam",
+    "pipeline_pretrain_pack_decontam",
 ]
 
 _SCRIPT = r"""
