@@ -3082,10 +3082,6 @@ def _streamed_curation_state(
     lifecycle. decontam=True persists the eval char-window index FIRST
     (the benchmark exists before training ingest begins), arming
     curation_apply_batch's per-batch decontamination gate."""
-    import atexit
-    import shutil
-    import tempfile
-
     from cqlcopy_spark.streaming.sinks import (
         curation_apply_batch,
         decontamination_index_write,
@@ -3093,8 +3089,7 @@ def _streamed_curation_state(
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     mx = d.agg(F.max("doc_id")).first()[0] or 0
-    state = tempfile.mkdtemp(prefix="curation_stream_state_")
-    atexit.register(shutil.rmtree, state, ignore_errors=True)
+    state = _fresh_curation_state_dir()
     if decontam:
         decontamination_index_write(_bench_split(d)[0], state)
     cuts = (mx // 3, 2 * (mx // 3))
@@ -3105,6 +3100,18 @@ def _streamed_curation_state(
     )
     for batch_id, batch in enumerate(slices):
         curation_apply_batch(batch, batch_id, state)
+    return state
+
+
+def _fresh_curation_state_dir() -> str:
+    """Session-lifetime temp state dir for a streamed-curation
+    lifecycle op (removed at interpreter exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="curation_stream_state_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
     return state
 
 
@@ -3328,6 +3335,104 @@ def stream_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_from_toks(
         read_curation_survivors(spark, state, as_of=_ASOF_BATCH), _PACK_BUDGET
     )
+
+
+@register(
+    "stream_curation_epoch_resume",
+    oracle=_pretrain_pack_oracle(
+        f" AND NOT (doc_id % {_TAKEDOWN_MOD} = {_TAKEDOWN_RESIDUE}"
+        f" AND doc_id <= {_SQL_ASOF_CUT})"
+    ),
+)
+def stream_curation_epoch_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-epoch lever driver-checked end to end: ingest the first
+    two slices (batches 0-1), take down every ADMITTED doc_id ≡ 3 mod 7
+    (batch 2), PHYSICALLY vacuum with bump_epoch=True, then deliver the
+    third slice as a RESUMED checkpoint's batch 0 — the id that dies at
+    _below_floor_guard without the epoch; with it, the write lands at
+    effective id = the vacuum stamp and the same checkpoint continues.
+
+    The oracle is the capstone SQL with the exclusion bounded to the
+    pre-vacuum horizon (taken-down ids at-or-below the second slice's
+    cut): the takedown masked only content admitted BEFORE the vacuum,
+    and the vacuum's horizon claim means later deliveries of never-
+    admitted mod-7 ids land legitimately (the mask was physically
+    pruned). Content permanence still holds across the swap — a
+    third-slice doc whose text equals a taken-down keeper stays out,
+    because the admitted-hash index is deliberately NOT vacuumed. Hash
+    equality therefore proves three things at once: the epoch mapping
+    is correct, the vacuum swapped the reader view losslessly, and the
+    post-resume admission pipeline is the same first-delivery-wins
+    relation the one-shot SQL specifies.
+
+    Scale shape: stream_curation_vacuum's lifecycle + one more ingest
+    batch; the epoch adds one tiny file read per kernel call."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_takedown_batch,
+        curation_vacuum,
+        read_curation_survivors,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (mx // 3, 2 * (mx // 3))
+    state = _fresh_curation_state_dir()
+    curation_apply_batch(d.filter(col("doc_id") <= cuts[0]), 0, state)
+    curation_apply_batch(
+        d.filter((col("doc_id") > cuts[0]) & (col("doc_id") <= cuts[1])),
+        1,
+        state,
+    )
+    doomed = d.select("doc_id").filter(
+        ((col("doc_id") % _TAKEDOWN_MOD) == _TAKEDOWN_RESIDUE)
+        & (col("doc_id") <= cuts[1])
+    )
+    curation_takedown_batch(doomed, 2, state)
+    n_pruned = curation_vacuum(spark, state, bump_epoch=True)
+    if n_pruned <= 0:
+        raise AssertionError(
+            "curation_vacuum pruned nothing — the epoch-resume check "
+            "would not be exercising a post-vacuum resume at all"
+        )
+    # the resumed checkpoint restarts numbering at 0: without the epoch
+    # this exact call is the _below_floor_guard error
+    curation_apply_batch(d.filter(col("doc_id") > cuts[1]), 0, state)
+    return _pack_from_toks(read_curation_survivors(spark, state), _PACK_BUDGET)
+
+
+@register("stream_curation_branch", oracle=_pretrain_pack_oracle())
+def stream_curation_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State BRANCHING driver-checked end to end: fork the fully
+    ingested trunk at batch {_ASOF_BATCH} (curation_state_clone — the
+    as-of view materialized as the branch's base compaction, branch
+    epoch = the fork point), deliver the trunk's third slice to the
+    BRANCH as a brand-new checkpoint's batch 0 (the epoch maps it onto
+    the fork point), and pack the branch. The oracle is the PLAIN
+    capstone SQL: replaying the trunk's remaining deliveries on the
+    branch must reproduce the trunk relation exactly — hash equality
+    proves the fork is faithful (as-of exactness), the epoch mapping is
+    correct for fresh checkpoints, and branch admission composes with
+    the cloned hash index (cross-fork duplicates still collapse to the
+    trunk keeper).
+
+    Scale shape: the fork costs one as-of-sized rewrite per root, once;
+    everything else is the streamed capstone's per-batch shape. The
+    trunk is never touched — divergence isolation is pinned in
+    tests/test_curation_branch.py."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_apply_batch,
+        curation_state_clone,
+        read_curation_survivors,
+    )
+
+    state = _streamed_curation_state(spark, sf_dir)
+    branch = _fresh_curation_state_dir()
+    curation_state_clone(spark, state, branch, as_of=_ASOF_BATCH)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    curation_apply_batch(d.filter(col("doc_id") > 2 * (mx // 3)), 0, branch)
+    return _pack_from_toks(read_curation_survivors(spark, branch), _PACK_BUDGET)
 
 
 def _provenance_oracle() -> str:

@@ -253,22 +253,33 @@ def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
     _guard(root, batch_id, what)
 
 
-def read_index_codes(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_index_codes(
+    spark: SparkSession, state_dir: str, as_of: int = 1 << 62
+) -> DataFrame:
     """The cumulative encoded corpus (every delta + compactions resolved
     exactly once, tombstoned ids masked) — what a search scans and what
     the verify twins hold to one-shot parity. The tombstone anti-join is
     added ONLY when deletes exist, so a delete-free index keeps the
-    one-scan/one-Arrow-stage query plan byte for byte (plan pin)."""
+    one-scan/one-Arrow-stage query plan byte for byte (plan pin).
+
+    `as_of` is TIME TRAVEL over the index log (the curation reader's
+    contract, read_curation_survivors): codes and tombstones strictly
+    below the read point — a reader at batch id `as_of`'s exact view.
+    Vacuum versions stamp above every id, so historical reads skip
+    them and serve the retained raw deltas: point-in-time truth
+    survives physical pruning by construction."""
     from cqlcopy_spark.streaming.sinks import _read_index_deltas
 
     codes = _read_index_deltas(
-        spark, os.path.join(state_dir, "codes"), 1 << 62, _CODES_SCHEMA
+        spark, os.path.join(state_dir, "codes"), as_of, _CODES_SCHEMA
     )
     if not os.path.isdir(os.path.join(state_dir, "tombstones")):
         return codes
     # tombstones are tiny relative to codes: stats pick a broadcast
     # anti-join unhinted (the no-SF-scaling-broadcast-hint rule)
-    return codes.join(_read_tombstones(spark, state_dir), "vec_id", "left_anti")
+    return codes.join(
+        _read_tombstones(spark, state_dir, as_of), "vec_id", "left_anti"
+    )
 
 
 def vector_index_search(

@@ -1454,6 +1454,48 @@ def read_curation_survivors(
     )
 
 
+def curation_state_clone(spark, src: str, dst: str, as_of: int) -> None:
+    """BRANCH a curation state: materialize `src`'s as-of view (the
+    state a reader at batch id `as_of` saw — survivors, admitted-hash
+    index, takedown masks, each strictly below the point) as compaction
+    version `as_of` in a fresh `dst`, and persist `dst`'s log epoch =
+    `as_of` so a BRAND-NEW checkpoint's batch 0 maps exactly onto the
+    fork point (the epoch lever reused: without it, fresh small batch
+    ids would die at the compaction floor). The branch then evolves
+    independently — ingest, takedowns, vacuums on either side never
+    touch the other (a dev fork of a training corpus, the table-format
+    branch primitive).
+
+    Cost: one as-of-sized rewrite per root (the compaction write), paid
+    once at fork time; every later branch read is the normal
+    compact+tail-delta resolution. Faithful by the same argument as
+    time travel: deltas are disjoint first-delivery-wins sets and the
+    as-of read is exact — continuing the branch with the trunk's
+    remaining deliveries reproduces the trunk relation
+    (stream_curation_branch driver-checks that equality)."""
+    specs = (
+        ("survivors", "doc_id long, shard long, n_tokens long", ["doc_id"]),
+        ("ths", "th string", ["th"]),
+        ("takedowns", "doc_id long", ["doc_id"]),
+    )
+    for sub, schema, layout in specs:
+        root = os.path.join(src, sub)
+        if not os.path.isdir(root):
+            continue  # e.g. a takedown-free trunk
+        (
+            _read_index_deltas(spark, root, as_of, schema)
+            .repartition(*layout)
+            .sortWithinPartitions(*layout)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, sub, "compact", f"v={as_of}"))
+        )
+    os.makedirs(dst, exist_ok=True)
+    tmp = os.path.join(dst, _EPOCH_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(as_of))
+    os.replace(tmp, os.path.join(dst, _EPOCH_FILE))
+
+
 def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
     """(doc_id, shard, n_tokens, admitted_batch) — every live survivor
     with the batch id that ADMITTED it, read from the RAW survivor

@@ -125,3 +125,37 @@ def test_provenance_respects_takedown_mask(spark, curated):
     )
     after = read_curation_survivors_with_batch(spark, state)
     assert after.filter(F.col("doc_id") == victim).count() == 0
+
+
+def test_vector_index_asof_survives_vacuum(spark):
+    """The vector twin of as-of time travel: the view as of the
+    tombstone batch (before any delete applied) is unchanged by the
+    vacuum — historical reads serve the retained raw deltas, and the
+    as-of view at the delete batch still contains the later-doomed
+    ids."""
+    from cqlcopy_spark.operators.vector_index import (
+        _lifecycle_state,
+        read_index_codes,
+        vector_index_vacuum,
+    )
+
+    e, state = _lifecycle_state(spark, SF_SMALL)
+    # as of batch 2 (the tombstone batch): batches 0-1 live, no mask yet
+    before = {
+        (r["vec_id"], r["cell"], r["codes"])
+        for r in read_index_codes(spark, state, as_of=2).collect()
+    }
+    assert before
+    doomed = {
+        r["vec_id"]
+        for r in e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 1)
+        .select("vec_id")
+        .collect()
+    }
+    assert {v for v, _, _ in before} & doomed  # pre-delete truth kept
+    assert vector_index_vacuum(spark, state) > 0
+    after = {
+        (r["vec_id"], r["cell"], r["codes"])
+        for r in read_index_codes(spark, state, as_of=2).collect()
+    }
+    assert after == before

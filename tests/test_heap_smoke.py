@@ -112,6 +112,12 @@ HEAVY_OPS = [
     # anti-join atop the capstone's two token folds + dedup + pack
     "stream_curation_decontam",
     "pipeline_pretrain_pack_decontam",
+    # r15: two-slice ingest + takedown + epoch-bumped vacuum + resumed
+    # batch-0 ingest + pack — the epoch lever's full lifecycle
+    "stream_curation_epoch_resume",
+    # r15: full trunk lifecycle + three as-of compaction rewrites (the
+    # fork) + a branch ingest batch + pack in one session
+    "stream_curation_branch",
 ]
 
 _SCRIPT = r"""
