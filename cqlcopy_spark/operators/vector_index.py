@@ -551,6 +551,14 @@ def _lifecycle_state(spark: SparkSession, sf_dir: str):
     temp state dir — factored so the liveness test can corrupt the same
     lifecycle the twin checks (and so the twin runs the eager slicing
     job once, r13 review)."""
+    e, state, _ = _lifecycle_state_and_final(spark, sf_dir)
+    return e, state
+
+
+def _lifecycle_state_and_final(spark: SparkSession, sf_dir: str):
+    """(corpus, state dir, final-batch payload): the delete lifecycle
+    plus the exact frame its last append delivered — the branch twin
+    re-delivers it to a fork, and the replay test rebuilds it."""
     e, (base, b1, b2) = _sliced_corpus(spark, sf_dir)
     state = _state_tempdir()
     vector_index_build(base, state)
@@ -568,8 +576,9 @@ def _lifecycle_state(spark: SparkSession, sf_dir: str):
         .join(doomed, "vec_id", "left_semi")
         .selectExpr("vec_id", "transform(emb, x -> x + 1.0) AS emb")
     )
-    vector_index_append(poisoned.unionByName(b2), 3, state)
-    return e, state
+    final = poisoned.unionByName(b2)
+    vector_index_append(final, 3, state)
+    return e, state, final
 
 
 def _delete_violations(
@@ -713,6 +722,84 @@ def vector_index_vacuum(
             [os.path.join(state_dir, sub) for sub in ("codes", "tombstones")],
         )
     return n
+
+
+def vector_index_clone(
+    spark: SparkSession, src: str, dst: str, as_of: int
+) -> None:
+    """BRANCH the persisted index at an as-of point (the curation
+    clone's discipline on the (codes, tombstones) pair): the trunk's
+    header artifacts are copied — the branch keeps encoding with the
+    TRUNK'S codebooks, the FAISS clone semantics, which is what makes
+    identical payloads encode identically across the fork — the as-of
+    codes and tombstone views land as the branch's base compactions,
+    and the branch epoch is persisted = the fork point so a brand-new
+    checkpoint's batch 0 lands exactly there. Fork cost: one
+    as-of-sized rewrite per root + two tiny header copies, once; the
+    trunk is never touched."""
+    import shutil
+
+    from cqlcopy_spark.streaming.sinks import clone_state_roots
+
+    os.makedirs(dst, exist_ok=True)
+    for name in ("centroids.parquet", "codebooks.parquet"):
+        # temp-name + os.replace: same crash discipline as the build's
+        # header writes — a torn codebooks copy is a corrupt 'trained'
+        # sentinel that flips replays onto the append path
+        tmp = os.path.join(dst, name + ".tmp")
+        shutil.copyfile(os.path.join(src, name), tmp)
+        os.replace(tmp, os.path.join(dst, name))
+    clone_state_roots(
+        spark,
+        src,
+        dst,
+        as_of,
+        (("codes", _CODES_SCHEMA, ["vec_id"]), ("tombstones", "vec_id long", ["vec_id"])),
+    )
+
+
+@register("similarity_index_branch_verify", oracle=_INDEX_VERIFY_ORACLE)
+def similarity_index_branch_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork faithfulness for the vector index, as violations vs the
+    EMPTY relation: run the full delete lifecycle on a trunk, fork at
+    batch 3 (post-delete, pre-final-append), re-deliver the trunk's
+    exact final batch to the BRANCH as a brand-new checkpoint's batch 0
+    (the branch epoch maps it onto the fork point), and diff the two
+    reader views row-for-row in both directions. Equality requires four
+    things at once: the as-of fork captured the exact pre-final state,
+    the copied codebooks encode the payload identically on both sides
+    (centroid/codebook drift would flip cells or codes), the branch's
+    first-delivery guard consults the cloned tombstones (the batch's
+    poisoned re-adds of deleted ids must be dropped on the branch too),
+    and the epoch mapping filed the branch delta where readers resolve
+    it. kinds: missing_in_branch / extra_in_branch — full-row diffs, so
+    a single flipped code byte fires.
+
+    Planted-corruption liveness + divergence isolation are pinned in
+    tests/test_vector_index_branch.py; this twin is the driver-checked
+    (empty-relation hash) surface."""
+    e, trunk, final = _lifecycle_state_and_final(spark, sf_dir)
+    branch = _state_tempdir()
+    vector_index_clone(spark, trunk, branch, as_of=3)
+    vector_index_append(final, 0, branch)  # fresh checkpoint numbering
+    return _branch_violations(spark, trunk, branch)
+
+
+def _branch_violations(
+    spark: SparkSession, trunk: str, branch: str
+) -> DataFrame:
+    """Row-level reader-view diff of two index states — factored so the
+    liveness test can corrupt the branch and assert the planted rows
+    come back."""
+    t = read_index_codes(spark, trunk)
+    b = read_index_codes(spark, branch)
+    missing = t.exceptAll(b).select(
+        "vec_id", F.lit("missing_in_branch").alias("kind")
+    )
+    extra = b.exceptAll(t).select(
+        "vec_id", F.lit("extra_in_branch").alias("kind")
+    )
+    return missing.unionByName(extra)
 
 
 def _read_index_deltas_codes(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -1473,15 +1473,31 @@ def curation_state_clone(spark, src: str, dst: str, as_of: int) -> None:
     as-of read is exact — continuing the branch with the trunk's
     remaining deliveries reproduces the trunk relation
     (stream_curation_branch driver-checks that equality)."""
-    specs = (
-        ("survivors", "doc_id long, shard long, n_tokens long", ["doc_id"]),
-        ("ths", "th string", ["th"]),
-        ("takedowns", "doc_id long", ["doc_id"]),
+    clone_state_roots(
+        spark,
+        src,
+        dst,
+        as_of,
+        (
+            ("survivors", "doc_id long, shard long, n_tokens long", ["doc_id"]),
+            ("ths", "th string", ["th"]),
+            ("takedowns", "doc_id long", ["doc_id"]),
+        ),
     )
+
+
+def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
+    """The shared fork mechanics behind curation_state_clone and
+    vector_index_clone: each (subdir, schema, layout) root's as-of view
+    written as `dst`'s base compaction v=as_of (layout-clustered, the
+    compaction discipline), then `dst`'s log epoch persisted = as_of —
+    the epoch lever reused so a brand-new checkpoint's batch 0 maps
+    onto the fork point instead of dying at the compaction floor.
+    Missing roots (e.g. a takedown-free trunk) are skipped."""
     for sub, schema, layout in specs:
         root = os.path.join(src, sub)
         if not os.path.isdir(root):
-            continue  # e.g. a takedown-free trunk
+            continue
         (
             _read_index_deltas(spark, root, as_of, schema)
             .repartition(*layout)

@@ -118,6 +118,9 @@ HEAVY_OPS = [
     # r15: full trunk lifecycle + three as-of compaction rewrites (the
     # fork) + a branch ingest batch + pack in one session
     "stream_curation_branch",
+    # r15: the delete lifecycle TWICE over (trunk + forked branch with
+    # the final batch re-encoded) + two full-row exceptAll diffs
+    "similarity_index_branch_verify",
 ]
 
 _SCRIPT = r"""
