@@ -94,13 +94,14 @@ _PRIORITY_UNCHECKED = (
 # (so the content-hash ledger correctly ranks them 5, behind a
 # ~100-entry rank-4 changed-module pool from the r14 rewrites — they
 # simulate at positions 117-138 and would wait ~3 rounds). The other 12
-# r10-stale entries front naturally at positions 1-12; together the
-# window drains the whole r10 cohort. Window accounting: rank-3
-# never-checked entries (any r15-new op without an oracle baseline)
-# occupy slots AHEAD of the rank-4 changed pool, so 22 forced +
-# N new + (28-N) changed-module slots fill the 50. (The 34 r14 forces
-# all carry r14 verdicts >= _FORCE_FRONT_ROUND=14 and are pruned —
-# with the round bumped they would otherwise reactivate.)
+# r10-stale entries live in modules that DID change, so they rank 4 —
+# and sort FIRST within rank 4 (last-check round 10 is the oldest), so
+# they front right behind the forces and the new ops without pinning.
+# Window accounting: 22 forced (rank 1) + 8 never-checked r15 ops
+# (rank 3) + the rank-4 pool round-ascending (the 12 r10s, then 8 r11
+# slots) = 50; the whole r10 cohort is inside. (The 34 r14 forces all
+# carry r14 verdicts >= _FORCE_FRONT_ROUND=14 and are pruned — with
+# the round bumped they would otherwise reactivate.)
 _FORCE_FRONT_ROUND = 15
 _FORCE_FRONT = (
     "ab_experiment_lift",
