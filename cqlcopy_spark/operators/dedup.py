@@ -1169,14 +1169,21 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept alive until interpreter exit (the returned frame reads it
     lazily); replay-idempotence and cross-run-guard semantics are pinned
     in tests/test_streaming_minhash.py."""
+    from cqlcopy_spark.streaming.sinks import read_minhash_pairs
+
+    state = _streamed_minhash_state(spark, sf_dir)
+    return _canonical_pairs(read_minhash_pairs(spark, state))
+
+
+def _streamed_minhash_state(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh temp state dir after the three doc_id-sliced minhash
+    micro-batches (batches 0-2) — factored so the takedown/vacuum ops
+    drive the IDENTICAL streamed lifecycle as the incremental op."""
     import atexit
     import shutil
     import tempfile
 
-    from cqlcopy_spark.streaming.sinks import (
-        minhash_apply_batch,
-        read_minhash_pairs,
-    )
+    from cqlcopy_spark.streaming.sinks import minhash_apply_batch
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # empty corpus: max() is NULL — slice at 0 so all three batches are
@@ -1192,15 +1199,94 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for batch_id, batch in enumerate(slices):
         minhash_apply_batch(batch, batch_id, state)
+    return state
+
+
+def _canonical_pairs(pairs: DataFrame) -> DataFrame:
+    """(d1, d2, jaccard) with d1 < d2 — the emission-order-independent
+    shape the one-shot oracle compares against."""
     return (
-        read_minhash_pairs(spark, state)
-        .select(
+        pairs.select(
             F.least("new_doc", "dup_of").alias("d1"),
             F.greatest("new_doc", "dup_of").alias("d2"),
             "jaccard",
         )
         .orderBy("d1", "d2")
     )
+
+
+# takedown target for the minhash index ops: every doc_id ≡ 3 (mod 7),
+# the curation takedown family's convention — deterministic and
+# SQL-expressible on both pair columns
+_MINHASH_TAKEDOWN_ORACLE = f"""
+SELECT * FROM ({_NGRAM_ORACLE})
+WHERE d1 % 7 <> 3 AND d2 % 7 <> 3
+"""
+
+
+def _minhash_takedown_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark `%`, not pmod: Spark and DuckDB `%` both follow the
+    # DIVIDEND sign (CLAUDE.md), matching the oracle for negative ids
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((col("doc_id") % 7) == 3)
+    )
+
+
+@register("stream_minhash_takedown", oracle=_MINHASH_TAKEDOWN_ORACLE)
+def stream_minhash_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the STREAMING DEDUP INDEX — the third
+    delta-log family to get the takedown lifecycle: after the
+    three-slice ingest, every doc_id ≡ 3 (mod 7) is retired
+    (minhash_takedown_batch, batch 3) and the cumulative pair report is
+    read through the mask — a pair touching a retired doc on EITHER
+    side leaves the report. The oracle is the one-shot exact-Jaccard
+    relation with both columns excluded, so the hash proves the masked
+    read end to end. The probe-side masking (later arrivals never pair
+    with retired content) and the id-permanence guard are pinned in
+    tests/test_minhash_takedown.py — they need a mid-stream takedown,
+    which the SQL-expressible post-ingest shape here cannot exercise.
+
+    Scale shape: the ingest is stream_minhash_incremental's; the
+    takedown adds one batch-sized delta and TWO stats-broadcast
+    anti-joins at read (one per pair column)."""
+    from cqlcopy_spark.streaming.sinks import (
+        minhash_takedown_batch,
+        read_minhash_pairs,
+    )
+
+    state = _streamed_minhash_state(spark, sf_dir)
+    minhash_takedown_batch(_minhash_takedown_target(spark, sf_dir), 3, state)
+    return _canonical_pairs(read_minhash_pairs(spark, state))
+
+
+@register("stream_minhash_vacuum", oracle=_MINHASH_TAKEDOWN_ORACLE)
+def stream_minhash_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_minhash_takedown's lifecycle with the PHYSICAL vacuum
+    spliced between takedown and read: minhash_vacuum prunes the
+    retired docs from all THREE data roots in one version stamp —
+    band and signature rows by doc_id, pair rows by either column
+    (the multi-root vacuum_masked_roots generalization) — and swaps the
+    mask empty. The masked read over the post-swap state must
+    HASH-equal the takedown op's (same oracle SQL): reader-view
+    invariance of the third vacuum instance, driver-checked. The in-op
+    nothing-pruned guard keeps the check non-vacuous."""
+    from cqlcopy_spark.streaming.sinks import (
+        minhash_takedown_batch,
+        minhash_vacuum,
+        read_minhash_pairs,
+    )
+
+    state = _streamed_minhash_state(spark, sf_dir)
+    minhash_takedown_batch(_minhash_takedown_target(spark, sf_dir), 3, state)
+    n_pruned = minhash_vacuum(spark, state)
+    if n_pruned <= 0:
+        raise AssertionError(
+            "minhash_vacuum pruned nothing — the reader-view-invariance "
+            "check would be vacuous (it would hash the un-vacuumed state)"
+        )
+    return _canonical_pairs(read_minhash_pairs(spark, state))
 
 
 # ---------------------------------------------------------------------------

@@ -505,49 +505,87 @@ def vacuum_masked_root(
     epoch (effective id = batch id + offset bumped at vacuum time) —
     a table-format-style version counter decoupled from the
     checkpoint — not implemented here."""
+    return vacuum_masked_roots(
+        spark, [(data_root, schema, [key], layout_cols)], mask_root, key
+    )
+
+
+def vacuum_masked_roots(
+    spark,
+    data_specs: "list[tuple]",
+    mask_root: str,
+    mask_key: str,
+) -> int:
+    """The multi-root generalization of vacuum_masked_root (same
+    contract, see there): `data_specs` is a list of
+    (root, schema, mask_cols, layout_cols) — each data root is pruned
+    of rows whose ANY mask_cols column matches a retired `mask_key`,
+    covering both id-keyed roots (mask_cols = [key]) and relation roots
+    carrying the key in several columns (the minhash PAIR report:
+    mask_cols = [new_doc, dup_of]). Every data root's new version lands
+    BEFORE the single mask swap — a crash mid-way leaves some roots
+    pruned at a lower version and the mask intact, and the re-run
+    restamps everything above it (wasteful, never wrong)."""
     import shutil
 
     if not os.path.isdir(mask_root):
         return 0  # nothing retired — nothing to prune
-    everything = (
-        _delta_ids(data_root, 1 << 62)
-        + _delta_ids(mask_root, 1 << 62)
-        + _compact_versions(data_root)
-        + _compact_versions(mask_root)
-    )
+    everything = _delta_ids(mask_root, 1 << 62) + _compact_versions(mask_root)
+    for root, _, _, _ in data_specs:
+        everything += _delta_ids(root, 1 << 62) + _compact_versions(root)
     if not everything:
         return 0
     vid = 1 + max(everything)
-    mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{key} long")
-    data = _read_index_deltas(spark, data_root, 1 << 62, schema)
-    # one bounded count job: how many stored rows the swap removes
-    n_pruned = data.join(mask, key, "left_semi").count()
+    mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{mask_key} long")
+    datas = [
+        _read_index_deltas(spark, root, 1 << 62, schema)
+        for root, schema, _, _ in data_specs
+    ]
+    views, n_pruned = [], 0
+    for data, (_, _, mask_cols, _) in zip(datas, data_specs):
+        view = data
+        for c in mask_cols:
+            view = view.join(
+                mask.withColumnRenamed(mask_key, c), c, "left_anti"
+            )
+        # bounded count jobs: how many stored rows the swap removes.
+        # Single-key roots keep the original ONE-semi-join count; the
+        # multi-column case (OR across columns) counts the difference.
+        if len(mask_cols) == 1:
+            n_pruned += data.join(
+                mask.withColumnRenamed(mask_key, mask_cols[0]),
+                mask_cols[0],
+                "left_semi",
+            ).count()
+        else:
+            n_pruned += data.count() - view.count()
+        views.append(view)
     if n_pruned == 0 and mask.isEmpty():
         # nothing to prune and nothing to swap — the state right after
         # a completed vacuum. Without this fast path a re-run rewrote
         # the whole corpus as a fresh version for nothing. A crash
-        # BETWEEN the two swaps leaves n_pruned == 0 with mask rows
-        # still visible, which falls through and completes the vacuum
-        # (the crash-retry contract).
+        # BETWEEN the swaps leaves n_pruned == 0 with mask rows still
+        # visible, which falls through and completes the vacuum (the
+        # crash-retry contract).
         return 0
-    view = data.join(mask, key, "left_anti")
-    (
-        view.repartition(*layout_cols)
-        .sortWithinPartitions(*layout_cols)
-        .write.mode("overwrite")
-        .parquet(os.path.join(data_root, "compact", f"v={vid}"))
-    )
-    for v in _compact_versions(data_root):
-        if v < vid:
-            shutil.rmtree(
-                os.path.join(data_root, "compact", f"v={v}"), ignore_errors=True
-            )
+    for view, (root, _, _, layout_cols) in zip(views, data_specs):
+        (
+            view.repartition(*layout_cols)
+            .sortWithinPartitions(*layout_cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "compact", f"v={vid}"))
+        )
+        for v in _compact_versions(root):
+            if v < vid:
+                shutil.rmtree(
+                    os.path.join(root, "compact", f"v={v}"), ignore_errors=True
+                )
     # mask swap LAST: an empty compaction at the same version — every
     # pre-vacuum mask row is already reflected in the pruned data
-    # version, so readers at/above vid need none of them
-    spark.createDataFrame([], f"{key} long").write.mode("overwrite").parquet(
-        os.path.join(mask_root, "compact", f"v={vid}")
-    )
+    # versions, so readers at/above vid need none of them
+    spark.createDataFrame([], f"{mask_key} long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(mask_root, "compact", f"v={vid}"))
     for v in _compact_versions(mask_root):
         if v < vid:
             shutil.rmtree(
@@ -1096,6 +1134,17 @@ def minhash_apply_batch(
         batch_id,
         "doc_id long, hashes array<long>",
     )
+    # takedown masking (armed only when the state carries takedowns —
+    # a takedown-free state keeps the original plan byte for byte):
+    # retired docs leave the PROBE side, so later arrivals never pair
+    # with retired content, and `guard_ids` below keeps their ids out
+    # forever (tombstones-win-forever, the vector index's rule)
+    guard_ids = prev_hashes.select("doc_id")
+    if os.path.isdir(os.path.join(state_dir, "takedowns")):
+        td = _minhash_takedowns(spark, state_dir, batch_id)
+        prev_bands = prev_bands.join(td, "doc_id", "left_anti")
+        prev_hashes = prev_hashes.join(td, "doc_id", "left_anti")
+        guard_ids = guard_ids.unionByName(td)
     # FIRST-DELIVERY-WINS doc_id contract: the cumulative pair report's
     # "disjoint across deltas, plain union" property (read_minhash_pairs)
     # and the single-row-per-doc hashes index both presume a doc_id is
@@ -1111,7 +1160,7 @@ def minhash_apply_batch(
     from cqlcopy_spark.functions.skew import keep_min_by
 
     fresh = keep_min_by(batch_df.select("doc_id", "text"), "doc_id").join(
-        prev_hashes.select("doc_id"), "doc_id", "left_anti"
+        guard_ids, "doc_id", "left_anti"
     )
     docs = _with_minhash_sig(fresh).persist()
     new_bands = _band_rows(docs).persist()
@@ -1210,7 +1259,7 @@ def continuous_minhash_dedup_sink(
             state_dir, qid, on_new_run, "continuous_minhash_dedup_sink"
         )
         if not same_run:
-            for sub in ("bands", "hashes", "pairs"):
+            for sub in ("bands", "hashes", "pairs", "takedowns"):
                 shutil.rmtree(os.path.join(state_dir, sub), ignore_errors=True)
             _clear_log_epoch(state_dir)
         os.makedirs(state_dir, exist_ok=True)
@@ -1227,13 +1276,24 @@ def read_minhash_pairs(spark, state_dir: str) -> DataFrame:
     state dir: the union of every batch's pairs delta. Pairs are
     disjoint across deltas by construction (each pair is emitted only
     by its later-arriving member's batch), so this is a plain union —
-    no dedup pass needed."""
-    return _read_index_deltas(
+    no dedup pass needed. Takedown masking (armed only when takedowns
+    exist — a takedown-free state keeps the plain-union plan): a pair
+    touching a retired doc on EITHER side leaves the report, the
+    right-to-be-forgotten contract for the dedup index
+    (minhash_takedown_batch)."""
+    pairs = _read_index_deltas(
         spark,
         os.path.join(state_dir, "pairs"),
         2**62,
         "new_doc long, dup_of long, jaccard double",
     )
+    if not os.path.isdir(os.path.join(state_dir, "takedowns")):
+        return pairs
+    td = _minhash_takedowns(spark, state_dir)
+    for c in ("new_doc", "dup_of"):
+        # takedown sets are tiny: stats pick broadcast anti-joins
+        pairs = pairs.join(td.withColumnRenamed("doc_id", c), c, "left_anti")
+    return pairs
 
 
 def curation_apply_batch(
@@ -1406,14 +1466,97 @@ def curation_takedown_batch(
     rows is the vector_index_vacuum discipline applied verbatim to this
     root — the raw takedown deltas are the replay truth that makes it
     safe."""
+    _takedown_ids_batch(doc_ids, batch_id, state_dir, "curation_takedown_batch")
+
+
+def _takedown_ids_batch(
+    doc_ids: DataFrame, batch_id: int, state_dir: str, what: str
+) -> None:
+    """The shared takedown-delta kernel (curation + minhash): an
+    id-keyed tombstone delta on the full discipline — epoch mapping,
+    monotone-id floor guard, compaction cadence, overwrite-on-replay."""
     spark = doc_ids.sparkSession
     batch_id = _apply_epoch(state_dir, batch_id)
     td_root = os.path.join(state_dir, "takedowns")
-    _below_floor_guard(td_root, batch_id, "curation_takedown_batch")
+    _below_floor_guard(td_root, batch_id, what)
     _maybe_compact_index(spark, td_root, batch_id, "doc_id long", ["doc_id"])
     doc_ids.select("doc_id").dropDuplicates(["doc_id"]).write.mode(
         "overwrite"
     ).parquet(os.path.join(td_root, f"delta={batch_id}"))
+
+
+def minhash_takedown_batch(
+    doc_ids: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Right-to-be-forgotten for the DEDUP INDEX — the third delta-log
+    family to get the takedown discipline (after the curation log and
+    the vector index): a retired document's text-derived state must
+    leave the near-dup index too, or its content keeps influencing
+    processing through signatures and reported pairs. Appends an
+    id-keyed takedown delta (_takedown_ids_batch); from then on
+
+    - readers mask it: read_minhash_pairs drops pairs touching a
+      retired id (EITHER side);
+    - the probe masks it: minhash_apply_batch anti-joins the prior
+      band/signature index against the takedowns, so later arrivals
+      never pair with retired content;
+    - the admission guard keeps it out forever: a re-delivery of a
+      retired doc_id is dropped (tombstones-win-forever, the vector
+      index's rule);
+    - physical pruning is minhash_vacuum — the shared discipline over
+      THREE data roots (bands, hashes, and the two-column pairs
+      report) and one mask."""
+    _takedown_ids_batch(doc_ids, batch_id, state_dir, "minhash_takedown_batch")
+
+
+def _minhash_takedowns(spark, state_dir: str, below_batch: int = 1 << 62):
+    return _read_index_deltas(
+        spark, os.path.join(state_dir, "takedowns"), below_batch, "doc_id long"
+    )
+
+
+def minhash_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
+    """Physically prune retired documents from all three minhash data
+    roots — band rows and signature rows by doc_id, PAIR rows by either
+    column — and swap the takedown mask empty, in one version stamp
+    (vacuum_masked_roots; same retained-raw-delta replay truth,
+    idempotence and crash-retry contract as the other two instances).
+    bump_epoch=True raises the log epoch to the stamp so a live
+    checkpoint resumes afterwards (see bump_log_epoch)."""
+    n = vacuum_masked_roots(
+        spark,
+        [
+            (
+                os.path.join(state_dir, "bands"),
+                "doc_id long, band int, key string",
+                ["doc_id"],
+                ["band", "key"],
+            ),
+            (
+                os.path.join(state_dir, "hashes"),
+                "doc_id long, hashes array<long>",
+                ["doc_id"],
+                ["doc_id"],
+            ),
+            (
+                os.path.join(state_dir, "pairs"),
+                "new_doc long, dup_of long, jaccard double",
+                ["new_doc", "dup_of"],
+                ["new_doc", "dup_of"],
+            ),
+        ],
+        os.path.join(state_dir, "takedowns"),
+        "doc_id",
+    )
+    if bump_epoch:
+        bump_log_epoch(
+            state_dir,
+            [
+                os.path.join(state_dir, sub)
+                for sub in ("bands", "hashes", "pairs", "takedowns")
+            ],
+        )
+    return n
 
 
 def read_curation_survivors(

@@ -121,6 +121,10 @@ HEAVY_OPS = [
     # r15: the delete lifecycle TWICE over (trunk + forked branch with
     # the final batch re-encoded) + two full-row exceptAll diffs
     "similarity_index_branch_verify",
+    # r15: the full minhash streamed lifecycle + the three-root vacuum
+    # (two corpus-sized count jobs + three clustered rewrites) + the
+    # double-masked pair read in one session
+    "stream_minhash_vacuum",
 ]
 
 _SCRIPT = r"""
