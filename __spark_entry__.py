@@ -89,43 +89,37 @@ _PRIORITY_UNCHECKED = (
 # _FORCE_FRONT_ROUND. When bumping the round, PRUNE entries whose
 # verdicts are already >= the old round — they would all reactivate.
 #
-# Round 15 (r14 VERDICT item 1 — drain the r10 freshness tail): the 22
-# r10-stale entries whose modules are UNCHANGED since their r10 check
-# (so the content-hash ledger correctly ranks them 5, behind a
-# ~100-entry rank-4 changed-module pool from the r14 rewrites — they
-# simulate at positions 117-138 and would wait ~3 rounds). The other 12
-# r10-stale entries live in modules that DID change, so they rank 4 —
-# and sort FIRST within rank 4 (last-check round 10 is the oldest), so
-# they front right behind the forces and the new ops without pinning.
-# Window accounting: 22 forced (rank 1) + 8 never-checked r15 ops
-# (rank 3) + the rank-4 pool round-ascending (the 12 r10s, then 8 r11
-# slots) = 50; the whole r10 cohort is inside. (The 34 r14 forces all
-# carry r14 verdicts >= _FORCE_FRONT_ROUND=14 and are pruned — with
-# the round bumped they would otherwise reactivate.)
-_FORCE_FRONT_ROUND = 15
+# Round 16 (r15 VERDICT item 1 — drain the buried half of the r11
+# freshness tail): the 16 r11-checked entries whose modules are
+# UNCHANGED since their r11 check (so the content-hash ledger correctly
+# ranks them 5, behind the rank-4 changed-module pool — they would
+# bury for ~3 more rounds). The other 28 r11s live in modules that DID
+# change since (text.py, similarity.py, analytics.py), so they rank 4
+# and sort FIRST within rank 4 (last-check round 11 is the oldest) —
+# they front naturally right behind the forces without pinning.
+# Window accounting: 16 forced (rank 1) + 0 never-checked + the rank-4
+# pool round-ascending (the 28 r11s, then 6 r12 slots) = 50; the whole
+# r11 cohort is inside. (The 22 r15 forces all carry r15 verdicts >=
+# _FORCE_FRONT_ROUND=15 and are pruned — with the round bumped they
+# would otherwise reactivate.)
+_FORCE_FRONT_ROUND = 16
 _FORCE_FRONT = (
-    "ab_experiment_lift",
-    "agg_q6_forecast",
-    "agg_q9_profit",
-    "agg_q11_important",
-    "agg_q12_latency",
-    "agg_q13_custdist",
-    "agg_q15_top_supplier",
-    "agg_q16_supplier_cnt",
-    "binary_roundtrip",
-    "events_ewma",
-    "graph_link_predict",
-    "graph_triangles",
-    "join_q2_min_cost",
-    "join_q7_nation_volume",
-    "join_q8_market_share",
-    "join_q10_returned",
-    "join_q18_big_orders",
-    "join_q20_excess_share",
-    "join_q21_late_supplier",
-    "schema_evolution_scan",
-    "sql_pipe_query",
-    "timeseries_changepoints",
+    "batch_sessionize",
+    "cast_dynamic",
+    "copy_roundtrip",
+    "events_anomaly_zscore",
+    "events_attribution",
+    "events_funnel",
+    "events_ohlc_rollup",
+    "intervals_merge",
+    "json_props_stats",
+    "jsonl_roundtrip",
+    "k_anonymity",
+    "multimodal_props",
+    "multimodal_variant",
+    "orc_roundtrip",
+    "partitioned_scan_prune",
+    "token_budget_select",
 )
 
 

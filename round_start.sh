@@ -27,7 +27,10 @@ fi
 
 # Refuse to rotate over a dirty tree: the ledger stamps CURRENT module
 # hashes as "what the driver checked", which is a lie if modules changed.
-if ! git diff --quiet -- 'cqlcopy_spark/**/*.py' '__spark_entry__.py'; then
+# ':(glob)' pathspec: default git pathspec '**' does NOT match the
+# package's top-level modules (catalog.py, session.py, ...) — r15
+# ADVICE: uncommitted edits there passed this guard silently.
+if ! git diff --quiet -- ':(glob)cqlcopy_spark/**/*.py' 'cqlcopy_spark/*.py' '__spark_entry__.py'; then
     echo "ERROR: operator modules have uncommitted edits — the ledger" >&2
     echo "would stamp unchecked content as driver-verified. Commit or" >&2
     echo "stash them, or accept the staleness and skip rotation." >&2
