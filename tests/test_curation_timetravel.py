@@ -127,6 +127,34 @@ def test_provenance_respects_takedown_mask(spark, curated):
     assert after.filter(F.col("doc_id") == victim).count() == 0
 
 
+def test_provenance_respects_takedown_mask_after_vacuum(spark, curated):
+    """r15 ADVICE: a vacuum swaps the takedown mask root to an EMPTY
+    compaction, but provenance reads the RAW survivor deltas (which the
+    vacuum retains) — so the mask must come from the RAW takedown
+    deltas too, or every pre-vacuum retirement resurrects as a
+    provenance row the live view excludes."""
+    from cqlcopy_spark.streaming.sinks import (
+        curation_takedown_batch,
+        curation_vacuum,
+        read_curation_survivors,
+        read_curation_survivors_with_batch,
+    )
+
+    d, state = curated
+    prov = read_curation_survivors_with_batch(spark, state)
+    victim = prov.agg(F.min("doc_id")).first()[0]
+    curation_takedown_batch(
+        spark.createDataFrame([(victim,)], "doc_id long"), 3, state
+    )
+    assert curation_vacuum(spark, state) > 0
+    after = read_curation_survivors_with_batch(spark, state)
+    assert after.filter(F.col("doc_id") == victim).count() == 0
+    # provenance key set stays consistent with the live reader view
+    assert {r["doc_id"] for r in after.collect()} == {
+        r["doc_id"] for r in read_curation_survivors(spark, state).collect()
+    }
+
+
 def test_vector_index_asof_survives_vacuum(spark):
     """The vector twin of as-of time travel: the view as of the
     tombstone batch (before any delete applied) is unchanged by the
