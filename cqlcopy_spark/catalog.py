@@ -144,6 +144,44 @@ def normalize_event_ts(df: DataFrame, target: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast(target))
 
 
+def parquet_col_max(sf_dir: str, name: str, column: str):
+    """Exact MAX of a fixture-table column, read DRIVER-SIDE from the
+    parquet footer statistics — no Spark job (guide §6: let metadata
+    answer what metadata can; the lifecycle ops' slice-bound max was a
+    full-column scan job per invocation). Exactness: parquet min/max
+    statistics for INT64/INT32 are value-exact and null-skipping, the
+    same semantics as Spark's MAX aggregate; `table()` serves these
+    files unmodified (events, the one transformed table, is refused).
+    Returns None when any row group lacks stats or the file is empty —
+    callers fall back to the Spark aggregate."""
+    import pyarrow.parquet as pq
+
+    if name == "events" or name not in TABLES:
+        return None  # transformed or unknown — stats don't reflect table()
+    try:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
+    except Exception:
+        return None
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == column:
+            idx = i
+            break
+    if idx is None or md.num_row_groups == 0:
+        return None
+    mx = None
+    for g in range(md.num_row_groups):
+        col_md = md.row_group(g).column(idx)
+        st = col_md.statistics
+        if st is None or not st.has_min_max:
+            if col_md.num_values:
+                return None  # a stats-less row group could hide the max
+            continue  # empty row group contributes nothing
+        if st.max is not None and (mx is None or st.max > mx):
+            mx = st.max
+    return mx
+
+
 _REGISTERED_CONF = "spark.cqlcopy.registeredSfDir"
 
 

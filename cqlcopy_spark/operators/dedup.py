@@ -848,8 +848,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no persisted index). The one driver-side value is the
     scalar id cutoff (single-row agg, same class as csv_source's count).
     """
+    from cqlcopy_spark.catalog import parquet_col_max
+
     d = table(spark, sf_dir, "documents")
-    cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long")).first()[0]
+    # footer-stats max (exact, no Spark job — guide §6); the floor(x*0.8)
+    # arithmetic is the same IEEE multiply either way
+    mx = parquet_col_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long")).first()[0]
+    else:
+        import math
+
+        cut = math.floor(mx * 0.8)
     return _ngram_jaccard_pairs(d, probe_min_doc_id=cut).select(
         col("d1").alias("new_doc"), col("d2").alias("dup_of"), "jaccard"
     )
@@ -1185,10 +1195,15 @@ def _streamed_minhash_state(spark: SparkSession, sf_dir: str) -> str:
 
     from cqlcopy_spark.streaming.sinks import minhash_apply_batch
 
+    from cqlcopy_spark.catalog import parquet_col_max
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # empty corpus: max() is NULL — slice at 0 so all three batches are
-    # empty and the result is the empty pair relation, like the oracle
-    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    # empty and the result is the empty pair relation, like the oracle.
+    # Footer-stats max first (exact, no Spark job — guide §6).
+    mx = parquet_col_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = d.agg(F.max("doc_id")).first()[0] or 0
     state = tempfile.mkdtemp(prefix="minhash_stream_state_")
     atexit.register(shutil.rmtree, state, ignore_errors=True)
     cuts = (mx // 3, 2 * (mx // 3))

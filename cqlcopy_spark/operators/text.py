@@ -1838,6 +1838,31 @@ def _sql_tok_bucket(var: str = "tok") -> str:
     return f"({sql_portable_token(f'({fold})')} % {_FH_DIM})"
 
 
+def _spark_tok_bucket(var: str = "t") -> str:
+    """SPARK-SQL text twin of portable_token(_tok_fold_col(var)) %
+    _FH_DIM — the same expression _qc_cols builds through py4j Column
+    calls, emitted as one parseable string (r16: the curation hot path
+    paid hundreds of py4j round trips PER PLAN BUILD constructing this
+    tree — the CLAUDE.md many-HOF/selectExpr rule). Mirrors the Column
+    form exactly: same when/otherwise shape, same double-divide `hi`,
+    same pmod fold; equivalence is pinned by
+    tests/test_plans.py::test_curation_gate_sql_text_equivalence."""
+    from cqlcopy_spark.functions.portable import KNUTH, M32
+
+    fold = " + ".join(
+        f"(CASE WHEN (length({var}) > {k}) "
+        f"THEN CAST(ascii(substring({var}, {k + 1}, 1)) AS BIGINT) ELSE 0 END) "
+        f"* {31 ** (_FH_PREFIX - 1 - k)}"
+        for k in range(_FH_PREFIX)
+    )
+    k1 = f"pmod(CAST(({fold}) AS BIGINT), {M32})"
+    hi = f"CAST(({k1} / 65536) AS BIGINT)"
+    lo = f"({k1} % 65536)"
+    t1 = f"(({KNUTH} * {hi}) % {M32})"
+    t2 = f"(({t1} * 65536) % {M32})"
+    return f"((({t2} + {KNUTH} * {lo}) % {M32}) % {_FH_DIM})"
+
+
 def _fh_oracle() -> str:
     tok_bucket = _sql_tok_bucket("tok")
     return f"""
@@ -3016,6 +3041,46 @@ def _capstone_pack(gated: DataFrame) -> DataFrame:
     return _pack_from_toks(survivors, _PACK_BUDGET)
 
 
+def _spark_gate_exprs() -> "tuple[list[str], str]":
+    """(feats selectExpr list, filter predicate) — the curation gate as
+    SPARK-SQL TEXT, expression-for-expression the tree _qc_cols() +
+    _gopher_pass_col() build through py4j Column calls (r16 guide §1/§4:
+    the Column form cost ~0.5-0.7s of driver-side construction+analysis
+    PER PLAN BUILD — three builds per streamed lifecycle op — where one
+    selectExpr parse is milliseconds; CLAUDE.md's generated-projection
+    selectExpr rule). Float literals ride as CAST('<repr>' AS DOUBLE)
+    (bare SQL decimals are DECIMAL-typed). Equivalence with the Column
+    form is pinned by test_curation_gate_sql_text_equivalence."""
+    warr = "array(" + ", ".join(str(w) for w in _QC_W) + ")"
+    bucket = f"CAST({_spark_tok_bucket('t')} AS INT)"
+    score = (
+        "aggregate(split(coalesce(text, ''), ' '), CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + CAST(element_at({warr}, {bucket} + 1) AS BIGINT))"
+    )
+    feats = [
+        "doc_id",
+        "text",
+        "n_chars",
+        "split(text, ' ') AS toks",
+        "CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT) AS n_toks",
+        f"{score} AS score_raw",
+    ]
+    stops = " + ".join(
+        f"(CASE WHEN array_contains(toks, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS
+    )
+    gopher = (
+        "(size(toks) BETWEEN 10 AND 1000)"
+        " AND (((CAST(n_chars AS DOUBLE) - size(toks) + 1) / size(toks))"
+        " BETWEEN CAST('2.0' AS DOUBLE) AND CAST('12.0' AS DOUBLE))"
+        " AND ((CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
+        " >= CAST('0.2' AS DOUBLE))"
+        f" AND (({stops}) >= 2)"
+    )
+    pred = f"({gopher}) AND ({_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks)"
+    return feats, pred
+
+
 def _curation_gated(d: DataFrame) -> DataFrame:
     """(doc_id, th, n_toks) for the documents passing BOTH curation
     gates (gopher rules AND the classifier's rational keep gate) — ONE
@@ -3024,23 +3089,15 @@ def _curation_gated(d: DataFrame) -> DataFrame:
     kernel (streaming/sinks.py curation_apply_batch) applies the
     LITERAL same gate expression per micro-batch — a drift in either
     consumer breaks both driver hashes. Input needs (doc_id, text,
-    n_chars)."""
-    n_tokens, score_raw = _qc_cols()
-    feats = d.select(
-        "doc_id",
-        "text",
-        "n_chars",
-        _tokens().alias("toks"),
-        n_tokens.alias("n_toks"),
-        score_raw.alias("score_raw"),
+    n_chars). The gate is emitted as SQL text (_spark_gate_exprs) —
+    value-identical to the _qc_cols/_gopher_pass_col Column form (the
+    pinned equivalence test), ~6× cheaper to build per plan."""
+    feats_exprs, pred = _spark_gate_exprs()
+    return (
+        d.selectExpr(*feats_exprs)
+        .filter(pred)
+        .selectExpr("doc_id", "md5(text) AS th", "n_toks")
     )
-    return feats.filter(
-        _gopher_pass_col(col("toks"))
-        & (
-            F.lit(_QC_THR_DEN) * col("score_raw")
-            >= F.lit(_QC_THR_NUM) * col("n_toks")
-        )
-    ).select("doc_id", F.md5("text").alias("th"), "n_toks")
 
 
 # ---------------------------------------------------------------------------
@@ -3088,7 +3145,7 @@ def _streamed_curation_state(
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    mx = _max_doc_id(sf_dir, d)
     state = _fresh_curation_state_dir()
     if decontam:
         decontamination_index_write(_bench_split(d)[0], state)
@@ -3101,6 +3158,18 @@ def _streamed_curation_state(
     for batch_id, batch in enumerate(slices):
         curation_apply_batch(batch, batch_id, state)
     return state
+
+
+def _max_doc_id(sf_dir: str, d: DataFrame) -> int:
+    """Slice-bound MAX(doc_id) from the parquet footer statistics —
+    exact and Spark-job-free (guide §6); falls back to the aggregate
+    job only when a row group lacks stats."""
+    from cqlcopy_spark.catalog import parquet_col_max
+
+    mx = parquet_col_max(sf_dir, "documents", "doc_id")
+    if mx is None:
+        mx = d.agg(F.max("doc_id")).first()[0] or 0
+    return mx
 
 
 def _fresh_curation_state_dir() -> str:
@@ -3375,7 +3444,7 @@ def stream_curation_epoch_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    mx = _max_doc_id(sf_dir, d)
     cuts = (mx // 3, 2 * (mx // 3))
     state = _fresh_curation_state_dir()
     curation_apply_batch(d.filter(col("doc_id") <= cuts[0]), 0, state)
@@ -3430,7 +3499,7 @@ def stream_curation_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch = _fresh_curation_state_dir()
     curation_state_clone(spark, state, branch, as_of=_ASOF_BATCH)
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    mx = _max_doc_id(sf_dir, d)
     curation_apply_batch(d.filter(col("doc_id") > 2 * (mx // 3)), 0, branch)
     return _pack_from_toks(read_curation_survivors(spark, branch), _PACK_BUDGET)
 

@@ -351,10 +351,16 @@ def _sliced_corpus(spark: SparkSession, sf_dir: str):
     deterministic functions of the fixture."""
     from cqlcopy_spark.operators.similarity import _emb_double
 
+    from cqlcopy_spark.catalog import parquet_col_max
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    mx = e.agg(F.max("vec_id")).first()[0] or 0
+    # footer-stats max (exact, no Spark job — guide §6); Spark fallback
+    # only when a row group lacks statistics
+    mx = parquet_col_max(sf_dir, "embeddings", "vec_id")
+    if mx is None:
+        mx = e.agg(F.max("vec_id")).first()[0] or 0
     cuts = (mx // 3, 2 * (mx // 3))
     return e, (
         e.filter(col("vec_id") <= cuts[0]),

@@ -525,8 +525,24 @@ def vacuum_masked_roots(
     mask_cols = [new_doc, dup_of]). Every data root's new version lands
     BEFORE the single mask swap — a crash mid-way leaves some roots
     pruned at a lower version and the mask intact, and the re-run
-    restamps everything above it (wasteful, never wrong)."""
+    restamps everything above it (wasteful, never wrong).
+
+    r16 job-count optimization (guide §1.4/§2.6): the pruned-row counts
+    come from parquet FOOTER row counts, driver-side (rows under the
+    input path set minus rows under the written compaction — num_rows
+    is mandatory footer metadata, always exact; zero extra Spark jobs,
+    where the previous shape paid 1-2 dedicated count jobs per root —
+    and no Observation/CollectMetrics node, which the optimizer may
+    prune with the whole subtree on an empty root), the fast path is
+    `mask.isEmpty()` alone (an empty mask prunes nothing by
+    construction, so the old `n_pruned == 0 and mask.isEmpty()` test is
+    equivalent), and the independent per-root rewrites run concurrently
+    from a small thread pool — actions are only sequential when the
+    driver calls them sequentially, and the roots share no state. The
+    mask swap still lands strictly LAST, after every root's write has
+    joined."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     if not os.path.isdir(mask_root):
         return 0  # nothing retired — nothing to prune
@@ -537,49 +553,48 @@ def vacuum_masked_roots(
         return 0
     vid = 1 + max(everything)
     mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{mask_key} long")
-    datas = [
-        _read_index_deltas(spark, root, 1 << 62, schema)
-        for root, schema, _, _ in data_specs
-    ]
-    views, n_pruned = [], 0
-    for data, (_, _, mask_cols, _) in zip(datas, data_specs):
-        view = data
+    if mask.isEmpty():
+        # an empty mask prunes nothing and needs no swap — the state
+        # right after a completed vacuum. Without this fast path a
+        # re-run rewrote the whole corpus as a fresh version for
+        # nothing. A crash BETWEEN the swaps leaves mask rows still
+        # visible, which falls through and completes the vacuum (the
+        # crash-retry contract).
+        return 0
+
+    def _rewrite_root(spec) -> int:
+        root, schema, mask_cols, layout_cols = spec
+        in_paths = _index_delta_paths(root, 1 << 62)
+        # count BEFORE the write: the post-write cleanup removes the
+        # superseded compaction this path set may include
+        rows_in = _parquet_dir_rows(in_paths)
+        view = (
+            spark.read.schema(schema).parquet(*in_paths)
+            if in_paths
+            else spark.createDataFrame([], schema)
+        )
         for c in mask_cols:
             view = view.join(
                 mask.withColumnRenamed(mask_key, c), c, "left_anti"
             )
-        # bounded count jobs: how many stored rows the swap removes.
-        # Single-key roots keep the original ONE-semi-join count; the
-        # multi-column case (OR across columns) counts the difference.
-        if len(mask_cols) == 1:
-            n_pruned += data.join(
-                mask.withColumnRenamed(mask_key, mask_cols[0]),
-                mask_cols[0],
-                "left_semi",
-            ).count()
-        else:
-            n_pruned += data.count() - view.count()
-        views.append(view)
-    if n_pruned == 0 and mask.isEmpty():
-        # nothing to prune and nothing to swap — the state right after
-        # a completed vacuum. Without this fast path a re-run rewrote
-        # the whole corpus as a fresh version for nothing. A crash
-        # BETWEEN the swaps leaves n_pruned == 0 with mask rows still
-        # visible, which falls through and completes the vacuum (the
-        # crash-retry contract).
-        return 0
-    for view, (root, _, _, layout_cols) in zip(views, data_specs):
+        out_path = os.path.join(root, "compact", f"v={vid}")
         (
             view.repartition(*layout_cols)
             .sortWithinPartitions(*layout_cols)
             .write.mode("overwrite")
-            .parquet(os.path.join(root, "compact", f"v={vid}"))
+            .parquet(out_path)
         )
         for v in _compact_versions(root):
             if v < vid:
                 shutil.rmtree(
                     os.path.join(root, "compact", f"v={v}"), ignore_errors=True
                 )
+        # the anti-join is row-preserving on the keep side, so footer
+        # accounting (inputs minus written compaction) IS the prune count
+        return rows_in - _parquet_dir_rows([out_path])
+
+    with ThreadPoolExecutor(max_workers=min(3, len(data_specs))) as pool:
+        n_pruned = sum(pool.map(_rewrite_root, data_specs))
     # mask swap LAST: an empty compaction at the same version — every
     # pre-vacuum mask row is already reflected in the pruned data
     # versions, so readers at/above vid need none of them
@@ -1028,6 +1043,41 @@ def _maybe_compact_index(
         shutil.rmtree(os.path.join(root, "compact", f"v={v}"), ignore_errors=True)
 
 
+def _index_delta_paths(root: str, below_batch: int) -> "list[str]":
+    """The exact directory set _read_index_deltas resolves: the newest
+    COMPLETE compaction v ≤ below_batch plus the raw deltas in
+    [v, below_batch). Factored so footer-level accounting
+    (_parquet_dir_rows) counts the same files the frame reads."""
+    usable = [v for v in _compact_versions(root) if v <= below_batch]
+    paths = []
+    floor = 0
+    if usable:
+        floor = usable[-1]
+        paths.append(os.path.join(root, "compact", f"v={floor}"))
+    paths += [
+        os.path.join(root, f"delta={i}")
+        for i in _delta_ids(root, below_batch)
+        if i >= floor
+    ]
+    return paths
+
+
+def _parquet_dir_rows(paths: "list[str]") -> int:
+    """Exact total row count of the parquet part-files under `paths`
+    (each a delta/compaction directory), read DRIVER-SIDE from the
+    footers — `num_rows` is mandatory parquet metadata, not optional
+    column statistics, so this is always exact and costs no Spark job
+    (guide §1.4/§6: let metadata answer what metadata can)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for p in paths:
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+    return n
+
+
 def _read_index_deltas(
     spark, root: str, below_batch: int, schema: str
 ) -> DataFrame:
@@ -1040,17 +1090,7 @@ def _read_index_deltas(
     first time; ignoring compactions NEWER than the reader keeps
     out-of-order replays correct (a middle batch replayed after later
     batches must not see a compact table that includes itself)."""
-    usable = [v for v in _compact_versions(root) if v <= below_batch]
-    paths = []
-    floor = 0
-    if usable:
-        floor = usable[-1]
-        paths.append(os.path.join(root, "compact", f"v={floor}"))
-    paths += [
-        os.path.join(root, f"delta={i}")
-        for i in _delta_ids(root, below_batch)
-        if i >= floor
-    ]
+    paths = _index_delta_paths(root, below_batch)
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
@@ -1636,11 +1676,18 @@ def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
     compaction discipline), then `dst`'s log epoch persisted = as_of —
     the epoch lever reused so a brand-new checkpoint's batch 0 maps
     onto the fork point instead of dying at the compaction floor.
-    Missing roots (e.g. a takedown-free trunk) are skipped."""
-    for sub, schema, layout in specs:
+    Missing roots (e.g. a takedown-free trunk) are skipped. The per-root
+    as-of rewrites are independent (distinct sources, distinct targets),
+    so they run concurrently from a small thread pool (guide §2.6 —
+    actions are only sequential when the driver calls them
+    sequentially); the epoch file still lands strictly LAST."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _clone_root(spec) -> None:
+        sub, schema, layout = spec
         root = os.path.join(src, sub)
         if not os.path.isdir(root):
-            continue
+            return
         (
             _read_index_deltas(spark, root, as_of, schema)
             .repartition(*layout)
@@ -1648,6 +1695,9 @@ def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(dst, sub, "compact", f"v={as_of}"))
         )
+
+    with ThreadPoolExecutor(max_workers=min(3, max(1, len(specs)))) as pool:
+        list(pool.map(_clone_root, specs))
     os.makedirs(dst, exist_ok=True)
     tmp = os.path.join(dst, _EPOCH_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
@@ -1662,8 +1712,14 @@ def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
     compactions are skipped on purpose, because provenance is exactly
     what compaction erases and the raw deltas are retained as replay
     truth. Driver state is one os.listdir; the loop builds a union PLAN
-    (rows never collect). The takedown mask applies as usual — retired
-    docs carry no provenance row in the live view."""
+    (rows never collect). The takedown mask is likewise read from the
+    RAW takedown deltas, symmetric with the survivor side (r15 ADVICE):
+    a curation_vacuum swaps the mask root to an EMPTY compaction (its
+    rows are already reflected in the pruned survivor compaction, which
+    this read deliberately skips), so resolving the mask through
+    _read_index_deltas would resurrect every pre-vacuum retirement on
+    this compliance-audit surface — the raw deltas are retained by the
+    vacuum exactly so provenance reads stay truthful."""
     from pyspark.sql import functions as F
 
     root = os.path.join(state_dir, "survivors")
@@ -1680,10 +1736,13 @@ def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     td_root = os.path.join(state_dir, "takedowns")
-    if not os.path.isdir(td_root):
+    td_paths = [
+        os.path.join(td_root, f"delta={b}") for b in _delta_ids(td_root, 1 << 62)
+    ]
+    if not td_paths:
         return out
     return out.join(
-        _read_index_deltas(spark, td_root, 1 << 62, "doc_id long"),
+        spark.read.schema("doc_id long").parquet(*td_paths),
         "doc_id",
         "left_anti",
     )

@@ -1475,3 +1475,49 @@ def test_stream_curation_batch_kernel_shapes(spark, tmp_path):
     assert "Window" not in p, p  # hot-key argmin rule
     assert "CartesianProduct" not in p, p
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2, p  # partial+final
+
+
+def test_curation_gate_sql_text_equivalence(spark):
+    """r16 optimization pin: _curation_gated emits the gate as SQL TEXT
+    (_spark_gate_exprs — one selectExpr parse instead of hundreds of
+    py4j Column constructions per plan build). This test holds it
+    value-identical to the Column-built form (_qc_cols +
+    _gopher_pass_col, still the definition the standalone quality ops
+    use) — any drift between the two gate expressions breaks the
+    streamed==one-shot capstone hash equality."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.text import (
+        _QC_THR_DEN,
+        _QC_THR_NUM,
+        _curation_gated,
+        _gopher_pass_col,
+        _qc_cols,
+        _tokens,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    new = _curation_gated(d)
+    n_tokens, score_raw = _qc_cols()
+    feats = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        _tokens().alias("toks"),
+        n_tokens.alias("n_toks"),
+        score_raw.alias("score_raw"),
+    )
+    old = feats.filter(
+        _gopher_pass_col(col("toks"))
+        & (
+            F.lit(_QC_THR_DEN) * col("score_raw")
+            >= F.lit(_QC_THR_NUM) * col("n_toks")
+        )
+    ).select("doc_id", F.md5("text").alias("th"), "n_toks")
+    assert new.schema == old.schema
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+    assert new.count() > 0
