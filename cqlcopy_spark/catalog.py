@@ -182,6 +182,26 @@ def parquet_col_max(sf_dir: str, name: str, column: str):
     return mx
 
 
+def parquet_table_rows(sf_dir: str, name: str):
+    """Exact row count of a fixture table, read DRIVER-SIDE from the
+    parquet footer (`num_rows` is mandatory file metadata — always
+    exact, unlike min/max column statistics) — no Spark job (guide §6).
+    Same serving guarantee as parquet_col_max: only tables `table()`
+    passes through unmodified (events is row-preserving under its ts
+    truncation, so it is allowed here). Returns None for unknown tables
+    — callers fall back to the Spark count."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        return None
+    try:
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return None
+
+
 _REGISTERED_CONF = "spark.cqlcopy.registeredSfDir"
 
 

@@ -1477,7 +1477,15 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     ).persist()  # consumed by every iteration pass + the final assign
-    n = e.count()  # one driver scalar (parallelism sizing + init stride)
+    # one driver scalar (parallelism sizing + init stride) — answered
+    # from the parquet footer when possible (exact, no Spark job; the
+    # cache then materializes on the first Lloyd pass instead of a
+    # dedicated count job — guide §6/§1.4)
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n = parquet_table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = e.count()
     if n == 0:
         return [], e.select(
             "vec_id",
@@ -1612,30 +1620,34 @@ def _kmeans_violations(
         col("cluster").cast("double").alias("metric"),
     )
 
-    def jvm_d2(c):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(col("emb"), lit_c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    # the K×(64-literal array + zip_with/aggregate HOF) distance tree is
+    # emitted as SQL TEXT: as Columns it paid ~K×70 py4j round trips per
+    # plan build (the CLAUDE.md many-HOF selectExpr rule — same fix as
+    # embedding_pq_verify); float literals as CAST('<repr>' AS DOUBLE)
+    # round-trip exactly, so the arithmetic is unchanged
+    def sql_d2(c) -> str:
+        arr = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in c)
+        return (
+            f"aggregate(zip_with(emb, array({arr}), "
+            "(a, b) -> (a - b) * (a - b)), "
+            "CAST('0.0' AS DOUBLE), (acc, v) -> acc + v)"
         )
 
     slack = 1e-6
-    d2s = F.array(*[jvm_d2(c) for c in centroids])
+    d2s = "array(" + ", ".join(sql_d2(c) for c in centroids) + ")"
     # element_at THROWS on an out-of-range index (ANSI): guard it so an
     # out-of-range cluster id lands in bad_id above instead of aborting
     # the whole verify relation
     in_range = (
-        col("cluster").isNotNull()
-        & (col("cluster") >= 0)
-        & (col("cluster") < len(centroids))
+        "(cluster IS NOT NULL AND cluster >= 0 "
+        f"AND cluster < {len(centroids)})"
     )
-    j = e.join(assigned, "vec_id").select(
+    j = e.join(assigned, "vec_id").selectExpr(
         "vec_id",
         "cluster",
         "dist2",
-        F.array_min(d2s).alias("best"),
-        F.when(in_range, F.element_at(d2s, col("cluster") + 1)).alias("own"),
+        f"array_min({d2s}) AS best",
+        f"CASE WHEN {in_range} THEN element_at({d2s}, cluster + 1) END AS own",
     ).filter(col("own").isNotNull())
     not_argmin = j.filter(col("own") > col("best") + slack).select(
         F.lit("not_nearest_centroid").alias("kind"),
@@ -1672,7 +1684,11 @@ def _kmeans_violations(
     )
     j_old = assigned.agg(F.sum("dist2").alias("j0"))
     j_new = stepped.agg(F.sum("dist2").alias("j1"))
-    n = e.count()
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n = parquet_table_rows(sf_dir, "embeddings")  # slack sizing only
+    if n is None:
+        n = e.count()
     worse = (
         j_new.crossJoin(broadcast(j_old))
         .filter(col("j1") > col("j0") + F.lit(slack * max(n, 1)))
@@ -2607,9 +2623,14 @@ def _retrieval_metrics(ann_list: DataFrame, exact_list: DataFrame) -> DataFrame:
     # independent stages of one job and otherwise RACE to populate an
     # unfilled cache, recomputing the expensive lineage per branch
     # (r14 audit: similarity_index_eval measured ~2x its component sum
-    # until this). Each count touches ≤ Q×k cached rows.
-    ann.count()
-    ex.count()
+    # until this). Each count touches ≤ Q×k cached rows. The two
+    # pipelines are independent, so the materializing counts run
+    # CONCURRENTLY (guide §2.6) — the grid and brute-force lineages
+    # back-fill each other's stragglers instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f.count(), (ann, ex)))
     hits = (
         ann.join(
             ex.select(col("q_id").alias("hq"), col("n_id").alias("hn")),

@@ -2023,28 +2023,28 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplies the rational threshold (DEN·score_raw >=
     NUM·n_tokens), never comparing doubles. n_tokens >= 1
     always: split('') yields one empty token in both engines, whose fold
-    is 0 — no division guard needed."""
+    is 0 — no division guard needed.
+
+    Plan-build cost: the scorer is emitted as SQL text (_spark_qc_sql —
+    one selectExpr parse) instead of the _qc_cols Column tree, whose
+    128-weight array + fold paid ~0.5s of py4j round trips per plan
+    build (r16, guide §1/§4); value equality is held by this op's own
+    driver oracle."""
     d = table(spark, sf_dir, "documents")
-    n_tokens, score_raw = _qc_cols()
-    return d.select(
+    n_tokens, score_raw = _spark_qc_sql()
+    return d.selectExpr(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        score_raw.alias("score_raw"),
-    ).select(
+        f"{n_tokens} AS n_tokens",
+        f"{score_raw} AS score_raw",
+    ).selectExpr(
         "doc_id",
         "lang",
         "n_tokens",
         "score_raw",
-        (col("score_raw").cast("double") / col("n_tokens")).alias("score"),
-        F.when(
-            F.lit(_QC_THR_DEN) * col("score_raw")
-            >= F.lit(_QC_THR_NUM) * col("n_tokens"),
-            1,
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("keep"),
+        "CAST(score_raw AS DOUBLE) / n_tokens AS score",
+        f"CAST(CASE WHEN {_QC_THR_DEN} * score_raw >= "
+        f"{_QC_THR_NUM} * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS keep",
     )
 
 
@@ -2103,18 +2103,21 @@ def source_quality_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     as quality_classifier) → ONE partial-combining groupBy(source) whose
     shuffle carries 4 integers per (task, source) — at 100 TB that is
     #sources × #tasks rows, not corpus rows. No window, no join, no
-    second scan."""
+    second scan. Scorer emitted as SQL text (_spark_qc_sql, r16 —
+    see quality_classifier)."""
     d = table(spark, sf_dir, "documents")
-    n_tokens, score_raw = _qc_cols()
-    keep = F.when(
-        F.lit(_QC_THR_DEN) * col("score_raw") >= F.lit(_QC_THR_NUM) * col("n_tokens"),
-        1,
-    ).otherwise(0)
+    n_tokens, score_raw = _spark_qc_sql()
     g = (
-        d.select(
-            "source", n_tokens.alias("n_tokens"), score_raw.alias("score_raw")
+        d.selectExpr(
+            "source", f"{n_tokens} AS n_tokens", f"{score_raw} AS score_raw"
         )
-        .select("source", "n_tokens", "score_raw", keep.alias("keep"))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "score_raw",
+            f"CASE WHEN {_QC_THR_DEN} * score_raw >= "
+            f"{_QC_THR_NUM} * n_tokens THEN 1 ELSE 0 END AS keep",
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2223,20 +2226,21 @@ def classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity over the distinct-score histogram; section comment has the
     scale analysis and the integer-exactness argument). A language with
     no positives or no negatives has undefined AUC → NULL on both
-    engines."""
+    engines. Feature fold emitted as SQL text (_spark_qc_sql +
+    _spark_gopher_pred, r16 — see quality_classifier)."""
     d = table(spark, sf_dir, "documents")
-    n_tokens, score_raw = _qc_cols()
-    staged = d.select(
+    n_tokens, score_raw = _spark_qc_sql()
+    staged = d.selectExpr(
         "lang",
         "n_chars",
-        _tokens().alias("toks"),
-        n_tokens.alias("n_tokens"),
-        score_raw.alias("score_raw"),
+        "split(text, ' ') AS toks",
+        f"{n_tokens} AS n_tokens",
+        f"{score_raw} AS score_raw",
     )
-    s = staged.select(
+    s = staged.selectExpr(
         "lang",
-        (col("score_raw").cast("double") / col("n_tokens")).alias("score"),
-        F.when(_gopher_pass_col(col("toks")), 1).otherwise(0).alias("label"),
+        "CAST(score_raw AS DOUBLE) / n_tokens AS score",
+        f"CASE WHEN {_spark_gopher_pred()} THEN 1 ELSE 0 END AS label",
     )
     return _auc_kernel(s)
 
@@ -2324,21 +2328,21 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the whole op is one map-only feature fold plus ONE
     partial-combining groupBy whose key is a small-integer bin — at
     100 TB the shuffle carries #bins × #tasks rows. All counts int64;
-    pass_rate is a single division of exact ints."""
+    pass_rate is a single division of exact ints. Feature fold emitted
+    as SQL text (_spark_qc_sql + _spark_gopher_pred, r16 — see
+    quality_classifier)."""
     d = table(spark, sf_dir, "documents")
-    n_tokens, score_raw = _qc_cols()
-    staged = d.select(
+    n_tokens, score_raw = _spark_qc_sql()
+    staged = d.selectExpr(
         "n_chars",
-        _tokens().alias("toks"),
-        n_tokens.alias("n_tokens"),
-        score_raw.alias("score_raw"),
+        "split(text, ' ') AS toks",
+        f"{n_tokens} AS n_tokens",
+        f"{score_raw} AS score_raw",
     )
-    s = staged.select(
-        F.floor(
-            (F.lit(_CAL_BINS_PER_UNIT) * col("score_raw")).cast("double")
-            / col("n_tokens")
-        ).alias("bin"),
-        F.when(_gopher_pass_col(col("toks")), 1).otherwise(0).alias("label"),
+    s = staged.selectExpr(
+        f"floor(CAST({_CAL_BINS_PER_UNIT} * score_raw AS DOUBLE)"
+        " / n_tokens) AS bin",
+        f"CASE WHEN {_spark_gopher_pred()} THEN 1 ELSE 0 END AS label",
     )
     return (
         s.groupBy("bin")
@@ -3041,6 +3045,43 @@ def _capstone_pack(gated: DataFrame) -> DataFrame:
     return _pack_from_toks(survivors, _PACK_BUDGET)
 
 
+def _spark_qc_sql() -> "tuple[str, str]":
+    """SPARK-SQL text twin of _qc_cols(): (n_tokens, score_raw)
+    expressions over a documents frame, emitted as parseable strings —
+    the Column form's 128-weight array + fold cost ~0.5-0.7s of py4j
+    round trips PER PLAN BUILD (r16 guide §1/§4; CLAUDE.md's
+    generated-projection selectExpr rule). Shared by the curation gate
+    and the classifier/eval ops; value-equality with the Column form is
+    held by those ops' own driver oracles plus
+    test_curation_gate_sql_text_equivalence."""
+    warr = "array(" + ", ".join(str(w) for w in _QC_W) + ")"
+    bucket = f"CAST({_spark_tok_bucket('t')} AS INT)"
+    score = (
+        "aggregate(split(coalesce(text, ''), ' '), CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + CAST(element_at({warr}, {bucket} + 1) AS BIGINT))"
+    )
+    n_tokens = "CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT)"
+    return n_tokens, score
+
+
+def _spark_gopher_pred(toks: str = "toks") -> str:
+    """SPARK-SQL text twin of _gopher_pass_col over a staged token-array
+    column named `toks` (n_chars must be in scope). Float literals ride
+    as CAST('<repr>' AS DOUBLE) — bare SQL decimals are DECIMAL-typed."""
+    stops = " + ".join(
+        f"(CASE WHEN array_contains({toks}, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS
+    )
+    return (
+        f"(size({toks}) BETWEEN 10 AND 1000)"
+        f" AND (((CAST(n_chars AS DOUBLE) - size({toks}) + 1) / size({toks}))"
+        " BETWEEN CAST('2.0' AS DOUBLE) AND CAST('12.0' AS DOUBLE))"
+        f" AND ((CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}))"
+        " >= CAST('0.2' AS DOUBLE))"
+        f" AND (({stops}) >= 2)"
+    )
+
+
 def _spark_gate_exprs() -> "tuple[list[str], str]":
     """(feats selectExpr list, filter predicate) — the curation gate as
     SPARK-SQL TEXT, expression-for-expression the tree _qc_cols() +
@@ -3048,36 +3089,21 @@ def _spark_gate_exprs() -> "tuple[list[str], str]":
     the Column form cost ~0.5-0.7s of driver-side construction+analysis
     PER PLAN BUILD — three builds per streamed lifecycle op — where one
     selectExpr parse is milliseconds; CLAUDE.md's generated-projection
-    selectExpr rule). Float literals ride as CAST('<repr>' AS DOUBLE)
-    (bare SQL decimals are DECIMAL-typed). Equivalence with the Column
-    form is pinned by test_curation_gate_sql_text_equivalence."""
-    warr = "array(" + ", ".join(str(w) for w in _QC_W) + ")"
-    bucket = f"CAST({_spark_tok_bucket('t')} AS INT)"
-    score = (
-        "aggregate(split(coalesce(text, ''), ' '), CAST(0 AS BIGINT), "
-        f"(acc, t) -> acc + CAST(element_at({warr}, {bucket} + 1) AS BIGINT))"
-    )
+    selectExpr rule). Equivalence with the Column form is pinned by
+    test_curation_gate_sql_text_equivalence."""
+    n_tokens, score = _spark_qc_sql()
     feats = [
         "doc_id",
         "text",
         "n_chars",
         "split(text, ' ') AS toks",
-        "CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT) AS n_toks",
+        f"{n_tokens} AS n_toks",
         f"{score} AS score_raw",
     ]
-    stops = " + ".join(
-        f"(CASE WHEN array_contains(toks, '{s}') THEN 1 ELSE 0 END)"
-        for s in _GOPHER_STOPS
+    pred = (
+        f"({_spark_gopher_pred()}) AND "
+        f"({_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks)"
     )
-    gopher = (
-        "(size(toks) BETWEEN 10 AND 1000)"
-        " AND (((CAST(n_chars AS DOUBLE) - size(toks) + 1) / size(toks))"
-        " BETWEEN CAST('2.0' AS DOUBLE) AND CAST('12.0' AS DOUBLE))"
-        " AND ((CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
-        " >= CAST('0.2' AS DOUBLE))"
-        f" AND (({stops}) >= 2)"
-    )
-    pred = f"({gopher}) AND ({_QC_THR_DEN} * score_raw >= {_QC_THR_NUM} * n_toks)"
     return feats, pred
 
 
