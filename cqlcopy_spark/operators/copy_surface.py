@@ -57,13 +57,27 @@ def copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubles survive because Spark's CSV writer emits shortest-round-trip
     representations; timestamps survive via the configured layout.
 
-    Scale: both legs are full-width scans with no shuffle at all — the
-    write fans out per partition (reference workers, write.go:130-132)
-    and the read is splittable CSV."""
+    Scale: both legs are full-width scans — the write fans out per
+    partition (reference workers, write.go:130-132) and the read is
+    splittable CSV. A SMALL source (bytes < ~32 MB/core) cannot feed
+    the cores from the scan alone — sf0.1 lineitem is ONE parquet row
+    group, so the render leg was single-task regardless of split
+    tuning — and gets one round-robin fan-out before the write
+    (measured idle at local[32]: 1.98 s → 1.74 s min-of-3; guide §2.5
+    'repartition immediately after the read' for unsplittable inputs).
+    At production scale the guard is false and the plan keeps zero
+    shuffles: the scan already carries ≥ core-count tasks."""
     from cqlcopy_spark.operators.formats import _stage
 
     out = _stage(sf_dir, "roundtrip")
     li = table(spark, sf_dir, "lineitem")
+    try:
+        src_bytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        src_bytes = 1 << 62  # unknown layout: assume big, keep shuffle-free
+    par = spark.sparkContext.defaultParallelism
+    if src_bytes < (32 << 20) * par:
+        li = li.repartition(par)
     write_csv(li, out, DEFAULT_CONFIG)
     return read_csv(spark, out, _LINEITEM_SCHEMA, DEFAULT_CONFIG)
 

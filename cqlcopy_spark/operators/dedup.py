@@ -449,10 +449,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted-index pipeline (self-joins don't guarantee exchange
     # reuse). The pair set is the operator's OUTPUT-sized data — tiny.
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2").persist()
-    n_pairs = pairs.count()  # materializes the persist either way
+    # ONE bounded action decides the path AND fetches the edges (r16,
+    # guide §1.4: the former count+collect ran two jobs over the same
+    # cached set): limit(CAP+1) caps driver memory at CAP+1 rows at any
+    # scale — if fewer come back the collected set is COMPLETE and the
+    # driver path uses it; exactly CAP+1 proves the set exceeds the cap
+    # and the rows are discarded for the distributed loop (whose actions
+    # fill whatever cache partitions the limit scan left uncomputed).
+    rows = pairs.limit(_CC_DRIVER_CAP + 1).collect()
     d = table(spark, sf_dir, "documents")
-    if n_pairs <= _CC_DRIVER_CAP:
-        rows = pairs.collect()
+    if len(rows) <= _CC_DRIVER_CAP:
         pairs.unpersist()
         labels_df = spark.createDataFrame(
             _union_find_min_labels([(r["d1"], r["d2"]) for r in rows]),

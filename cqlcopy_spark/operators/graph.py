@@ -389,17 +389,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver involvement: ONE scalar (the node count) before the loop;
     ranks never leave the executors.
 
-    r16 (guide §1.2 step 1 + CLAUDE.md deep-tree rule): the loop is
-    emitted as ONE Spark-SQL text (a WITH chain of the 8 iterations
-    over temp views of nodes/trans) instead of 8 rounds of eager
-    DataFrame composition — per-level py4j analysis made plan BUILD
-    ~3.4× the execution cost (5.8s vs 1.7s warm), and the mid-loop
-    persist+count job existed only to bound that growth; within one
-    query the 8 chained shuffles already materialize as shuffle files,
-    so no mid-loop action is needed at any scale. Float literals ride
-    as CAST('<repr>' AS DOUBLE) (exact round-trip; bare SQL decimals
-    are DECIMAL-typed). Views are dropped right after the eager
-    spark.sql analysis (the block_fold_agg pattern)."""
+    r16 A/B (guide §1.1: empirical beats first-principles): a
+    single-SQL WITH-chain rewrite of this loop (motivated by the
+    per-level eager-analysis cost) measured SLOWER than this loop form
+    at BOTH bench configs on an idle host — loop 3.55 s vs chain
+    5.28 s (local[32], sf0.1, min-of-3) and 2.56 s vs 4.66 s
+    (local[8]) — because the chain inlines the persisted trans/nodes
+    views into every iteration subtree of ONE query, whose ~16
+    broadcast builds then race to fill the unfilled caches (the r14
+    recompute-per-branch class) and whose single AQE DAG re-optimizes
+    a ~300-node plan per stage; the full-bench reading was worse still
+    (14.5 s vs 5.2 s). The loop's every-4th-round persist breaks
+    exactly that. Kept as the loop on the measurement."""
     edges = link_edges(spark, sf_dir).persist()
     nodes = (
         edges.select(col("src").alias("node"))
@@ -414,36 +415,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ZeroDivisionError from the 1/n teleport term
         return nodes.select("node", F.lit(0.0).alias("pr")).limit(0)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # edge transition weight: w/out_w, computed once outside the loop;
-    # persisted — every iteration's join reads the SAME cached relation
-    # through the view
+    # edge transition weight: w/out_w, computed once outside the loop
     trans = edges.join(out_w, "src").select(
         "src", "dst", (col("weight") / col("out_w")).alias("t")
     ).persist()
     base = 1.0 - _DAMPING
-    nv, tv = "_pr_nodes_view", "_pr_trans_view"
-    nodes.createOrReplaceTempView(nv)
-    trans.createOrReplaceTempView(tv)
-    d_teleport = f"CAST('{base / n!r}' AS DOUBLE)"
-    d_damp = f"CAST('{_DAMPING!r}' AS DOUBLE)"
-    ctes = [f"it0 AS (SELECT node, CAST('{1.0 / n!r}' AS DOUBLE) AS pr FROM {nv})"]
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    materialized = None
     for it in range(1, _ITERATIONS + 1):
-        ctes.append(
-            f"it{it} AS (SELECT n.node, {d_teleport} + {d_damp} * "
-            "COALESCE(c.in_c, CAST('0.0' AS DOUBLE)) AS pr "
-            f"FROM {nv} n LEFT JOIN ("
-            "SELECT t.dst, SUM(p.pr * t.t) AS in_c "
-            f"FROM {tv} t JOIN it{it - 1} p ON t.src = p.node "
-            "GROUP BY t.dst) c ON n.node = c.dst)"
+        contrib = (
+            trans.join(pr, col("src") == col("node"))
+            .select("dst", (col("pr") * col("t")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
         )
-    out = spark.sql(
-        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM it{_ITERATIONS} "
-        "ORDER BY pr DESC, node"
-    )
-    # spark.sql analyzed eagerly — the resolved plan no longer needs the views
-    spark.catalog.dropTempView(nv)
-    spark.catalog.dropTempView(tv)
-    return out
+        pr = nodes.join(contrib, col("node") == col("dst"), "left").select(
+            "node",
+            (
+                F.lit(base / n)
+                + F.lit(_DAMPING) * F.coalesce(col("in_c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        # Checkpoint-interval discipline: cutting lineage EVERY round
+        # costs a full job per iteration (driver-latency-bound — it
+        # tripled this op's wall time locally); letting it grow forever
+        # makes task (re)computation quadratic in rounds. Materialize
+        # every 4th round — lineage depth stays bounded, job count is
+        # iterations/4.
+        if it % 4 == 0 and it < _ITERATIONS:
+            nxt = pr.persist()
+            nxt.count()  # materialize before dropping the predecessor
+            if materialized is not None:
+                materialized.unpersist()
+            materialized = nxt
+            pr = nxt
+    return pr.orderBy(col("pr").desc(), "node")
 
 
 # ---------------------------------------------------------------------------

@@ -468,7 +468,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n_corpus = e.count()
+    # corpus size feeds ONLY the partition-count calc below — answered
+    # from the parquet footer (exact, no Spark job; guide §6), Spark
+    # count fallback for unknown tables
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n_corpus = parquet_table_rows(sf_dir, "embeddings")
+    if n_corpus is None:
+        n_corpus = e.count()
     sample = _train_sample(e, _IVF_TRAIN_CAP)
     centroids = _train_centroids(sample, _IVF_CELLS)
     bc = spark.sparkContext.broadcast(centroids)

@@ -874,15 +874,27 @@ def _pre_vacuum_snapshot(spark: SparkSession, state: str):
     are persisted and materialized now because the swap empties the
     reader-visible set they derive from."""
     pre_view_dir = os.path.join(state, "pre_vacuum_view")
-    (
-        read_index_codes(spark, state)
-        .repartition("vec_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .parquet(pre_view_dir)
-    )
+
+    def _snapshot_view() -> None:
+        (
+            read_index_codes(spark, state)
+            .repartition("vec_id")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .parquet(pre_view_dir)
+        )
+
     raw_tombs = _read_tombstones(spark, state).persist()
-    raw_tombs.count()
+    # the corpus-view snapshot write and the tombstone materialization
+    # are independent read-only jobs over the pre-vacuum state — overlap
+    # them (guide §2.6); both must complete before the swap empties what
+    # they derive from (the pool join below guarantees exactly that)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_snapshot_view), pool.submit(raw_tombs.count)]
+        for f in futs:
+            f.result()
     return pre_view_dir, raw_tombs
 
 
@@ -908,8 +920,13 @@ def _vacuum_violations(
         qlist,
         spark.read.schema(_CODES_SCHEMA).parquet(pre_view_dir),
     ).persist()
-    post_search.count()
-    pre_search.count()
+    # the two search pipelines are independent (vacuumed state vs the
+    # parquet snapshot) — materialize them CONCURRENTLY (guide §2.6) so
+    # each scan's stragglers back-fill the other's idle cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f.count(), (post_search, pre_search)))
     search_drift = (
         pre_search.exceptAll(post_search)
         .unionByName(post_search.exceptAll(pre_search))

@@ -1230,15 +1230,31 @@ def minhash_apply_batch(
         col("d1").alias("new_doc"), col("d2").alias("dup_of"), "jaccard"
     )
 
+    # the pairs write runs the heavy lineage (signature + band + refine
+    # join) and FILLS the docs/new_bands caches; the bands and hashes
+    # deltas are then cheap cached scans over disjoint roots — overlap
+    # them on a 2-thread pool (guide §2.6) instead of paying two more
+    # sequential job latencies. Crash window unchanged in kind: any
+    # subset of the three roots present without the others is repaired
+    # by the checkpoint replay's overwrite-keyed rewrite.
     pairs.write.mode("overwrite").parquet(
         os.path.join(state_dir, "pairs", f"delta={batch_id}")
     )
-    new_bands.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "bands", f"delta={batch_id}")
-    )
-    new_hashes.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "hashes", f"delta={batch_id}")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_bands() -> None:
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bands", f"delta={batch_id}")
+        )
+
+    def _write_hashes() -> None:
+        new_hashes.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "hashes", f"delta={batch_id}")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_bands), pool.submit(_write_hashes)]:
+            f.result()
     new_bands.unpersist()
     docs.unpersist()
 

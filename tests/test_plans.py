@@ -1521,3 +1521,34 @@ def test_curation_gate_sql_text_equivalence(spark):
     assert new.exceptAll(old).isEmpty()
     assert old.exceptAll(new).isEmpty()
     assert new.count() > 0
+
+
+def test_components_cap_boundary_both_paths_agree(spark, monkeypatch):
+    """dedup_components decides driver-union-find vs distributed loop
+    with ONE bounded limit(CAP+1).collect() (r16 — the former
+    count+collect pair ran two jobs over the same cached set). Pin the
+    boundary semantics on a stubbed pair set: a cap below the edge
+    count forces the distributed loop (the collected CAP+1 rows are
+    discarded), a cap at/above it takes the driver path off the SAME
+    collected rows — identical components either way."""
+    import cqlcopy_spark.operators.dedup as dd
+
+    edge_list = [(5, 2), (2, 9), (10, 11), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edge_list, "d1 long, d2 long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 5, 9, 10, 11, 20, 21, 22, 99)], "doc_id long"
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: pairs)
+    monkeypatch.setattr(dd, "table", lambda s, sf, name: docs)
+
+    def run():
+        return {
+            (r["doc_id"], r["component"])
+            for r in dd.dedup_components(spark, "unused").collect()
+        }
+
+    expected = {(2, 2), (5, 2), (9, 2), (10, 10), (11, 10),
+                (20, 20), (21, 20), (22, 20), (99, 99)}
+    assert run() == expected  # default cap ≫ 5 edges: driver path
+    monkeypatch.setattr(dd, "_CC_DRIVER_CAP", 3)  # 5 > 3: distributed
+    assert run() == expected
