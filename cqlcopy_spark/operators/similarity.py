@@ -785,8 +785,20 @@ def similarity_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     production."""
     # persisted: two consumers (both variants' pair joins)
     exact = _exact_pair_set(spark, sf_dir).persist()
-    lsh = _ann_violations(similarity_ann_lsh(spark, sf_dir), exact, "lsh")
-    ivf = _ann_violations(similarity_ann_ivf(spark, sf_dir), exact, "ivf")
+    lsh_out = similarity_ann_lsh(spark, sf_dir).persist()
+    ivf_out = similarity_ann_ivf(spark, sf_dir).persist()
+    # the exact brute-force scan and the two ANN pipelines are
+    # independent lineages over the same source table — materialize the
+    # three caches CONCURRENTLY (guide §2.6; the _retrieval_metrics
+    # pattern) so the final violation union reads filled ≤ Q×k / pair-
+    # set caches instead of serializing three corpus passes inside one
+    # job (or racing to fill them — the r14 recompute-per-branch class)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda f: f.count(), (exact, lsh_out, ivf_out)))
+    lsh = _ann_violations(lsh_out, exact, "lsh")
+    ivf = _ann_violations(ivf_out, exact, "ivf")
     return lsh.unionByName(ivf).orderBy("algo", "q_id", "n_id", "kind")
 
 
