@@ -1495,7 +1495,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     is the k x dim centroid matrix only."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
-    ).persist()  # consumed by every iteration pass + the final assign
+    )
     # one driver scalar (parallelism sizing + init stride) — answered
     # from the parquet footer when possible (exact, no Spark job; the
     # cache then materializes on the first Lloyd pass instead of a
@@ -1530,7 +1530,13 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     while len(C) < _KMEANS_K:  # corpus smaller than K: duplicate last
         C.append(list(C[-1]))
     par = max(1, min(spark.sparkContext.defaultParallelism, n // 20_000 + 1))
-    ep = e.repartition(par)
+    # persist the REPARTITIONED frame, not the raw select: every Lloyd
+    # pass and the final assign read `ep`, and caching below the
+    # exchange re-ran the round-robin shuffle once per iteration (the
+    # exchange sits above the cache and ReuseExchange never crosses
+    # jobs) — 4 iterations + assign paid 5 corpus shuffles where one
+    # suffices (guide §2.4). The first Lloyd collect materializes it.
+    ep = e.repartition(par).persist()
     for _ in range(_KMEANS_ITERS):
         part = ep.mapInPandas(
             _kmeans_partials_fn(C), schema="cell int, s array<double>, cnt long"
