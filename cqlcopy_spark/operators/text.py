@@ -3036,8 +3036,15 @@ def _capstone_pack(gated: DataFrame) -> DataFrame:
     n_toks) relation — the post-gate half of pipeline_pretrain_pack,
     factored so the decontaminated twin composes the LITERAL same
     keeper/pack expressions on its excised input."""
-    keepers = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
-    survivors = gated.join(keepers, ["th", "doc_id"], "left_semi").select(
+    # argmin directly (r16, guide §2.3/§2.4): min(struct(doc_id,
+    # n_toks)) per th IS the min-doc_id keeper row (doc_id unique, so
+    # the struct min is deterministic and n_toks rides along) — ONE
+    # partial-combining aggregate where the former groupBy + semi-join-
+    # back pair shuffled twice AND ran the gate lineage on both join
+    # sides (two corpus scans per action at any scale).
+    from cqlcopy_spark.functions.skew import keep_min_by
+
+    survivors = keep_min_by(gated.select("th", "doc_id", "n_toks"), "th").select(
         "doc_id",
         (col("doc_id") % _PACK_SHARDS).alias("shard"),
         col("n_toks").alias("n_tokens"),

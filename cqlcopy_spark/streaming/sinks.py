@@ -1369,8 +1369,8 @@ def curation_apply_batch(
        the capstone's literal gate expression, so the streamed corpus
        can never drift from the batch relation);
     2. in-batch keeper: lowest doc_id per md5(text) among the gated
-       rows (a partial-combining groupBy + semi join, NEVER a window
-       over the hash key — the hot-key argmin rule);
+       rows (ONE partial-combining argmin aggregate — min(struct) —
+       NEVER a window over the hash key: the hot-key argmin rule);
     3. FIRST-DELIVERY-WINS across batches: a keys-only anti-join of the
        batch keepers against the compacted prior text-hash index — a
        later re-delivery of an admitted text (CDC re-emit, upstream
@@ -1421,9 +1421,15 @@ def curation_apply_batch(
     if os.path.isdir(ew_root):
         fresh = _decontaminate_batch(spark, fresh, ew_root)
     gated = _curation_gated(fresh)
-    keeper = gated.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    # in-batch keeper as a DIRECT argmin aggregate (r16, guide
+    # §2.3/§2.4): min(struct(doc_id, n_toks)) per th is the min-doc_id
+    # row (doc_id unique after the fresh keeper, so the struct min is
+    # deterministic and n_toks rides along) — one partial-combining
+    # shuffle where the former groupBy + semi-join-back pair shuffled
+    # twice and ran the gate lineage on BOTH join sides (two batch
+    # scans per write at any scale). Same rows, same keeper rule.
     admitted = (
-        gated.join(keeper, ["th", "doc_id"], "left_semi")
+        keep_min_by(gated.select("th", "doc_id", "n_toks"), "th")
         .join(prior_ths, "th", "left_anti")
         .persist()  # th delta + survivor delta both materialize it
     )
