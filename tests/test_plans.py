@@ -1391,7 +1391,16 @@ def test_pq_topk_one_scan_no_corpus_shuffle(spark):
     encode + ADC as two Arrow stages with the per-partition top-CAND cut
     INSIDE the map (the corpus never reaches an exchange); the only
     shuffle carries candidate rows into the final window, queries join
-    by broadcast, and nothing degenerates into a cartesian."""
+    by broadcast, and nothing degenerates into a cartesian.
+
+    clearCache first: _kmeans_fit (r16) persists the SAME analyzed
+    subtree this op's encode stage builds (embeddings select +
+    repartition(par)), and a kmeans pin earlier in the session leaves
+    it cached — the cache manager would splice that InMemoryRelation,
+    with the repartition Exchange baked into its cached plan, under
+    the encode map and double the exchange count (the CLAUDE.md
+    splice rule; the op's own plan is what this pin asserts)."""
+    spark.catalog.clearCache()
     p = plan_of(QUERIES["embedding_pq_topk"](spark, SF_SMALL))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
@@ -1419,7 +1428,11 @@ def test_ivfpq_one_scan_no_corpus_shuffle(spark):
     """similarity_ivfpq: the composed index keeps embedding_pq_topk's
     contract — ONE parquet scan through two Arrow stages (residual
     encode, then ADC with the cell mask and top-CAND cut inside the
-    map); the only shuffle carries candidate rows, queries broadcast."""
+    map); the only shuffle carries candidate rows, queries broadcast.
+    clearCache first — same splice exposure as the pq_topk pin above
+    (_ivfpq_fit builds the identical corpus repartition subtree
+    _kmeans_fit leaves persisted)."""
+    spark.catalog.clearCache()
     p = plan_of(QUERIES["similarity_ivfpq"](spark, SF_SMALL))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
