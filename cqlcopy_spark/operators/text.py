@@ -3507,7 +3507,7 @@ def stream_curation_epoch_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_curation_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State BRANCHING driver-checked end to end: fork the fully
     ingested trunk at batch {_ASOF_BATCH} (curation_state_clone — the
-    as-of view materialized as the branch's base compaction, branch
+    as-of delta file set copied zero-copy into the branch, branch
     epoch = the fork point), deliver the trunk's third slice to the
     BRANCH as a brand-new checkpoint's batch 0 (the epoch maps it onto
     the fork point), and pack the branch. The oracle is the PLAIN
@@ -3518,7 +3518,8 @@ def stream_curation_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cloned hash index (cross-fork duplicates still collapse to the
     trunk keeper).
 
-    Scale shape: the fork costs one as-of-sized rewrite per root, once;
+    Scale shape: the fork is zero-copy — driver-side file copies of the
+    as-of delta set, no Spark job at all (r16; see clone_state_roots);
     everything else is the streamed capstone's per-batch shape. The
     trunk is never touched — divergence isolation is pinned in
     tests/test_curation_branch.py."""

@@ -738,11 +738,11 @@ def vector_index_clone(
     header artifacts are copied — the branch keeps encoding with the
     TRUNK'S codebooks, the FAISS clone semantics, which is what makes
     identical payloads encode identically across the fork — the as-of
-    codes and tombstone views land as the branch's base compactions,
-    and the branch epoch is persisted = the fork point so a brand-new
-    checkpoint's batch 0 lands exactly there. Fork cost: one
-    as-of-sized rewrite per root + two tiny header copies, once; the
-    trunk is never touched."""
+    codes and tombstone file sets are copied verbatim (zero-copy fork,
+    r16 — see clone_state_roots), and the branch epoch is persisted =
+    the fork point so a brand-new checkpoint's batch 0 lands exactly
+    there. Fork cost: driver-side file copies only, ZERO Spark jobs;
+    the trunk is never touched."""
     import shutil
 
     from cqlcopy_spark.streaming.sinks import clone_state_roots

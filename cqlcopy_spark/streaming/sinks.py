@@ -552,15 +552,18 @@ def vacuum_masked_roots(
     if not everything:
         return 0
     vid = 1 + max(everything)
-    mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{mask_key} long")
-    if mask.isEmpty():
+    if _parquet_dir_rows(_index_delta_paths(mask_root, 1 << 62)) == 0:
         # an empty mask prunes nothing and needs no swap — the state
         # right after a completed vacuum. Without this fast path a
         # re-run rewrote the whole corpus as a fresh version for
         # nothing. A crash BETWEEN the swaps leaves mask rows still
         # visible, which falls through and completes the vacuum (the
-        # crash-retry contract).
+        # crash-retry contract). Emptiness is answered DRIVER-SIDE from
+        # the parquet footer row counts of the exact file set the mask
+        # read resolves (r16, guide §6) — the former mask.isEmpty()
+        # paid a Spark job for the same bit.
         return 0
+    mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{mask_key} long")
 
     def _rewrite_root(spec) -> int:
         root, schema, mask_cols, layout_cols = spec
@@ -597,10 +600,26 @@ def vacuum_masked_roots(
         n_pruned = sum(pool.map(_rewrite_root, data_specs))
     # mask swap LAST: an empty compaction at the same version — every
     # pre-vacuum mask row is already reflected in the pruned data
-    # versions, so readers at/above vid need none of them
-    spark.createDataFrame([], f"{mask_key} long").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(mask_root, "compact", f"v={vid}"))
+    # versions, so readers at/above vid need none of them. Written
+    # DRIVER-SIDE with pyarrow (r16, guide §1.4): a zero-row parquet
+    # file is pure metadata, and the former Spark write paid a whole
+    # job for it. Crash discipline identical to the committer's:
+    # _SUCCESS lands last, and _compact_versions ignores markerless
+    # dirs, so a torn write is invisible and the retry overwrites.
+    # Readers force the schema (`spark.read.schema(...)`), so the
+    # int64 column matches the `{mask_key} long` contract exactly.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    swap_dir = os.path.join(mask_root, "compact", f"v={vid}")
+    shutil.rmtree(swap_dir, ignore_errors=True)
+    os.makedirs(swap_dir)
+    pq.write_table(
+        pa.table({mask_key: pa.array([], type=pa.int64())}),
+        os.path.join(swap_dir, "part-00000.parquet"),
+    )
+    with open(os.path.join(swap_dir, "_SUCCESS"), "w", encoding="utf-8"):
+        pass
     for v in _compact_versions(mask_root):
         if v < vid:
             shutil.rmtree(
@@ -1660,24 +1679,26 @@ def read_curation_survivors(
 
 
 def curation_state_clone(spark, src: str, dst: str, as_of: int) -> None:
-    """BRANCH a curation state: materialize `src`'s as-of view (the
-    state a reader at batch id `as_of` saw — survivors, admitted-hash
-    index, takedown masks, each strictly below the point) as compaction
-    version `as_of` in a fresh `dst`, and persist `dst`'s log epoch =
-    `as_of` so a BRAND-NEW checkpoint's batch 0 maps exactly onto the
-    fork point (the epoch lever reused: without it, fresh small batch
-    ids would die at the compaction floor). The branch then evolves
+    """BRANCH a curation state: copy `src`'s as-of file set (the exact
+    directories a reader at batch id `as_of` resolves — survivors,
+    admitted-hash index, takedown masks, each strictly below the point)
+    into a fresh `dst`, and persist `dst`'s log epoch = `as_of` so a
+    BRAND-NEW checkpoint's batch 0 maps exactly onto the fork point
+    (the epoch lever reused: without it, fresh small batch ids would
+    die at the compaction floor). The branch then evolves
     independently — ingest, takedowns, vacuums on either side never
     touch the other (a dev fork of a training corpus, the table-format
     branch primitive).
 
-    Cost: one as-of-sized rewrite per root (the compaction write), paid
-    once at fork time; every later branch read is the normal
-    compact+tail-delta resolution. Faithful by the same argument as
-    time travel: deltas are disjoint first-delivery-wins sets and the
-    as-of read is exact — continuing the branch with the trunk's
-    remaining deliveries reproduces the trunk relation
-    (stream_curation_branch driver-checks that equality)."""
+    Cost: pure driver-side file copying, ZERO Spark jobs (r16 — see
+    clone_state_roots for the zero-copy argument; the previous shape
+    rewrote each root's as-of view as a base compaction); every later
+    branch read is the normal compact+tail-delta resolution. Faithful
+    by the same argument as time travel: deltas are disjoint
+    first-delivery-wins sets and the as-of read is exact — continuing
+    the branch with the trunk's remaining deliveries reproduces the
+    trunk relation (stream_curation_branch driver-checks that
+    equality)."""
     clone_state_roots(
         spark,
         src,
@@ -1693,33 +1714,43 @@ def curation_state_clone(spark, src: str, dst: str, as_of: int) -> None:
 
 def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
     """The shared fork mechanics behind curation_state_clone and
-    vector_index_clone: each (subdir, schema, layout) root's as-of view
-    written as `dst`'s base compaction v=as_of (layout-clustered, the
-    compaction discipline), then `dst`'s log epoch persisted = as_of —
-    the epoch lever reused so a brand-new checkpoint's batch 0 maps
-    onto the fork point instead of dying at the compaction floor.
-    Missing roots (e.g. a takedown-free trunk) are skipped. The per-root
-    as-of rewrites are independent (distinct sources, distinct targets),
-    so they run concurrently from a small thread pool (guide §2.6 —
-    actions are only sequential when the driver calls them
-    sequentially); the epoch file still lands strictly LAST."""
-    from concurrent.futures import ThreadPoolExecutor
+    vector_index_clone: for each (subdir, schema, layout) root, COPY the
+    exact directory set its as-of read resolves (_index_delta_paths:
+    newest complete compaction ≤ as_of plus the raw deltas in
+    [floor, as_of)) into `dst` under the SAME names, then persist
+    `dst`'s log epoch = as_of — the epoch lever reused so a brand-new
+    checkpoint's batch 0 maps onto the fork point instead of dying at
+    the compaction floor. Missing/empty-as-of roots end up absent in
+    `dst`, which every reader treats as the empty view.
 
-    def _clone_root(spec) -> None:
-        sub, schema, layout = spec
+    ZERO-COPY fork (r16, guide §1.2 step 1): the as-of view IS those
+    immutable files, so forking is pure driver-side file copying — the
+    previous shape paid a Spark read + repartition + sortWithinPartitions
+    + write job per root to materialize the identical rows as a base
+    compaction (3 jobs per clone at bench scale; a corpus-sized rewrite
+    at production scale — the one cost the table-format branch
+    primitive exists to avoid). The branch's reader resolution
+    (compaction-floor + tail deltas) is byte-for-byte the trunk's as-of
+    resolution; the normal compaction cadence re-clusters the branch as
+    it ingests. The schema/layout spec fields are kept for the callers'
+    documentation of each root's contract (and for any future deep-clone
+    variant); the copy itself is layout-preserving. Compactions above
+    as_of — including vacuum stamps — are skipped by construction, so
+    forking at a historical point below a vacuum serves the retained
+    raw-delta truth (test_branch_from_vacuumed_trunk...). The epoch
+    file still lands strictly LAST (a torn clone has no epoch and the
+    retry's dirs_exist_ok re-copy completes it)."""
+    import shutil
+
+    for sub, _schema, _layout in specs:
         root = os.path.join(src, sub)
         if not os.path.isdir(root):
-            return
-        (
-            _read_index_deltas(spark, root, as_of, schema)
-            .repartition(*layout)
-            .sortWithinPartitions(*layout)
-            .write.mode("overwrite")
-            .parquet(os.path.join(dst, sub, "compact", f"v={as_of}"))
-        )
-
-    with ThreadPoolExecutor(max_workers=min(3, max(1, len(specs)))) as pool:
-        list(pool.map(_clone_root, specs))
+            continue
+        for p in _index_delta_paths(root, as_of):
+            rel = os.path.relpath(p, root)
+            shutil.copytree(
+                p, os.path.join(dst, sub, rel), dirs_exist_ok=True
+            )
     os.makedirs(dst, exist_ok=True)
     tmp = os.path.join(dst, _EPOCH_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:

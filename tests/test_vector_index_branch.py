@@ -47,16 +47,20 @@ def test_branch_view_equals_trunk(spark, forked):
 
 
 def test_planted_branch_corruption_fires(spark, forked):
-    """Liveness: dropping one row from the branch's base compaction
-    surfaces as missing_in_branch; smuggling a foreign row in surfaces
-    as extra_in_branch."""
+    """Liveness: dropping one row from the branch's cloned pre-fork
+    file set surfaces as missing_in_branch; smuggling a foreign row in
+    surfaces as extra_in_branch. (The r16 zero-copy clone carries the
+    trunk's delta dirs verbatim instead of materializing a base
+    compaction — corrupt the first resolved pre-fork dir, wherever the
+    clone put it.)"""
     from cqlcopy_spark.operators.vector_index import (
         _CODES_SCHEMA,
         _branch_violations,
     )
+    from cqlcopy_spark.streaming.sinks import _index_delta_paths
 
     e, trunk, branch, final = forked
-    comp = os.path.join(branch, "codes", "compact", "v=3")
+    comp = _index_delta_paths(os.path.join(branch, "codes"), 3)[0]
     rows = spark.read.schema(_CODES_SCHEMA).parquet(comp)
     victim = rows.agg(F.min("vec_id")).first()[0]
     kept = rows.filter(F.col("vec_id") != victim)
