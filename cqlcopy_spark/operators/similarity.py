@@ -268,7 +268,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     raw = table(spark, sf_dir, "embeddings")
-    n = raw.count()  # metadata-level count on the parquet scan
+    # block sizing only — parquet footer first (no Spark job, guide §6)
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n = parquet_table_rows(sf_dir, "embeddings")
+    if n is None:
+        n = raw.count()
     # Block count: enough blocks that (a) blocks fit executor memory
     # (N/8k term — dominates at production row counts), (b) the
     # B(B+1)/2 block-pair tasks at least fill the cluster (small-corpus
@@ -1823,7 +1828,15 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n_corpus = e.count()
+    # parallelism sizing only — answered from the parquet footer when
+    # possible (exact, no Spark job; the same guide §6 treatment
+    # _kmeans_fit got in CS5 — this count was the one full-scan job
+    # left in the PQ family's plan build)
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n_corpus = parquet_table_rows(sf_dir, "embeddings")
+    if n_corpus is None:
+        n_corpus = e.count()
     sample = _train_sample(e, _PQ_TRAIN_CAP)
     X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in sample])
     books = _pq_train(X)
@@ -2308,7 +2321,12 @@ def _ivfpq_fit(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
-    n_corpus = e.count()
+    # footer row count for parallelism sizing (see _pq_fit)
+    from cqlcopy_spark.catalog import parquet_table_rows
+
+    n_corpus = parquet_table_rows(sf_dir, "embeddings")
+    if n_corpus is None:
+        n_corpus = e.count()
     sample = _train_sample(e, _PQ_TRAIN_CAP)
     coarse, books = _ivfpq_train_from_sample(sample)
     par = max(1, min(spark.sparkContext.defaultParallelism, n_corpus // 20_000 + 1))
