@@ -72,13 +72,18 @@ def _staged_gram_expr(d: DataFrame, n: int):
     range(1, 1) is empty) — docs shorter than the window have no grams
     and every consumer drops gram-less docs anyway."""
     toks = d.select("doc_id", F.split(col("text"), " ").alias("toks"))
-    t = col("toks")
-    toks = toks.filter(F.size(t) >= n)
-    expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
-        )
+    toks = toks.filter(F.size(col("toks")) >= n)
+    # ONE SQL expression text instead of the transform/concat_ws Column
+    # lambda (r16 — the selectExpr rule: the lambda HOF paid ~0.1 s of
+    # py4j round trips per plan build, and the minhash kernel builds
+    # this once per ingest batch). Same expression shape, term for term
+    # (element_at(toks, i + k) for k in 0..n-1, sequence upper bound
+    # size - (n-1)); value equivalence is oracle-pinned — every gram op
+    # hash-checks against the independent DuckDB _GRAMS_SQL.
+    parts = ", ".join(f"element_at(toks, i + {k})" for k in range(n))
+    expr = F.expr(
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
     )
     return toks, expr
 
@@ -272,6 +277,28 @@ _ROWS_PER_BAND = _N_PERM // _N_BANDS
 # runtime randomness, so the operator is reproducible run-to-run.
 _PERMS = [((i * 2_654_435_761 + 1) % _P, (i * 40_503 + 7) % _P) for i in range(1, _N_PERM + 1)]
 
+# The signature projection as ONE SQL expression text (r16, the CS1/CS5
+# selectExpr rule): the Column form — a 32-element array of struct
+# literals, each feeding a nested transform/array_min lambda pair —
+# paid ~hundreds of py4j round trips ≈ 0.37 s of driver-side build PER
+# PLAN, and the streamed minhash kernel builds it once per ingest batch
+# (dedup_fuzzy_minhash and contamination_neardup once per plan). One
+# expr() string parses in ~ms. Expression-for-expression identical:
+# named_struct == F.struct(lit.alias(...)), every literal < 2^31 is an
+# INT literal in both forms, and the arithmetic promotes to BIGINT on
+# contact with the xxhash64-derived `hashes` elements exactly as
+# before. Value equivalence pinned by
+# tests/test_plans.py::test_minhash_sig_sql_text_equivalence.
+_SIG_SQL = (
+    "transform(array({perms}), p -> array_min(transform(hashes, "
+    "h -> pmod(p.a * pmod(h, {p}) + p.b, {p}))))".format(
+        perms=", ".join(
+            f"named_struct('a', {a}, 'b', {b})" for a, b in _PERMS
+        ),
+        p=_P,
+    )
+)
+
 
 def _with_minhash_sig(d: DataFrame) -> DataFrame:
     """(doc_id, hashes, sig): 32-long MinHash signature over word-3-gram
@@ -298,21 +325,13 @@ def _with_minhash_sig(d: DataFrame) -> DataFrame:
             F.transform(col("grams"), lambda g: F.xxhash64(g)).alias("hashes"),
         )
     )
-    sig = F.transform(
-        F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _PERMS]),
-        lambda p: F.array_min(
-            F.transform(
-                col("hashes"),
-                # fold into [0, P) INSIDE the permutation only: a·h' + b
-                # stays < 2^62 (int64-safe under ANSI). The raw 64-bit
-                # hashes are what the verify stage intersects — folding
-                # them first would raise the verify's collision rate from
-                # ~n²/2^64 to ~n²/2^31.
-                lambda h: F.pmod(p["a"] * F.pmod(h, F.lit(_P)) + p["b"], F.lit(_P)),
-            )
-        ),
-    )
-    return hashed.select("doc_id", "hashes", sig.alias("sig"))
+    # fold into [0, P) INSIDE the permutation only: a·h' + b stays
+    # < 2^62 (int64-safe under ANSI). The raw 64-bit hashes are what
+    # the verify stage intersects — folding them first would raise the
+    # verify's collision rate from ~n²/2^64 to ~n²/2^31. Emitted as ONE
+    # SQL expression text (_SIG_SQL — see there for the plan-build
+    # argument and the pinned equivalence test).
+    return hashed.select("doc_id", "hashes", F.expr(_SIG_SQL).alias("sig"))
 
 
 def _band_rows(docs: DataFrame) -> DataFrame:

@@ -1536,6 +1536,56 @@ def test_curation_gate_sql_text_equivalence(spark):
     assert new.count() > 0
 
 
+def test_minhash_sig_sql_text_equivalence(spark):
+    """r16 optimization pin: _with_minhash_sig emits the 32-permutation
+    signature fold as SQL TEXT (_SIG_SQL — one expr() parse instead of
+    ~hundreds of py4j Column constructions per plan build, ~0.37 s
+    each). This holds it value-identical to the Column-built form (the
+    pre-r16 definition, replicated here verbatim) — sig drift would
+    silently change LSH banding and with it every minhash candidate
+    set, batch and streaming alike."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.dedup import (
+        _P,
+        _PERMS,
+        _with_grams,
+        _with_minhash_sig,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = _with_minhash_sig(d)
+    hashed = _with_grams(d).select(
+        "doc_id",
+        "grams",
+        F.transform(col("grams"), lambda g: F.xxhash64(g)).alias("hashes"),
+    )
+    sig = F.transform(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in _PERMS
+            ]
+        ),
+        lambda p: F.array_min(
+            F.transform(
+                col("hashes"),
+                lambda h: F.pmod(
+                    p["a"] * F.pmod(h, F.lit(_P)) + p["b"], F.lit(_P)
+                ),
+            )
+        ),
+    )
+    old = hashed.select("doc_id", "hashes", sig.alias("sig"))
+    assert new.schema == old.schema
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+    assert new.count() > 0
+
+
 def test_components_cap_boundary_both_paths_agree(spark, monkeypatch):
     """dedup_components decides driver-union-find vs distributed loop
     with ONE bounded limit(CAP+1).collect() (r16 — the former
