@@ -515,6 +515,7 @@ def vacuum_masked_roots(
     data_specs: "list[tuple]",
     mask_root: str,
     mask_key: str,
+    extra_id_roots: "tuple[str, ...]" = (),
 ) -> int:
     """The multi-root generalization of vacuum_masked_root (same
     contract, see there): `data_specs` is a list of
@@ -547,8 +548,15 @@ def vacuum_masked_roots(
     if not os.path.isdir(mask_root):
         return 0  # nothing retired — nothing to prune
     everything = _delta_ids(mask_root, 1 << 62) + _compact_versions(mask_root)
-    for root, _, _, _ in data_specs:
+    for spec in data_specs:
+        root = spec[0]
         everything += _delta_ids(root, 1 << 62) + _compact_versions(root)
+    # roots whose DELTAS feed a virtual data view (the curation
+    # survivors derive from the ths deltas — r17 single-write layout):
+    # the stamp must clear their ids too, or a delta at/above the stamp
+    # would be double-counted (inside the compaction AND the tail scan)
+    for root in extra_id_roots:
+        everything += _delta_ids(root, 1 << 62)
     if not everything:
         return 0
     vid = 1 + max(everything)
@@ -566,16 +574,25 @@ def vacuum_masked_roots(
     mask = _read_index_deltas(spark, mask_root, 1 << 62, f"{mask_key} long")
 
     def _rewrite_root(spec) -> int:
-        root, schema, mask_cols, layout_cols = spec
-        in_paths = _index_delta_paths(root, 1 << 62)
-        # count BEFORE the write: the post-write cleanup removes the
-        # superseded compaction this path set may include
-        rows_in = _parquet_dir_rows(in_paths)
-        view = (
-            spark.read.schema(schema).parquet(*in_paths)
-            if in_paths
-            else spark.createDataFrame([], schema)
-        )
+        # a 5-tuple carries a `source` callable -> (rows_in, view) for
+        # roots whose data view is VIRTUAL (compactions under `root`,
+        # deltas resolved elsewhere — the curation survivors, the
+        # minhash bands); the 4-tuple default reads the root's own
+        # compact+delta file set
+        if len(spec) == 5:
+            root, schema, mask_cols, layout_cols, source = spec
+            rows_in, view = source()
+        else:
+            root, schema, mask_cols, layout_cols = spec
+            in_paths = _index_delta_paths(root, 1 << 62)
+            # count BEFORE the write: the post-write cleanup removes the
+            # superseded compaction this path set may include
+            rows_in = _parquet_dir_rows(in_paths)
+            view = (
+                spark.read.schema(schema).parquet(*in_paths)
+                if in_paths
+                else spark.createDataFrame([], schema)
+            )
         for c in mask_cols:
             view = view.join(
                 mask.withColumnRenamed(mask_key, c), c, "left_anti"
@@ -642,14 +659,36 @@ def curation_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
     too, so every kernel under this dir stays monotone), which lets the
     SAME checkpoint resume ingest afterwards; the default keeps the
     no-epoch behavior (a resumed checkpoint fails loudly at
-    _below_floor_guard). Quiescence contract: see bump_log_epoch."""
-    n = vacuum_masked_root(
+    _below_floor_guard). Quiescence contract: see bump_log_epoch.
+
+    r17 single-write layout: the survivor view is VIRTUAL (vacuum
+    compactions under survivors/ + the raw admitted-row ths deltas
+    above the floor — _survivor_frame), so the data spec carries a
+    source callable and the stamp derivation clears the ths delta ids;
+    the compaction this writes is a plain (doc_id, shard, n_tokens)
+    parquet dir, exactly the pre-r17 shape."""
+
+    def _survivor_source():
+        compact, deltas = _survivor_sources(state_dir, 1 << 62)
+        return (
+            _parquet_dir_rows(compact + deltas),
+            _survivor_frame(spark, state_dir, 1 << 62),
+        )
+
+    n = vacuum_masked_roots(
         spark,
-        os.path.join(state_dir, "survivors"),
+        [
+            (
+                os.path.join(state_dir, "survivors"),
+                _SURVIVOR_SCHEMA,
+                ["doc_id"],
+                ["doc_id"],
+                _survivor_source,
+            )
+        ],
         os.path.join(state_dir, "takedowns"),
-        "doc_id long, shard long, n_tokens long",
         "doc_id",
-        ["doc_id"],
+        extra_id_roots=(os.path.join(state_dir, "ths"),),
     )
     if bump_epoch:
         bump_log_epoch(
@@ -888,7 +927,9 @@ def _compact_versions(root: str) -> list[int]:
     )
 
 
-def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
+def _below_floor_guard(
+    root: str, batch_id: int, what: str, replay_root: "str | None" = None
+) -> None:
     """Refuse a FIRST-TIME write whose batch id sits below the root's
     newest compaction version: every reader resolves state as (newest
     compaction ≤ reader) + (deltas ≥ that version), so such a delta
@@ -900,12 +941,17 @@ def _below_floor_guard(root: str, batch_id: int, what: str) -> None:
     passes: its delta dir already exists (replays rewrite identical
     content — the idempotence contract — and out-of-order replays below
     a later batch's compaction are exactly what the retained raw deltas
-    are for)."""
+    are for). `replay_root` names the root whose DELTA dirs witness a
+    replay when it differs from the floor's root — the curation
+    survivor view keeps its vacuum floor under survivors/ while its
+    deltas live under ths/ (r17 single-write layout)."""
     vs = _compact_versions(root)
     if (
         vs
         and batch_id < vs[-1]
-        and not os.path.isdir(os.path.join(root, f"delta={batch_id}"))
+        and not os.path.isdir(
+            os.path.join(replay_root or root, f"delta={batch_id}")
+        )
     ):
         raise ValueError(
             f"{what}: batch_id {batch_id} is below this index root's "
@@ -1062,6 +1108,95 @@ def _maybe_compact_index(
         shutil.rmtree(os.path.join(root, "compact", f"v={v}"), ignore_errors=True)
 
 
+_HASHES_DELTA_SCHEMA = "doc_id long, hashes array<long>, sig array<long>"
+_BAND_SCHEMA = "doc_id long, band int, key string"
+
+
+def _band_sources(
+    state_dir: str, below_batch: int
+) -> "tuple[list[str], list[str]]":
+    """(band-compaction paths, raw hashes-delta paths) a band reader at
+    `below_batch` resolves under the r17 single-write layout: the
+    newest COMPLETE (band, key)-clustered compaction v ≤ below_batch
+    under bands/ plus the raw hashes deltas in [v, below_batch), whose
+    band rows are DERIVED from the persisted sig column (_band_frame).
+    One delta write per batch serves the signature index, the refine
+    reads and the band probe; the clustered compaction — the shape a
+    production probe buckets on — still materializes real band rows at
+    the _COMPACT_EVERY cadence."""
+    bands_root = os.path.join(state_dir, "bands")
+    usable = [v for v in _compact_versions(bands_root) if v <= below_batch]
+    floor = usable[-1] if usable else 0
+    compact = (
+        [os.path.join(bands_root, "compact", f"v={floor}")] if usable else []
+    )
+    h_root = os.path.join(state_dir, "hashes")
+    deltas = [
+        os.path.join(h_root, f"delta={i}")
+        for i in _delta_ids(h_root, below_batch)
+        if i >= floor
+    ]
+    return compact, deltas
+
+
+def _band_frame(spark, state_dir: str, below_batch: int) -> DataFrame:
+    """The cumulative (doc_id, band, key) index strictly below
+    `below_batch`: the newest clustered compaction union the band rows
+    derived from the raw hashes-delta tail — the LITERAL _band_rows
+    expression over the persisted sig, so the derived rows are bitwise
+    the rows the pre-r17 bands delta write materialized."""
+    from cqlcopy_spark.operators.dedup import _band_rows
+
+    compact, deltas = _band_sources(state_dir, below_batch)
+    parts = []
+    if compact:
+        parts.append(spark.read.schema(_BAND_SCHEMA).parquet(*compact))
+    if deltas:
+        parts.append(
+            _band_rows(
+                spark.read.schema(_HASHES_DELTA_SCHEMA).parquet(*deltas)
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _BAND_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _maybe_compact_bands(spark, state_dir: str, batch_id: int) -> None:
+    """_maybe_compact_index for the VIRTUAL bands root: same trigger
+    (≥ _COMPACT_EVERY tail deltas since the newest compaction, measured
+    on the hashes deltas — the band deltas of the r17 layout), same
+    incremental merge (previous compaction + derived tail only), same
+    (band, key)-clustered output and superseded-version cleanup, same
+    idempotence (a replay of the trigger batch finds its complete
+    v=<batch_id> and skips; a crash leaves no _SUCCESS)."""
+    import shutil
+
+    bands_root = os.path.join(state_dir, "bands")
+    ids = _delta_ids(os.path.join(state_dir, "hashes"), batch_id)
+    vs = _compact_versions(bands_root)
+    if vs and vs[-1] >= batch_id:
+        return  # this batch's (or a later) compaction already complete
+    floor = vs[-1] if vs else 0
+    tail = [i for i in ids if i >= floor]
+    if len(tail) < _COMPACT_EVERY:
+        return
+    (
+        _band_frame(spark, state_dir, batch_id)
+        .repartition("band", "key")
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(bands_root, "compact", f"v={batch_id}"))
+    )
+    for v in vs:
+        shutil.rmtree(
+            os.path.join(bands_root, "compact", f"v={v}"), ignore_errors=True
+        )
+
+
 def _index_delta_paths(root: str, below_batch: int) -> "list[str]":
     """The exact directory set _read_index_deltas resolves: the newest
     COMPLETE compaction v ≤ below_batch plus the raw deltas in
@@ -1137,11 +1272,18 @@ def minhash_apply_batch(
        (_minhash_verify_pairs — same refine rule as the batch op);
     4. append-only state writes, all keyed by batch_id with overwrite
        semantics so an at-least-once replay REWRITES rather than
-       duplicates: bands/delta=<b> + hashes/delta=<b> (the corpus
-       index: exactly what a production pipeline persists as a
-       bucketed-by-key band table and a doc-keyed signature table) and
-       pairs/delta=<b> (this batch's near-dup report — the streaming
-       twin of dedup_incremental's output).
+       duplicates: hashes/delta=<b> carrying (doc_id, hashes, sig) —
+       the signature column makes the delta self-describing, so the
+       BAND rows of the tail deltas are DERIVED at read time
+       (_band_frame: the literal _band_rows expression over sig) and
+       the per-batch bands/delta write is gone (r17, guide §1.4: it
+       duplicated a deterministic projection of the same rows as a
+       second Spark action per micro-batch). bands/ holds only the
+       (band, key)-clustered COMPACTIONS (_maybe_compact_bands), which
+       is what makes the production probe a bucketed-table lookup —
+       the derived tail is ≤ _COMPACT_EVERY-1 batch-sized explodes.
+       pairs/delta=<b> is this batch's near-dup report — the streaming
+       twin of dedup_incremental's output.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
@@ -1157,39 +1299,38 @@ def minhash_apply_batch(
     # bumps it) — lets the same checkpoint resume after a vacuum
     batch_id = _apply_epoch(state_dir, batch_id)
     # refuse first-time writes below a compaction stamp on any of the
-    # three roots (reader-invisible — silent loss); replays pass
-    for sub in ("bands", "hashes", "pairs"):
+    # three roots (reader-invisible — silent loss); replays pass. The
+    # bands root keeps its floor under bands/ while its deltas are the
+    # hashes deltas (r17 single-write layout), so its replay witness is
+    # the hashes delta dir.
+    hashes_root = os.path.join(state_dir, "hashes")
+    for sub in ("hashes", "pairs"):
         _below_floor_guard(
             os.path.join(state_dir, sub), batch_id, f"minhash_apply_batch[{sub}]"
         )
+    _below_floor_guard(
+        os.path.join(state_dir, "bands"),
+        batch_id,
+        "minhash_apply_batch[bands]",
+        replay_root=hashes_root,
+    )
     # compact BEFORE probing (r8 VERDICT item 2): once _COMPACT_EVERY
     # deltas sit below this batch, fold them into one (band, key)-
     # clustered dir so the probe (and the refine's hashes read) stop
     # rescanning a file set that grows with every batch — see
     # _maybe_compact_index for the out-of-order-replay safety argument.
+    _maybe_compact_bands(spark, state_dir, batch_id)
     _maybe_compact_index(
         spark,
-        os.path.join(state_dir, "bands"),
-        batch_id,
-        "doc_id long, band int, key string",
-        ["band", "key"],
-    )
-    _maybe_compact_index(
-        spark,
-        os.path.join(state_dir, "hashes"),
+        hashes_root,
         batch_id,
         "doc_id long, hashes array<long>",
         ["doc_id"],
     )
-    prev_bands = _read_index_deltas(
-        spark,
-        os.path.join(state_dir, "bands"),
-        batch_id,
-        "doc_id long, band int, key string",
-    )
+    prev_bands = _band_frame(spark, state_dir, batch_id)
     prev_hashes = _read_index_deltas(
         spark,
-        os.path.join(state_dir, "hashes"),
+        hashes_root,
         batch_id,
         "doc_id long, hashes array<long>",
     )
@@ -1250,30 +1391,18 @@ def minhash_apply_batch(
     )
 
     # the pairs write runs the heavy lineage (signature + band + refine
-    # join) and FILLS the docs/new_bands caches; the bands and hashes
-    # deltas are then cheap cached scans over disjoint roots — overlap
-    # them on a 2-thread pool (guide §2.6) instead of paying two more
-    # sequential job latencies. Crash window unchanged in kind: any
-    # subset of the three roots present without the others is repaired
-    # by the checkpoint replay's overwrite-keyed rewrite.
+    # join) and FILLS the docs/new_bands caches; the hashes delta —
+    # the ONLY other write since r17 (the band rows of a tail delta are
+    # derived at read time from the persisted sig) — is then one cheap
+    # cached scan. Crash window unchanged in kind: either root present
+    # without the other is repaired by the checkpoint replay's
+    # overwrite-keyed rewrite.
     pairs.write.mode("overwrite").parquet(
         os.path.join(state_dir, "pairs", f"delta={batch_id}")
     )
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _write_bands() -> None:
-        new_bands.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "bands", f"delta={batch_id}")
-        )
-
-    def _write_hashes() -> None:
-        new_hashes.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "hashes", f"delta={batch_id}")
-        )
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_write_bands), pool.submit(_write_hashes)]:
-            f.result()
+    docs.select("doc_id", "hashes", "sig").write.mode("overwrite").parquet(
+        os.path.join(hashes_root, f"delta={batch_id}")
+    )
     new_bands.unpersist()
     docs.unpersist()
 
@@ -1295,18 +1424,25 @@ def continuous_minhash_dedup_sink(
     overwrite-on-replay → exactly-once scoped to same-checkpoint
     recovery, exactly like the other versioned sinks):
 
-      bands/delta=<b>   (doc_id, band, key)     — the LSH band index
-      hashes/delta=<b>  (doc_id, hashes)        — gram-hash arrays for
-                                                  the exact refine
+      hashes/delta=<b>  (doc_id, hashes, sig)   — gram-hash arrays for
+                                                  the exact refine + the
+                                                  MinHash signature the
+                                                  band rows derive from
+      bands/compact/v=<b>  (doc_id, band, key)  — the (band, key)-
+                                                  clustered LSH index
+                                                  (compactions only —
+                                                  tail band rows derive
+                                                  from the sig column)
       pairs/delta=<b>   (new_doc, dup_of, jaccard) — per-batch report
 
     Candidate volume per batch is Σ_key n_new(key)·n_all(key) — batch ×
     bucket occupancy, never corpus² (the dedup_incremental asymmetry).
     The delta layout is the production shape: the index is only ever
-    APPENDED (∝ batch per write), and once _COMPACT_EVERY deltas
-    accumulate they are folded into a (band, key)-clustered
-    ``compact/v=<b>`` dir (hashes/ clustered by doc_id) so the
-    per-batch probe reads ONE compacted dir plus at most
+    APPENDED (∝ batch per write — ONE delta per batch since r17, the
+    sig column making band rows a derived projection), and once
+    _COMPACT_EVERY deltas accumulate they are folded into a
+    (band, key)-clustered ``compact/v=<b>`` dir (hashes/ clustered by
+    doc_id) so the per-batch probe reads ONE compacted dir plus at most
     _COMPACT_EVERY-1 tail deltas — bounded, instead of a file set
     growing with every batch (r8 VERDICT item 2). Deltas stay on disk
     as replay truth: _read_index_deltas ignores compactions newer than
@@ -1395,13 +1531,22 @@ def curation_apply_batch(
        later re-delivery of an admitted text (CDC re-emit, upstream
        reprocessing outside checkpoint replay) never lands twice;
        revising a document is DELETE+INSERT under a fresh id;
-    4. overwrite-keyed delta writes (at-least-once replay REWRITES):
-       ths/delta=<b> (the admitted-hash index, compacted every
-       _COMPACT_EVERY deltas so the probe's file count stays O(1) per
-       batch) and survivors/delta=<b> (this batch's admitted
-       (doc_id, shard, n_tokens) rows — disjoint across deltas by
+    4. ONE overwrite-keyed delta write (at-least-once replay REWRITES):
+       ths/delta=<b> carrying the FULL admitted row (th, doc_id,
+       n_toks). The hash probe reads it with schema "th string"
+       (parquet column pruning — the extra columns cost the probe
+       nothing), and the survivor view is DERIVED from the same files
+       at read time (_survivor_frame: doc_id, doc_id % shards, n_toks —
+       deterministic projections, disjoint across deltas by
        construction of the anti-join, so the cumulative read is a
-       plain union).
+       plain union). r17, guide §1.4: the former separate
+       survivors/delta=<b> write duplicated the identical row set as a
+       second Spark action per micro-batch (plus the persist both
+       consumers forced); one delta write per batch is the write floor.
+       The survivors/ root still exists — it holds the VACUUM's pruned
+       compactions (vacuum output keeps its own root because its
+       lifetime policy differs: survivor rows are prunable, admitted
+       hashes are permanent).
 
     In-batch doc_id re-deliveries collapse first via the DETERMINISTIC
     min-struct keeper — never bare dropDuplicates, which picks an
@@ -1410,11 +1555,8 @@ def curation_apply_batch(
     DIFFERENT delta than the first run (r13 ADVICE); the gates are
     deterministic per document, so a re-delivered REJECTED doc
     re-rejects identically and needs no doc_id index."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import col
-
     from cqlcopy_spark.functions.skew import keep_min_by
-    from cqlcopy_spark.operators.text import _PACK_SHARDS, _curation_gated
+    from cqlcopy_spark.operators.text import _curation_gated
 
     spark = batch_df.sparkSession
     # effective id = batch id + persisted log epoch (0 until a vacuum
@@ -1422,12 +1564,16 @@ def curation_apply_batch(
     batch_id = _apply_epoch(state_dir, batch_id)
     ths_root = os.path.join(state_dir, "ths")
     # refuse first-time writes below a compaction/vacuum stamp on either
-    # root (they would be reader-invisible — silent loss); replays pass
+    # root (they would be reader-invisible — silent loss); replays pass.
+    # The survivor view's floor is a VACUUM compaction under survivors/
+    # while the deltas live under ths/ (the r17 single-write layout), so
+    # its guard checks the survivors floor against the THS delta dirs.
     _below_floor_guard(ths_root, batch_id, "curation_apply_batch[ths]")
     _below_floor_guard(
         os.path.join(state_dir, "survivors"),
         batch_id,
         "curation_apply_batch[survivors]",
+        replay_root=ths_root,
     )
     _maybe_compact_index(spark, ths_root, batch_id, "th string", ["th"])
     prior_ths = _read_index_deltas(spark, ths_root, batch_id, "th string")
@@ -1447,22 +1593,16 @@ def curation_apply_batch(
     # shuffle where the former groupBy + semi-join-back pair shuffled
     # twice and ran the gate lineage on BOTH join sides (two batch
     # scans per write at any scale). Same rows, same keeper rule.
-    admitted = (
-        keep_min_by(gated.select("th", "doc_id", "n_toks"), "th")
-        .join(prior_ths, "th", "left_anti")
-        .persist()  # th delta + survivor delta both materialize it
+    # ONE write per batch (r17, guide §1.4): the delta carries the full
+    # admitted row; the hash probe column-prunes to `th`, the survivor
+    # view projects (doc_id, shard, n_tokens) from the same files
+    # (_survivor_frame). No persist — single consumer, single action.
+    admitted = keep_min_by(gated.select("th", "doc_id", "n_toks"), "th").join(
+        prior_ths, "th", "left_anti"
     )
-    admitted.select("th").write.mode("overwrite").parquet(
+    admitted.write.mode("overwrite").parquet(
         os.path.join(ths_root, f"delta={batch_id}")
     )
-    admitted.select(
-        "doc_id",
-        (col("doc_id") % _PACK_SHARDS).alias("shard"),
-        col("n_toks").alias("n_tokens"),
-    ).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "survivors", f"delta={batch_id}")
-    )
-    admitted.unpersist()
 
 
 _EVAL_WINDOWS = "eval_windows"
@@ -1604,6 +1744,20 @@ def minhash_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
     idempotence and crash-retry contract as the other two instances).
     bump_epoch=True raises the log epoch to the stamp so a live
     checkpoint resumes afterwards (see bump_log_epoch)."""
+    def _bands_source():
+        # the bands view is VIRTUAL (r17): clustered compactions under
+        # bands/ + band rows derived from the raw hashes-delta tail.
+        # Exact input accounting without reading data: every signature
+        # derives exactly _N_BANDS band rows, so the derived tail
+        # contributes _N_BANDS × the hashes deltas' footer row counts.
+        from cqlcopy_spark.operators.dedup import _N_BANDS
+
+        compact, deltas = _band_sources(state_dir, 1 << 62)
+        rows_in = _parquet_dir_rows(compact) + _N_BANDS * _parquet_dir_rows(
+            deltas
+        )
+        return rows_in, _band_frame(spark, state_dir, 1 << 62)
+
     n = vacuum_masked_roots(
         spark,
         [
@@ -1612,6 +1766,7 @@ def minhash_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
                 "doc_id long, band int, key string",
                 ["doc_id"],
                 ["band", "key"],
+                _bands_source,
             ),
             (
                 os.path.join(state_dir, "hashes"),
@@ -1640,6 +1795,78 @@ def minhash_vacuum(spark, state_dir: str, bump_epoch: bool = False) -> int:
     return n
 
 
+_THS_DELTA_SCHEMA = "th string, doc_id long, n_toks long"
+_SURVIVOR_SCHEMA = "doc_id long, shard long, n_tokens long"
+
+
+def _survivor_sources(
+    state_dir: str, below_batch: int
+) -> "tuple[list[str], list[str]]":
+    """(vacuum-compaction paths, raw ths-delta paths) a survivor reader
+    at `below_batch` resolves under the r17 single-write layout: the
+    newest COMPLETE vacuum compaction v ≤ below_batch under survivors/
+    (absent until a vacuum runs) plus the raw admitted-row deltas under
+    ths/ in [v, below_batch). The ths deltas ARE the survivor deltas —
+    one file set serves both the hash probe (column-pruned to th) and
+    the survivor view (projected to doc_id/shard/n_tokens); raw deltas
+    are never deleted, so the fallback below any historical as_of or
+    vacuum stamp is always on disk."""
+    surv_root = os.path.join(state_dir, "survivors")
+    usable = [v for v in _compact_versions(surv_root) if v <= below_batch]
+    floor = usable[-1] if usable else 0
+    compact = (
+        [os.path.join(surv_root, "compact", f"v={floor}")] if usable else []
+    )
+    ths_root = os.path.join(state_dir, "ths")
+    deltas = [
+        os.path.join(ths_root, f"delta={i}")
+        for i in _delta_ids(ths_root, below_batch)
+        if i >= floor
+    ]
+    return compact, deltas
+
+
+def _survivor_projection(frame: DataFrame) -> DataFrame:
+    """(doc_id, shard, n_tokens) from an admitted-row ths frame — the
+    deterministic projections the pre-r17 survivors delta write wrote:
+    shard = doc_id % _PACK_SHARDS (Spark `%` matches the oracle's on
+    negative ids), n_tokens = n_toks. Column dtypes identical to the
+    former on-disk schema (all BIGINT)."""
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.text import _PACK_SHARDS
+
+    return frame.select(
+        "doc_id",
+        (col("doc_id") % _PACK_SHARDS).alias("shard"),
+        col("n_toks").alias("n_tokens"),
+    )
+
+
+def _survivor_frame(spark, state_dir: str, below_batch: int) -> DataFrame:
+    """The cumulative survivor view strictly below `below_batch`: the
+    newest vacuum compaction (already (doc_id, shard, n_tokens)) union
+    the projected raw ths deltas above it. Plain union — deltas are
+    disjoint first-delivery-wins sets, the compaction only ever covers
+    ids strictly below its own version."""
+    compact, deltas = _survivor_sources(state_dir, below_batch)
+    parts = []
+    if compact:
+        parts.append(spark.read.schema(_SURVIVOR_SCHEMA).parquet(*compact))
+    if deltas:
+        parts.append(
+            _survivor_projection(
+                spark.read.schema(_THS_DELTA_SCHEMA).parquet(*deltas)
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], _SURVIVOR_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_curation_survivors(
     spark, state_dir: str, as_of: int = 1 << 62
 ) -> DataFrame:
@@ -1660,12 +1887,7 @@ def read_curation_survivors(
     falls back to the retained raw deltas — time travel keeps working
     across physical pruning, because the raw deltas are the replay
     truth the vacuum deliberately retains."""
-    surv = _read_index_deltas(
-        spark,
-        os.path.join(state_dir, "survivors"),
-        as_of,
-        "doc_id long, shard long, n_tokens long",
-    )
+    surv = _survivor_frame(spark, state_dir, as_of)
     td_root = os.path.join(state_dir, "takedowns")
     if not os.path.isdir(td_root):
         return surv
@@ -1699,17 +1921,52 @@ def curation_state_clone(spark, src: str, dst: str, as_of: int) -> None:
     the branch with the trunk's remaining deliveries reproduces the
     trunk relation (stream_curation_branch driver-checks that
     equality)."""
+    # r17 single-write layout: the survivor view is virtual (vacuum
+    # compactions under survivors/ + raw ths deltas above that floor),
+    # and its floor is independent of the ths root's own compaction
+    # floor — copy the exact source set the view resolves FIRST (a ths
+    # compaction stamped above a vacuum would otherwise let the
+    # standard ths clone skip deltas the survivor view still needs).
+    # copytree(dirs_exist_ok) makes the overlap with the ths spec a
+    # no-op re-copy; the epoch file still lands last, inside
+    # clone_state_roots.
+    compact, deltas = _survivor_sources(src, as_of)
+    for p in compact + deltas:
+        _copytree_marker_last(p, os.path.join(dst, os.path.relpath(p, src)))
     clone_state_roots(
         spark,
         src,
         dst,
         as_of,
         (
-            ("survivors", "doc_id long, shard long, n_tokens long", ["doc_id"]),
-            ("ths", "th string", ["th"]),
+            ("ths", _THS_DELTA_SCHEMA, ["th"]),
             ("takedowns", "doc_id long", ["doc_id"]),
         ),
     )
+
+
+def _copytree_marker_last(src_dir: str, dst_dir: str) -> None:
+    """copytree with the _SUCCESS marker copied strictly LAST (r16
+    ADVICE): _compact_versions treats any marker-bearing dir as a
+    complete compaction, so a crash mid-copy must never leave the
+    marker without every data file. Idempotent re-copy (dirs_exist_ok
+    semantics) — a torn dst has no marker, is invisible to readers,
+    and the retry overwrites it file by file."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    names = os.listdir(src_dir)
+    for name in sorted(n for n in names if n != "_SUCCESS"):
+        s = os.path.join(src_dir, name)
+        d = os.path.join(dst_dir, name)
+        if os.path.isdir(s):
+            shutil.copytree(s, d, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(s, d)
+    if "_SUCCESS" in names:
+        shutil.copyfile(
+            os.path.join(src_dir, "_SUCCESS"), os.path.join(dst_dir, "_SUCCESS")
+        )
 
 
 def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
@@ -1739,18 +1996,18 @@ def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
     forking at a historical point below a vacuum serves the retained
     raw-delta truth (test_branch_from_vacuumed_trunk...). The epoch
     file still lands strictly LAST (a torn clone has no epoch and the
-    retry's dirs_exist_ok re-copy completes it)."""
-    import shutil
-
+    retry's dirs_exist_ok re-copy completes it), and within each copied
+    directory the _SUCCESS marker lands last too (_copytree_marker_last,
+    r16 ADVICE): a plain copytree copies in listdir order, so a crash
+    mid-clone could leave a marker-bearing compaction dir missing part
+    files — which _compact_versions would treat as complete."""
     for sub, _schema, _layout in specs:
         root = os.path.join(src, sub)
         if not os.path.isdir(root):
             continue
         for p in _index_delta_paths(root, as_of):
             rel = os.path.relpath(p, root)
-            shutil.copytree(
-                p, os.path.join(dst, sub, rel), dirs_exist_ok=True
-            )
+            _copytree_marker_last(p, os.path.join(dst, sub, rel))
     os.makedirs(dst, exist_ok=True)
     tmp = os.path.join(dst, _EPOCH_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
@@ -1760,8 +2017,9 @@ def clone_state_roots(spark, src: str, dst: str, as_of: int, specs) -> None:
 
 def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
     """(doc_id, shard, n_tokens, admitted_batch) — every live survivor
-    with the batch id that ADMITTED it, read from the RAW survivor
-    deltas (the curation twin of vector_index._rows_with_batch):
+    with the batch id that ADMITTED it, read from the RAW admitted-row
+    ths deltas (the survivor deltas of the r17 single-write layout; the
+    curation twin of vector_index._rows_with_batch):
     compactions are skipped on purpose, because provenance is exactly
     what compaction erases and the raw deltas are retained as replay
     truth. Driver state is one os.listdir; the loop builds a union PLAN
@@ -1775,16 +2033,17 @@ def read_curation_survivors_with_batch(spark, state_dir: str) -> DataFrame:
     vacuum exactly so provenance reads stay truthful."""
     from pyspark.sql import functions as F
 
-    root = os.path.join(state_dir, "survivors")
-    schema = "doc_id long, shard long, n_tokens long"
+    root = os.path.join(state_dir, "ths")
     frames = [
-        spark.read.schema(schema)
-        .parquet(os.path.join(root, f"delta={b}"))
-        .withColumn("admitted_batch", F.lit(b).cast("long"))
+        _survivor_projection(
+            spark.read.schema(_THS_DELTA_SCHEMA).parquet(
+                os.path.join(root, f"delta={b}")
+            )
+        ).withColumn("admitted_batch", F.lit(b).cast("long"))
         for b in _delta_ids(root, 1 << 62)
     ]
     if not frames:
-        return spark.createDataFrame([], schema + ", admitted_batch long")
+        return spark.createDataFrame([], _SURVIVOR_SCHEMA + ", admitted_batch long")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -1818,8 +2077,11 @@ def continuous_curation_sink(
     overwrite-on-replay → exactly-once scoped to same-checkpoint
     recovery):
 
-      ths/delta=<b>        (th)                       — admitted md5 index
-      survivors/delta=<b>  (doc_id, shard, n_tokens)  — admitted rows
+      ths/delta=<b>   (th, doc_id, n_toks) — the admitted rows: the md5
+                      probe column-prunes to th, the survivor view
+                      projects (doc_id, shard, n_tokens) from the same
+                      files (r17 single-write layout; survivors/ holds
+                      only vacuum compactions)
 
     The cross-run guard (_run_guard) refuses a foreign checkpoint
     ('error') or wipes the state subdirs and recomputes ('restart') —

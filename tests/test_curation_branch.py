@@ -45,7 +45,8 @@ def test_branch_continuation_reproduces_trunk(spark, trunk):
     t = {tuple(r) for r in read_curation_survivors(spark, state).collect()}
     assert b == t and b
     # the fresh checkpoint's batch 0 landed AT the fork point
-    assert os.path.isdir(os.path.join(branch, "survivors", "delta=2"))
+    # r17 single-write layout: the admitted-row delta lands under ths/
+    assert os.path.isdir(os.path.join(branch, "ths", "delta=2"))
 
 
 def test_branch_divergence_isolation(spark, trunk):

@@ -186,7 +186,9 @@ def test_curation_vacuum_prunes_and_preserves_view(spark, curated):
     view_before = {
         tuple(r) for r in read_curation_survivors(spark, state).collect()
     }
-    raw_deltas_before = _delta_ids(os.path.join(state, "survivors"), 1 << 62)
+    # r17 single-write layout: the raw survivor deltas ARE the ths
+    # admitted-row deltas
+    raw_deltas_before = _delta_ids(os.path.join(state, "ths"), 1 << 62)
 
     n = curation_vacuum(spark, state)
     assert n == len(doomed)  # every doomed id was an admitted survivor
@@ -212,6 +214,6 @@ def test_curation_vacuum_prunes_and_preserves_view(spark, curated):
         == 0
     )
     # raw deltas retained as replay truth
-    assert _delta_ids(surv_root, 1 << 62) == raw_deltas_before
+    assert _delta_ids(os.path.join(state, "ths"), 1 << 62) == raw_deltas_before
     # idempotent no-op re-run
     assert curation_vacuum(spark, state) == 0

@@ -195,7 +195,8 @@ def test_curation_epoch_resume_and_view(spark):
         (F.col("n_chars") + 13).alias("n_chars"),
     )
     curation_apply_batch(newdocs, 0, state)
-    assert os.path.isdir(os.path.join(state, "survivors", f"delta={epoch}"))
+    # r17 single-write layout: the admitted-row delta lands under ths/
+    assert os.path.isdir(os.path.join(state, "ths", f"delta={epoch}"))
     view = read_curation_survivors(spark, state)
     n_new = view.filter(F.col("doc_id") > mx).count()
     assert n_new > 0

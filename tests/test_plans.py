@@ -1615,3 +1615,41 @@ def test_components_cap_boundary_both_paths_agree(spark, monkeypatch):
     assert run() == expected  # default cap ≫ 5 edges: driver path
     monkeypatch.setattr(dd, "_CC_DRIVER_CAP", 3)  # 5 > 3: distributed
     assert run() == expected
+
+
+def test_gram_sql_text_equivalence(spark):
+    """r16 ADVICE pin: _staged_gram_expr emits the distinct-n-gram
+    projection as SQL TEXT (one expr() parse instead of the
+    transform/concat_ws Column lambda, ~0.1 s of py4j per plan build).
+    This holds it value-identical to the Column-built form (the pre-r16
+    definition, replicated here verbatim) for the n values the
+    operators actually use (3: dedup/minhash grams; 8: the
+    contamination window) — a drifted sequence bound or element_at
+    offset would silently change every gram-derived candidate set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from cqlcopy_spark.operators.dedup import _staged_gram_expr
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for n in (3, 8):
+        toks, expr = _staged_gram_expr(d, n)
+        new = toks.select("doc_id", expr.alias("grams"))
+        # pre-r16 Column form, verbatim
+        old = toks.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(col("toks")) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(col("toks"), i + k) for k in range(n)],
+                    ),
+                )
+            ).alias("grams"),
+        )
+        assert new.schema == old.schema, n
+        assert new.exceptAll(old).count() == 0, n
+        assert old.exceptAll(new).count() == 0, n

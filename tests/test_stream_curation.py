@@ -209,3 +209,50 @@ def test_resumed_ingest_below_vacuum_stamp_refused_loudly(spark, tmp_path):
     assert curation_vacuum(spark, state) == 1  # stamps v=51
     with pytest.raises(ValueError, match="below this index root's"):
         curation_apply_batch(_df(spark, [(9, _doc(9))]), 1, state)
+
+
+def test_single_write_layout_serves_probe_and_survivor_view(spark, tmp_path):
+    """r17 single-write layout: each ingest batch lands ONE delta (under
+    ths/) carrying the full admitted row; the survivor view derives
+    from those files (projected), survivors/ holds no deltas, and the
+    hash probe still column-prunes its scan to `th` alone."""
+    from cqlcopy_spark.streaming.sinks import (
+        _read_index_deltas,
+        curation_apply_batch,
+        read_curation_survivors,
+    )
+    from tests.test_plans import plan_of
+
+    state = str(tmp_path / "state")
+    curation_apply_batch(
+        _df(spark, [(1, _doc(1)), (2, _doc(2))]), 0, state
+    )
+    curation_apply_batch(_df(spark, [(3, _doc(3))]), 1, state)
+    # one delta per batch, all under ths/, none under survivors/
+    assert sorted(os.listdir(os.path.join(state, "ths"))) == [
+        "delta=0",
+        "delta=1",
+    ]
+    assert not os.path.isdir(os.path.join(state, "survivors"))
+    # the delta carries the full admitted row set
+    rows = spark.read.parquet(os.path.join(state, "ths", "delta=0"))
+    assert set(rows.columns) == {"th", "doc_id", "n_toks"}
+    # the survivor view is the deterministic projection of those rows
+    view = {
+        (r["doc_id"], r["shard"], r["n_tokens"])
+        for r in read_curation_survivors(spark, state).collect()
+    }
+    expect = {
+        (r["doc_id"], r["doc_id"] % 16, r["n_toks"])
+        for b in (0, 1)
+        for r in spark.read.parquet(
+            os.path.join(state, "ths", f"delta={b}")
+        ).collect()
+    }
+    assert view == expect and view
+    # probe-side column pruning: the th index read touches ONLY th
+    probe = _read_index_deltas(
+        spark, os.path.join(state, "ths"), 2, "th string"
+    )
+    p = plan_of(probe)
+    assert "ReadSchema: struct<th:string>" in p, p

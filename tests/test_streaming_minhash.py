@@ -191,12 +191,14 @@ def test_minhash_probe_reads_are_bounded_after_compaction(spark, tmp_path):
     NEW batch reads must be one compacted dir plus at most
     _COMPACT_EVERY-1 tail deltas — while the cumulative pair report
     stays equal to the one-shot batch op over the same corpus."""
+    from cqlcopy_spark.operators.dedup import _band_rows
     from cqlcopy_spark.plans.registry import all_queries
     from cqlcopy_spark.streaming.sinks import (
+        _band_frame,
         _COMPACT_EVERY,
         _compact_versions,
         _delta_ids,
-        _read_index_deltas,
+        _HASHES_DELTA_SCHEMA,
         minhash_apply_batch,
         read_minhash_pairs,
     )
@@ -209,21 +211,26 @@ def test_minhash_probe_reads_are_bounded_after_compaction(spark, tmp_path):
         )
 
     bands_root = os.path.join(state, "bands")
+    hashes_root = os.path.join(state, "hashes")
     vs = _compact_versions(bands_root)
     assert vs, "no complete compaction after 7 batches"
     v = vs[-1]
     assert v >= _COMPACT_EVERY
-    # what batch 7 would read: the compact dir + deltas in [v, 7) —
+    # what batch 7 would read: the compact dir + band rows derived from
+    # the hashes deltas in [v, 7) (the r17 single-write layout) —
     # bounded by _COMPACT_EVERY, not by the batch count
-    tail = [i for i in _delta_ids(bands_root, 7) if i >= v]
+    tail = [i for i in _delta_ids(hashes_root, 7) if i >= v]
     assert len(tail) <= _COMPACT_EVERY - 1 + (7 - 7)
     assert len(tail) == 7 - v
     # the read itself contains every band row below batch 7 exactly once
-    full = _read_index_deltas(
-        spark, bands_root, 7, "doc_id long, band int, key string"
-    )
-    raw = spark.read.schema("doc_id long, band int, key string").parquet(
-        *[os.path.join(bands_root, f"delta={i}") for i in _delta_ids(bands_root, 7)]
+    full = _band_frame(spark, state, 7)
+    raw = _band_rows(
+        spark.read.schema(_HASHES_DELTA_SCHEMA).parquet(
+            *[
+                os.path.join(hashes_root, f"delta={i}")
+                for i in _delta_ids(hashes_root, 7)
+            ]
+        )
     )
     assert (
         full.groupBy("doc_id", "band", "key").count().filter("count != 1").count()
@@ -287,10 +294,12 @@ def test_minhash_compaction_is_incremental_and_prunes_versions(spark, tmp_path):
     version with the tail (never re-reading all raw deltas), and
     superseded compact versions are deleted (disk = raw deltas + ONE
     compact copy). Raw deltas all survive as replay truth."""
+    from cqlcopy_spark.operators.dedup import _band_rows
     from cqlcopy_spark.streaming.sinks import (
+        _band_frame,
         _compact_versions,
         _delta_ids,
-        _read_index_deltas,
+        _HASHES_DELTA_SCHEMA,
         minhash_apply_batch,
     )
 
@@ -301,16 +310,21 @@ def test_minhash_compaction_is_incremental_and_prunes_versions(spark, tmp_path):
             spark.createDataFrame(rows, "doc_id long, text string"), b, state
         )
     bands_root = os.path.join(state, "bands")
+    hashes_root = os.path.join(state, "hashes")
     # fires at batch 4 (deltas 0-3) and batch 8 (v=4 + deltas 4-7);
     # batches 5-7 and 9... (9 batches = ids 0..8, so the last fire is 8)
     assert _compact_versions(bands_root) == [8]
-    # every raw delta retained for out-of-order replay
-    assert _delta_ids(bands_root, 10_000) == list(range(9))
-    # the merged compact + tail still equals the raw union, row-exact
-    schema = "doc_id long, band int, key string"
-    full = _read_index_deltas(spark, bands_root, 9, schema)
-    raw = spark.read.schema(schema).parquet(
-        *[os.path.join(bands_root, f"delta={i}") for i in range(9)]
+    # every raw delta retained for out-of-order replay (the band deltas
+    # of the r17 layout ARE the hashes deltas; bands/ holds only the
+    # clustered compactions)
+    assert _delta_ids(hashes_root, 10_000) == list(range(9))
+    assert _delta_ids(bands_root, 10_000) == []
+    # the merged compact + derived tail still equals the raw union
+    full = _band_frame(spark, state, 9)
+    raw = _band_rows(
+        spark.read.schema(_HASHES_DELTA_SCHEMA).parquet(
+            *[os.path.join(hashes_root, f"delta={i}") for i in range(9)]
+        )
     )
     assert full.count() == raw.count()
     assert (
