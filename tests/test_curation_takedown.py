@@ -217,3 +217,47 @@ def test_curation_vacuum_prunes_and_preserves_view(spark, curated):
     assert _delta_ids(os.path.join(state, "ths"), 1 << 62) == raw_deltas_before
     # idempotent no-op re-run
     assert curation_vacuum(spark, state) == 0
+
+
+def test_takedown_mask_compaction_cadence_bounds_reader_file_set(spark, curated):
+    """r15 VERDICT item 4 / r16 item 3: the takedown MASK root rides the
+    same _COMPACT_EVERY cadence as the data roots (the shared
+    _takedown_ids_batch kernel compacts it on the write path — one code
+    path for the curation AND minhash masks), so a reader between
+    vacuums resolves ONE compacted mask dir plus a bounded tail, never
+    a file set growing with lifetime takedown batches. Nine takedown
+    batches against one curated state: the mask compacts, raw deltas
+    survive as replay truth, the masked view equals the union of all
+    nine batches, and the reader's resolved file set is bounded."""
+    from cqlcopy_spark.streaming.sinks import (
+        _COMPACT_EVERY,
+        _compact_versions,
+        _delta_ids,
+        _index_delta_paths,
+        curation_takedown_batch,
+    )
+
+    d, state = curated
+    before = sorted(_survivor_ids(spark, state))
+    assert len(before) >= 9
+    doomed_by_batch = [before[i::9][:2] for i in range(9)]
+    for b, ids in enumerate(doomed_by_batch):
+        curation_takedown_batch(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+            3 + b,
+            state,
+        )
+    td_root = os.path.join(state, "takedowns")
+    vs = _compact_versions(td_root)
+    assert vs and vs[-1] >= 3 + _COMPACT_EVERY  # the cadence fired
+    assert len(vs) == 1  # superseded mask compactions deleted
+    # raw mask deltas all retained (replay truth / provenance)
+    assert _delta_ids(td_root, 1 << 62) == list(range(3, 12))
+    # what the NEXT batch's read resolves: one compact dir + a tail
+    # bounded by the cadence, not by the 9 batches on disk
+    paths = _index_delta_paths(td_root, 12)
+    tail = [p for p in paths if "delta=" in p]
+    assert len(paths) == 1 + len(tail) and len(tail) <= _COMPACT_EVERY
+    # the masked view is exactly the cumulative exclusion
+    doomed_all = {i for ids in doomed_by_batch for i in ids}
+    assert _survivor_ids(spark, state) == set(before) - doomed_all
